@@ -1,38 +1,135 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Flagship engine: ``lucene_spark`` — a PySpark-native inverted-index +
+BM25 full-text engine (see SURVEY.md).  The correctness-gate corpus is the
+driver-provided ``documents`` table (dense ``doc_id``, simple-word text);
+each ``queries()`` entry has a DuckDB ``oracle_sql()`` twin that recomputes
+the identical float32 BM25 pipeline in pure SQL (lucene_spark/oracle_sql.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:  # driver-side import safety for any cwd
+    sys.path.insert(0, _REPO_DIR)
+
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark import oracle_sql as osql
+from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_spark.analysis.smallfloat import byte4_to_int_np
+from lucene_spark.index.builder import IndexTables, build_index
+from lucene_spark.search.searcher import IndexSearcher
+
+_CACHE: dict[str, IndexSearcher] = {}
+
+GATE_ANALYZER = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+
+
+def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    if sf_dir not in _CACHE:
+        from lucene_spark.session import ship_package
+
+        ship_package(spark)  # executors import lucene_spark from a shipped zip
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        idx = build_index(
+            docs, text_col="text", doc_id_col="doc_id", analyzer=GATE_ANALYZER
+        ).persist()
+        _CACHE[sf_dir] = IndexSearcher(idx)
+    return _CACHE[sf_dir]
+
+
+def _as_gate_schema(topk: DataFrame) -> DataFrame:
+    return topk.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 top-10 for merge AND join."""
+    s = _searcher(spark, "/root/testdata/sf0.001")
+    return _as_gate_schema(s.search("merge AND join", k=10))
+
+
+# ---------------------------------------------------------------- gate queries
+
+
+def _q_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_gate_schema(_searcher(spark, sf_dir).search("merge", k=10))
+
+
+def _q_and_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_gate_schema(_searcher(spark, sf_dir).search("merge AND join", k=10))
+
+
+def _q_or_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_gate_schema(_searcher(spark, sf_dir).search("spark OR vector", k=15))
+
+
+def _q_and_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_gate_schema(
+        _searcher(spark, sf_dir).search("merge AND NOT window", k=10)
+    )
+
+
+def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _searcher(spark, sf_dir).count("merge")
+    return spark.createDataFrame([(n,)], "n_hits long")
+
+
+def _q_doclens_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _searcher(spark, sf_dir).index
+
+    @F.pandas_udf(T.LongType())
+    def qlen(norm_byte: pd.Series) -> pd.Series:
+        return pd.Series(byte4_to_int_np(norm_byte.to_numpy()), dtype="int64")
+
+    return idx.doclens.select(
+        F.col("doc_id").cast("long"),
+        F.col("len").cast("int").alias("len"),
+        F.col("norm_byte").cast("short").alias("norm_byte"),
+        qlen(F.col("norm_byte")).alias("qlen"),
+    )
+
+
+def _q_termstats_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = _searcher(spark, sf_dir).index
+    return (
+        idx.termstats.orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(50)
+        .select("term", "doc_freq", "total_term_freq")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bm25_term_topk": _q_term_topk,
+        "bm25_and_topk": _q_and_topk,
+        "bm25_or_topk": _q_or_topk,
+        "bm25_and_not_topk": _q_and_not_topk,
+        "term_count": _q_term_count,
+        "doclens_norms": _q_doclens_norms,
+        "termstats_top50": _q_termstats_top50,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_term_topk": osql.term_topk_sql("merge", 10),
+        "bm25_and_topk": osql.and_topk_sql("merge", "join", 10),
+        "bm25_or_topk": osql.or_topk_sql("spark", "vector", 15),
+        "bm25_and_not_topk": osql.and_not_topk_sql("merge", "window", 10),
+        "term_count": osql.term_count_sql("merge"),
+        "doclens_norms": osql.doclens_norms_sql(),
+        "termstats_top50": osql.termstats_topn_sql(50),
+    }

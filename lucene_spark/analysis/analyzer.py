@@ -1,0 +1,111 @@
+"""Standard analysis chain: tokenizer -> lowercase -> stop filter.
+
+Parity target is the reference's ``StandardAnalyzer``
+(``lucene/core/src/java/org/apache/lucene/analysis/standard/StandardAnalyzer.java:86-95``):
+``StandardTokenizer`` (UAX#29 word break,
+``analysis/standard/StandardTokenizerImpl.jflex``) -> ``LowerCaseFilter``
+(per-codepoint ``Character.toLowerCase``, ``analysis/LowerCaseFilter.java:36-43``)
+-> ``StopFilter`` (``analysis/StopFilter.java:96-98``; the default stop set is
+EMPTY, StandardAnalyzer.java:51-53).
+
+Conformance envelope (documented, mirrors SURVEY.md §7.2): the tokenizer
+implements the ALPHANUM/NUM subset of UAX#29 — letter runs joined by
+MidLetter/MidNumLet (``'``, ``’``, ``.``, ``·``), digit runs joined by
+MidNum/MidNumLet (``,``, ``.``, ``;``, ``'``), ExtendNumLet (``_``) folding —
+which covers the ALPHANUM/NUM test cases of ``TestStandardAnalyzer``; the
+SEA/ideographic/emoji classes are out of envelope.  Tokens longer than
+``max_token_length`` (default 255) are skipped, not truncated
+(``StandardTokenizer.java:152-175``).
+
+Lowercase parity: Java ``Character.toLowerCase`` is a per-codepoint 1:1 map;
+Python ``str.lower()`` applies full mappings (U+0130 -> "i"+combining dot) and
+contextual final sigma.  We pre-translate the two divergent codepoints so the
+result matches Java.
+
+Everything is vectorized over pandas Series for use in Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+
+__all__ = [
+    "ENGLISH_STOP_WORDS",
+    "StandardAnalyzer",
+    "tokenize",
+    "analyze_series",
+]
+
+# The canonical 33-word English stop set
+# (analysis/common/.../en/EnglishAnalyzer.java:43-53).
+ENGLISH_STOP_WORDS = frozenset(
+    """a an and are as at be but by for if in into is it no not of on or such
+    that the their then there these they this to was will with""".split()
+)
+
+# UAX#29 word-break subset:
+#   token := \w+ ( MID \w+ )*   with MID guarded by side-type lookarounds.
+# \w covers letters, digits, marks and underscore (ExtendNumLet).
+_TOKEN_RE = re.compile(
+    r"\w+"
+    r"(?:"
+    r"(?<=[^\W\d_])['’.·](?=[^\W\d_])\w+"  # ALetter MidLetter/MidNumLet ALetter
+    r"|(?<=\d)[,.;'’](?=\d)\w+"  # Numeric MidNum/MidNumLet Numeric
+    r")*",
+    re.UNICODE,
+)
+
+# Java Character.toLowerCase divergences from Python str.lower():
+#   U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> 'i' (Python: "i̇")
+#   U+03A3 GREEK CAPITAL SIGMA -> always U+03C3 (Python: contextual final sigma)
+_LOWER_EXCEPTIONS = {0x0130: "i", 0x03A3: "σ"}
+
+DEFAULT_MAX_TOKEN_LENGTH = 255
+
+
+def java_lower(s: str) -> str:
+    """Per-codepoint lowercase matching ``Character.toLowerCase``."""
+    return s.translate(_LOWER_EXCEPTIONS).lower()
+
+
+def tokenize(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> list[str]:
+    """UAX#29-subset word tokens of ``text`` (no case folding, no stops)."""
+    if not text:
+        return []
+    toks = _TOKEN_RE.findall(text)
+    return [t for t in toks if len(t) <= max_token_length]
+
+
+class StandardAnalyzer:
+    """tokenize -> java_lower -> stop-filter, vectorized over Series.
+
+    ``stop_words=None`` reproduces StandardAnalyzer's empty default set;
+    pass :data:`ENGLISH_STOP_WORDS` for EnglishAnalyzer-style stopping.
+    """
+
+    def __init__(
+        self,
+        stop_words: Iterable[str] | None = None,
+        max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+    ):
+        self.stop_words = frozenset(stop_words) if stop_words else frozenset()
+        self.max_token_length = max_token_length
+
+    def analyze(self, text: str) -> list[str]:
+        toks = tokenize(text, self.max_token_length)
+        stops = self.stop_words
+        if stops:
+            return [t for t in (java_lower(x) for x in toks) if t not in stops]
+        return [java_lower(x) for x in toks]
+
+    def analyze_series(self, texts: pd.Series) -> pd.Series:
+        """Vectorized batch form for pandas/Arrow UDFs."""
+        analyze = self.analyze
+        return texts.map(lambda t: analyze(t) if isinstance(t, str) else [])
+
+
+def analyze_series(texts: pd.Series, stop_words: Iterable[str] | None = None) -> pd.Series:
+    return StandardAnalyzer(stop_words).analyze_series(texts)

@@ -1,0 +1,197 @@
+"""Index build: docID assignment, doc lengths/norms, postings, stats tables.
+
+Spark-first re-expression of the reference's indexing chain
+(``index/IndexingChain.java:553`` document inversion, ``index/NormValuesWriter.java``
+norms, ``index/FreqProxTermsWriter.java:83-135`` postings flush,
+``search/similarities/Similarity.java:152-162`` norm quantization):
+
+* one range partition of the ``(conv_id, turn_idx)``-sorted source acts as a
+  *segment* (Lucene: one DWPT flush); docIDs are global dense ranks under the
+  stable key ordering (``index/DocIDMerger.java`` concatenation order), so
+  per-segment docID ranges are contiguous and disjoint,
+* analysis is a vectorized Arrow UDF (no per-row Python),
+* posting aggregation is a ``groupBy(term, doc)`` count followed by per-term
+  stats — both have map-side partial aggregation, so hot terms ("the") do not
+  skew: each task emits at most one partial row per key.  (The skew-sensitive
+  step — materializing a hot term's full posting *list* — is handled in the
+  block codec layer, which builds per-segment lists only.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.analysis.analyzer import StandardAnalyzer
+from lucene_spark.analysis.smallfloat import int_to_byte4_np
+
+DEFAULT_FIELD = "text"
+
+
+@dataclass
+class IndexTables:
+    """The queryable index: five DataFrames (FIXTURES.md §5 schemas)."""
+
+    docmap: DataFrame  # doc_id, segment, conv_id, turn_idx (+ passthrough cols)
+    doclens: DataFrame  # doc_id, field, len, norm_byte
+    postings: DataFrame  # field, term, doc_id, freq   (flat postings)
+    termstats: DataFrame  # field, term, doc_freq, total_term_freq
+    fieldstats: DataFrame  # field, doc_count, sum_total_term_freq, sum_doc_freq
+
+    def persist(self) -> "IndexTables":
+        for df in (self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats):
+            df.persist()
+        return self
+
+    def unpersist(self) -> None:
+        for df in (self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats):
+            df.unpersist()
+
+
+def assign_doc_ids(
+    df: DataFrame, key_cols: Sequence[str], num_segments: int | None = None
+) -> DataFrame:
+    """Global dense docIDs = rank under stable ``key_cols`` order, plus segment.
+
+    Scalable two-pass scheme (no single-partition window):
+      1. range-partition + sort by the keys (each partition = one segment,
+         holding a contiguous key range),
+      2. count rows per partition (tiny driver-side list),
+      3. assign ``doc_id = segment_offset + local_row_number`` in a streaming
+         ``mapInPandas`` — no shuffle, no collect of data rows.
+
+    The partitioned frame is persisted so both passes observe identical range
+    boundaries (on a real cluster: write the sorted frame to storage first —
+    the checkpointed segment build in ``segments.py`` does exactly that).
+    DocIDs themselves are boundary-independent: any contiguous range
+    partitioning of a unique key yields the same global rank.
+    """
+    keys = [F.col(c) for c in key_cols]
+    parts = num_segments or max(2, df.sparkSession.sparkContext.defaultParallelism)
+    sorted_df = (
+        df.repartitionByRange(parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_segment", F.spark_partition_id())
+    )
+    sorted_df = sorted_df.persist()
+    counts = {r["_segment"]: r["n"] for r in sorted_df.groupBy("_segment").agg(F.count("*").alias("n")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in range(parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [f for f in sorted_df.schema.fields if f.name != "_segment"]
+        + [T.StructField("segment", T.IntegerType(), False)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            seg = int(pdf["_segment"].iloc[0])
+            base = offsets[seg] + local
+            n = len(pdf)
+            out = pdf.drop(columns=["_segment"])
+            out.insert(0, "doc_id", np.arange(base, base + n, dtype=np.int64))
+            out["segment"] = np.int32(seg)
+            local += n
+            yield out
+
+    return sorted_df.mapInPandas(assign, schema=out_schema)
+
+
+def _norm_byte_udf():
+    @F.pandas_udf(T.ShortType())
+    def norm_byte(lens: pd.Series) -> pd.Series:
+        return pd.Series(int_to_byte4_np(lens.to_numpy()), dtype="int16")
+
+    return norm_byte
+
+
+def make_analyze_udf(analyzer: StandardAnalyzer):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def analyze(texts: pd.Series) -> pd.Series:
+        return analyzer.analyze_series(texts)
+
+    return analyze
+
+
+def build_index(
+    df: DataFrame,
+    text_col: str = "text",
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    field: str = DEFAULT_FIELD,
+    analyzer: StandardAnalyzer | None = None,
+    num_segments: int | None = None,
+    doc_id_col: str | None = None,
+) -> IndexTables:
+    """Build the five index tables from a document DataFrame.
+
+    If ``doc_id_col`` is given, that column is used as the (already dense,
+    unique) docID and segment assignment is skipped — used when the source
+    carries stable ids (e.g. the ``documents`` test table).
+    """
+    analyzer = analyzer or StandardAnalyzer()
+    analyze = make_analyze_udf(analyzer)
+    norm_byte = _norm_byte_udf()
+
+    if doc_id_col is not None:
+        docmap = df.withColumn("doc_id", F.col(doc_id_col).cast("long")).withColumn(
+            "segment", F.lit(0)
+        )
+    else:
+        docmap = assign_doc_ids(df, key_cols, num_segments)
+
+    tokens = docmap.select(
+        "doc_id", "segment", analyze(F.col(text_col)).alias("tokens")
+    )
+
+    doclens = tokens.select(
+        "doc_id",
+        "segment",
+        F.lit(field).alias("field"),
+        F.size("tokens").alias("len"),
+    ).withColumn("norm_byte", norm_byte(F.col("len")))
+
+    postings = (
+        tokens.select("doc_id", "segment", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "segment")
+        .agg(F.count("*").cast("int").alias("freq"))
+        .select(F.lit(field).alias("field"), "term", "doc_id", "segment", "freq")
+    )
+
+    termstats = postings.groupBy("field", "term").agg(
+        F.count("*").alias("doc_freq"),
+        F.sum("freq").alias("total_term_freq"),
+    )
+
+    fieldstats = (
+        doclens.groupBy("field")
+        .agg(
+            F.sum(F.when(F.col("len") > 0, 1).otherwise(0)).alias("doc_count"),
+            F.sum("len").alias("sum_total_term_freq"),
+        )
+        .join(
+            termstats.groupBy("field").agg(F.sum("doc_freq").alias("sum_doc_freq")),
+            "field",
+            "left",
+        )
+    )
+
+    return IndexTables(
+        docmap=docmap,
+        doclens=doclens,
+        postings=postings,
+        termstats=termstats,
+        fieldstats=fieldstats,
+    )

@@ -1,0 +1,159 @@
+"""DuckDB oracle-SQL generators for the correctness gate.
+
+Each generator emits ANSI SQL that recomputes, **bit-exactly in float32**,
+what the Spark engine computes for the same query over the ``documents``
+table: tokenization (the gate corpus is single-space-separated ``[a-z0-9]+``
+words, so ``string_split`` equals the StandardAnalyzer token stream — verified
+by test), English stop removal, doc lengths, SmallFloat norm quantization
+(``util/SmallFloat.java:103-167`` re-derived with ``bin()`` bit-width), BM25
+idf/avgdl/score (``BM25Similarity.java:100-117,180-184,221-233``) with every
+intermediate CAST to FLOAT (DuckDB FLOAT arithmetic is IEEE-754 single — the
+parity is asserted in tests/test_bm25.py), and the (score DESC, docID ASC)
+top-k tie-break (``TopScoreDocCollector.java:26-28``).
+"""
+
+from __future__ import annotations
+
+from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS
+
+K1_SQL = "CAST(1.2 AS FLOAT)"
+B_SQL = "CAST(0.75 AS FLOAT)"
+F1 = "CAST(1 AS FLOAT)"
+
+_STOPS = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+
+# Shared CTEs: token stream, doc lengths, field stats, quantized lengths.
+# qlen = byte4ToInt(intToByte4(len)): identity below 32 (24 free values + 8
+# subnormals), else keep top-4-bits of (len - 24) via bin() bit-width.
+BASE_CTES = f"""
+toks AS (
+    SELECT doc_id, t.term AS term
+    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    WHERE t.term <> '' AND t.term NOT IN ({_STOPS})
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
+fs AS (SELECT count(*)::BIGINT AS n, sum(len)::BIGINT AS sttf FROM dl WHERE len > 0),
+norm AS (
+    SELECT doc_id, len,
+        CASE WHEN len < 32 THEN len
+             ELSE 24 + (((len - 24) >> (length(bin(len - 24)) - 4))
+                        << (length(bin(len - 24)) - 4))
+        END AS qlen
+    FROM dl
+)
+"""
+
+
+def _term_cte(name: str, term: str) -> str:
+    """Scored postings for one term: sc_<name>(doc_id, score FLOAT)."""
+    return f"""
+tf_{name} AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+w_{name} AS (
+    SELECT CAST(ln(1 + (fs.n - st.df + 0.5) / (st.df + 0.5)) AS FLOAT) AS w,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs, (SELECT count(*)::BIGINT AS df FROM tf_{name}) st
+),
+sc_{name} AS (
+    SELECT tf.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(tf.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(n.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM tf_{name} tf
+    JOIN norm n USING (doc_id)
+    CROSS JOIN w_{name} w
+)
+"""
+
+
+def _topk(select_from: str, k: int) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS INT) AS rank
+FROM {select_from}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def term_topk_sql(term: str, k: int) -> str:
+    return f"WITH {BASE_CTES}, {_term_cte('a', term)} {_topk('sc_a', k)}"
+
+
+def and_topk_sql(term_a: str, term_b: str, k: int) -> str:
+    # ConjunctionScorer.java:57-63 — sum clause float scores in double, cast float
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term_a)}, {_term_cte('b', term_b)},
+combined AS (
+    SELECT a.doc_id,
+           CAST(CAST(a.score AS DOUBLE) + CAST(b.score AS DOUBLE) AS FLOAT) AS score
+    FROM sc_a a JOIN sc_b b USING (doc_id)
+)
+{_topk('combined', k)}
+"""
+
+
+def or_topk_sql(term_a: str, term_b: str, k: int) -> str:
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term_a)}, {_term_cte('b', term_b)},
+unioned AS (
+    SELECT doc_id, score FROM sc_a UNION ALL SELECT doc_id, score FROM sc_b
+),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM unioned GROUP BY doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def and_not_topk_sql(term_a: str, term_not: str, k: int) -> str:
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term_a)}, {_term_cte('n', term_not)},
+combined AS (
+    SELECT a.doc_id, a.score FROM sc_a a
+    ANTI JOIN sc_n n ON a.doc_id = n.doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def term_count_sql(term: str) -> str:
+    return f"""
+WITH {BASE_CTES}
+SELECT count(DISTINCT doc_id)::BIGINT AS n_hits FROM toks WHERE term = '{term}'
+"""
+
+
+def doclens_norms_sql() -> str:
+    """Full doclens table incl. the norm *byte* code (int_to_byte4 in SQL)."""
+    return f"""
+WITH {BASE_CTES}
+SELECT doc_id,
+       CAST(len AS INT) AS len,
+       CAST(CASE WHEN len < 32 THEN len
+                 ELSE 24 + (((length(bin(len - 24)) - 4 + 1) * 8)
+                            + (((len - 24) >> (length(bin(len - 24)) - 4)) & 7))
+            END AS SMALLINT) AS norm_byte,
+       CAST(CASE WHEN len < 32 THEN len
+                 ELSE 24 + (((len - 24) >> (length(bin(len - 24)) - 4))
+                            << (length(bin(len - 24)) - 4))
+            END AS BIGINT) AS qlen
+FROM norm
+ORDER BY doc_id
+"""
+
+
+def termstats_topn_sql(n: int) -> str:
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq,
+           count(*)::BIGINT AS total_term_freq
+    FROM toks GROUP BY term
+)
+SELECT term, doc_freq, total_term_freq
+FROM ts ORDER BY doc_freq DESC, term ASC LIMIT {n}
+"""

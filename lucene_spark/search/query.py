@@ -1,0 +1,228 @@
+"""Query tree: the logical algebra of the search side.
+
+Mirrors the reference's ``Query`` hierarchy (``search/Query.java``,
+``search/TermQuery.java``, ``search/BooleanQuery.java``,
+``search/BooleanClause.java``) plus its rewrite rules
+(``search/BooleanQuery.java:269-440``, ``search/IndexSearcher.java:866-875``),
+re-expressed as plain dataclasses rewritten to fixpoint in Python before
+being planned into DataFrame operations by the searcher.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Sequence
+
+
+class Occur(Enum):
+    MUST = "MUST"
+    SHOULD = "SHOULD"
+    MUST_NOT = "MUST_NOT"
+    FILTER = "FILTER"
+
+
+@dataclass(frozen=True)
+class Query:
+    def rewrite(self) -> "Query":
+        return self
+
+
+@dataclass(frozen=True)
+class TermQuery(Query):
+    term: str
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class MatchAllDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class MatchNoDocsQuery(Query):
+    pass
+
+
+@dataclass(frozen=True)
+class BoostQuery(Query):
+    query: Query
+    boost: float = 1.0
+
+    def rewrite(self) -> Query:
+        inner = self.query.rewrite()
+        if self.boost == 1.0:
+            return inner
+        if isinstance(inner, BoostQuery):  # fold nested boosts
+            return BoostQuery(inner.query, self.boost * inner.boost)
+        if isinstance(inner, MatchNoDocsQuery):
+            return inner
+        return BoostQuery(inner, self.boost)
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery(Query):
+    query: Query
+    score: float = 1.0
+
+
+@dataclass(frozen=True)
+class SynonymQuery(Query):
+    """Terms scored as one: per-doc freq = sum of member freqs
+    (search/SynonymQuery.java)."""
+
+    terms: tuple[str, ...]
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class PrefixQuery(Query):
+    prefix: str
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class WildcardQuery(Query):
+    pattern: str  # Lucene syntax: * (any run) and ? (one char)
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class RegexpQuery(Query):
+    pattern: str
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class FuzzyQuery(Query):
+    term: str
+    max_edits: int = 2
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class TermRangeQuery(Query):
+    lower: str | None
+    upper: str | None
+    include_lower: bool = True
+    include_upper: bool = True
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class TermInSetQuery(Query):
+    terms: tuple[str, ...]
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class PhraseQuery(Query):
+    terms: tuple[str, ...]
+    slop: int = 0
+    field: str = "text"
+
+
+@dataclass(frozen=True)
+class BooleanClause:
+    occur: Occur
+    query: Query
+
+
+@dataclass(frozen=True)
+class BooleanQuery(Query):
+    clauses: tuple[BooleanClause, ...]
+    minimum_should_match: int = 0
+
+    @staticmethod
+    def build(
+        must: Sequence[Query] = (),
+        should: Sequence[Query] = (),
+        must_not: Sequence[Query] = (),
+        filter: Sequence[Query] = (),
+        minimum_should_match: int = 0,
+    ) -> "BooleanQuery":
+        cl = (
+            tuple(BooleanClause(Occur.MUST, q) for q in must)
+            + tuple(BooleanClause(Occur.SHOULD, q) for q in should)
+            + tuple(BooleanClause(Occur.MUST_NOT, q) for q in must_not)
+            + tuple(BooleanClause(Occur.FILTER, q) for q in filter)
+        )
+        return BooleanQuery(cl, minimum_should_match)
+
+    def rewrite(self) -> Query:
+        """BooleanQuery.java:269-440 simplifications (the relevant subset)."""
+        clauses: list[BooleanClause] = []
+        for c in self.clauses:
+            q = c.query.rewrite()
+            if isinstance(q, MatchNoDocsQuery):
+                if c.occur in (Occur.MUST, Occur.FILTER):
+                    return MatchNoDocsQuery()  # annihilates the conjunction
+                continue  # SHOULD/MUST_NOT MatchNoDocs clauses drop out
+            clauses.append(BooleanClause(c.occur, q))
+        # dedup FILTER / MUST_NOT
+        seen: set = set()
+        deduped: list[BooleanClause] = []
+        for c in clauses:
+            if c.occur in (Occur.FILTER, Occur.MUST_NOT):
+                key = (c.occur, c.query)
+                if key in seen:
+                    continue
+                seen.add(key)
+            deduped.append(c)
+        clauses = deduped
+        # MUST and MUST_NOT on the same query -> MatchNoDocs
+        musts = {c.query for c in clauses if c.occur in (Occur.MUST, Occur.FILTER)}
+        if any(c.query in musts for c in clauses if c.occur == Occur.MUST_NOT):
+            return MatchNoDocsQuery()
+        if not clauses:
+            return MatchNoDocsQuery()
+        # single positive clause unwrap
+        positive = [c for c in clauses if c.occur in (Occur.MUST, Occur.SHOULD)]
+        if (
+            len(clauses) == 1
+            and len(positive) == 1
+            and self.minimum_should_match <= 1
+        ):
+            return positive[0].query
+        return BooleanQuery(tuple(clauses), self.minimum_should_match)
+
+
+@dataclass(frozen=True)
+class DisjunctionMaxQuery(Query):
+    """max(score) + tie_breaker * sum(other scores)
+    (search/DisjunctionMaxQuery.java)."""
+
+    queries: tuple[Query, ...]
+    tie_breaker: float = 0.0
+
+
+def rewrite_to_fixpoint(q: Query, max_iters: int = 16) -> Query:
+    """IndexSearcher.java:866-875 rewrite loop."""
+    for _ in range(max_iters):
+        nxt = q.rewrite()
+        if nxt == q:
+            return q
+        q = nxt
+    return q
+
+
+def collect_terms(q: Query) -> set[tuple[str, str]]:
+    """All (field, term) pairs whose stats the scorer will need."""
+    out: set[tuple[str, str]] = set()
+    if isinstance(q, TermQuery):
+        out.add((q.field, q.term))
+    elif isinstance(q, SynonymQuery):
+        out.update((q.field, t) for t in q.terms)
+    elif isinstance(q, PhraseQuery):
+        out.update((q.field, t) for t in q.terms)
+    elif isinstance(q, TermInSetQuery):
+        out.update((q.field, t) for t in q.terms)
+    elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
+        out |= collect_terms(q.query)
+    elif isinstance(q, BooleanQuery):
+        for c in q.clauses:
+            out |= collect_terms(c.query)
+    elif isinstance(q, DisjunctionMaxQuery):
+        for sub in q.queries:
+            out |= collect_terms(sub)
+    return out

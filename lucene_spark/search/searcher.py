@@ -1,0 +1,392 @@
+"""IndexSearcher: plans a Query tree into DataFrame operations.
+
+Spark-first re-expression of the reference's search path
+(``search/IndexSearcher.java:612-885``):
+
+* rewrite to fixpoint (IndexSearcher.java:866-875) in Python — the query tree
+  is tiny; Catalyst then optimizes the *generated* DataFrame plan,
+* term stats resolved once per query from the broadcast-small stats tables
+  (TermQuery.java:61-73, IndexSearcher.java:1140-1155) via a driver lookup —
+  the Lucene equivalent of TermStates/CollectionStatistics resolution,
+* leaf scoring is a vectorized Arrow UDF evaluating BM25 in strict float32
+  (BM25Similarity.java:221-233); every leaf emits float32 scores,
+* boolean combination follows BooleanScorerSupplier semantics: MUST = inner
+  join on docID with scores summed in double then cast to float
+  (ConjunctionScorer.java:57-63), SHOULD = union + groupBy-sum
+  (DisjunctionSumScorer), MUST_NOT = anti join (ReqExclScorer), FILTER =
+  semi join (BooleanClause.Occur.FILTER), minimumNumberShouldMatch = HAVING
+  count >= m (BooleanQuery.java:130-167),
+* top-k = ``ORDER BY score DESC, doc_id ASC LIMIT k`` — Spark's
+  TakeOrderedAndProject *is* the distributed per-partition-heap + merge of
+  TopScoreDocCollector/TopDocs.merge (tie-break parity:
+  TopScoreDocCollector.java:26-28).
+
+Multi-term queries (prefix/wildcard/regexp/fuzzy/range/set) rewrite against
+the terms dictionary (= termstats table) with CONSTANT_SCORE semantics
+(MultiTermQuery.java:80-128 CONSTANT_SCORE_REWRITE) — Spark LIKE/RLIKE/
+levenshtein do the automaton's job.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.index.builder import IndexTables
+from lucene_spark.search import bm25
+from lucene_spark.search.query import (
+    BooleanQuery,
+    BoostQuery,
+    ConstantScoreQuery,
+    DisjunctionMaxQuery,
+    FuzzyQuery,
+    MatchAllDocsQuery,
+    MatchNoDocsQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    Query,
+    RegexpQuery,
+    SynonymQuery,
+    TermInSetQuery,
+    TermQuery,
+    TermRangeQuery,
+    WildcardQuery,
+    collect_terms,
+    rewrite_to_fixpoint,
+)
+
+MAX_CLAUSE_COUNT = 1024  # IndexSearcher.java:876-885
+
+
+def _make_score_udf(weight: float, cache: np.ndarray):
+    """Vectorized BM25 leaf scorer; captures the tiny per-term cache."""
+    w = np.float32(weight)
+    cache = np.asarray(cache, dtype=np.float32)
+
+    @F.pandas_udf(T.FloatType())
+    def score(freq: pd.Series, norm_byte: pd.Series) -> pd.Series:
+        s = bm25.bm25_score(
+            freq.to_numpy(dtype=np.float32), norm_byte.to_numpy(dtype=np.int64), w, cache
+        )
+        return pd.Series(s, dtype="float32")
+
+    return score
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
+
+
+class IndexSearcher:
+    def __init__(self, index: IndexTables, k1: float = bm25.K1, b: float = bm25.B):
+        self.index = index
+        self.k1 = k1
+        self.b = b
+        self._spark = index.postings.sparkSession
+        self._fieldstats_cache: dict[str, tuple[int, int]] | None = None
+
+    # ------------------------------------------------------------------ stats
+
+    def _fieldstats(self) -> dict[str, tuple[int, int]]:
+        if self._fieldstats_cache is None:
+            rows = self.index.fieldstats.collect()
+            self._fieldstats_cache = {
+                r["field"]: (int(r["doc_count"]), int(r["sum_total_term_freq"]))
+                for r in rows
+            }
+        return self._fieldstats_cache
+
+    def _termstats(self, terms: set[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
+        """One driver lookup for all query terms (TermStates resolution)."""
+        if not terms:
+            return {}
+        by_field: dict[str, list[str]] = {}
+        for f_, t_ in terms:
+            by_field.setdefault(f_, []).append(t_)
+        conds = [
+            (F.col("field") == f_) & F.col("term").isin(ts) for f_, ts in by_field.items()
+        ]
+        rows = self.index.termstats.filter(reduce(lambda a, b: a | b, conds)).collect()
+        return {
+            (r["field"], r["term"]): (int(r["doc_freq"]), int(r["total_term_freq"]))
+            for r in rows
+        }
+
+    # ------------------------------------------------------------------ public
+
+    def search(self, query: Query | str, k: int = 10) -> DataFrame:
+        """Top-k hits: (doc_id, score float32, rank 0-based)."""
+        if isinstance(query, str):
+            from lucene_spark.search.parser import parse
+
+            query = parse(query)
+        query = rewrite_to_fixpoint(query)
+        query = rewrite_to_fixpoint(self._expand_multiterm(query))
+        stats = self._termstats(collect_terms(query))
+        scored = self._score(query, stats, boost=1.0)
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        # rank over the <=k collected hits (tiny single-partition window)
+        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+        return topk.withColumn("rank", w.cast("int"))
+
+    def count(self, query: Query | str) -> int:
+        """IndexSearcher.count analog (exact — counting is cheap in Spark)."""
+        if isinstance(query, str):
+            from lucene_spark.search.parser import parse
+
+            query = parse(query)
+        query = rewrite_to_fixpoint(self._expand_multiterm(rewrite_to_fixpoint(query)))
+        stats = self._termstats(collect_terms(query))
+        return self._score(query, stats, boost=1.0).count()
+
+    def score_all(self, query: Query | str, stats=None) -> DataFrame:
+        """All matching docs with scores (the brute-force/oracle path)."""
+        if isinstance(query, str):
+            from lucene_spark.search.parser import parse
+
+            query = parse(query)
+        query = rewrite_to_fixpoint(self._expand_multiterm(rewrite_to_fixpoint(query)))
+        stats = stats or self._termstats(collect_terms(query))
+        return self._score(query, stats, boost=1.0)
+
+    # ------------------------------------------------------ multi-term rewrite
+
+    def _expand_multiterm(self, q: Query) -> Query:
+        """Rewrite automaton-style queries against the terms dictionary."""
+        if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
+            terms_df = self.index.termstats.filter(F.col("field") == q.field).select("term")
+            if isinstance(q, PrefixQuery):
+                cond = F.col("term").startswith(q.prefix)
+            elif isinstance(q, WildcardQuery):
+                cond = F.col("term").rlike(wildcard_to_regex(q.pattern))
+            elif isinstance(q, RegexpQuery):
+                cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
+            elif isinstance(q, FuzzyQuery):
+                cond = (
+                    F.length("term").between(
+                        F.lit(len(q.term) - q.max_edits), F.lit(len(q.term) + q.max_edits)
+                    )
+                    & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+                )
+            else:  # TermRangeQuery
+                cond = F.lit(True)
+                if q.lower is not None:
+                    cond = cond & (
+                        F.col("term") >= q.lower if q.include_lower else F.col("term") > q.lower
+                    )
+                if q.upper is not None:
+                    cond = cond & (
+                        F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
+                    )
+            matched = [r["term"] for r in terms_df.filter(cond).limit(MAX_CLAUSE_COUNT + 1).collect()]
+            if len(matched) > MAX_CLAUSE_COUNT:
+                raise ValueError(f"multi-term query expands to > {MAX_CLAUSE_COUNT} terms")
+            if not matched:
+                return MatchNoDocsQuery()
+            return ConstantScoreQuery(TermInSetQuery(tuple(sorted(matched)), q.field), 1.0)
+        if isinstance(q, BoostQuery):
+            return BoostQuery(self._expand_multiterm(q.query), q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self._expand_multiterm(q.query), q.score)
+        if isinstance(q, BooleanQuery):
+            return BooleanQuery(
+                tuple(
+                    type(c)(c.occur, self._expand_multiterm(c.query)) for c in q.clauses
+                ),
+                q.minimum_should_match,
+            )
+        if isinstance(q, DisjunctionMaxQuery):
+            return DisjunctionMaxQuery(
+                tuple(self._expand_multiterm(s) for s in q.queries), q.tie_breaker
+            )
+        return q
+
+    # ------------------------------------------------------------------ planning
+
+    def _empty_scored(self) -> DataFrame:
+        return self._spark.createDataFrame(
+            [], "doc_id long, score float"
+        )
+
+    def _score(self, q: Query, stats, boost: float) -> DataFrame:
+        """Plan a scored (doc_id, score:float32) DataFrame for the subtree."""
+        if isinstance(q, MatchNoDocsQuery):
+            return self._empty_scored()
+        if isinstance(q, MatchAllDocsQuery):
+            return self.index.docmap.select(
+                "doc_id", F.lit(float(np.float32(boost))).cast("float").alias("score")
+            )
+        if isinstance(q, BoostQuery):
+            return self._score(q.query, stats, boost * q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            docs = self._score(q.query, stats, 1.0).select("doc_id")
+            const = float(np.float32(boost) * np.float32(q.score))
+            return docs.select("doc_id", F.lit(const).cast("float").alias("score"))
+        if isinstance(q, TermQuery):
+            return self._score_term(q.field, q.term, stats, boost)
+        if isinstance(q, SynonymQuery):
+            return self._score_synonym(q, stats, boost)
+        if isinstance(q, TermInSetQuery):
+            docs = (
+                self.index.postings.filter(
+                    (F.col("field") == q.field) & F.col("term").isin(list(q.terms))
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            return docs.select(
+                "doc_id", F.lit(float(np.float32(boost))).cast("float").alias("score")
+            )
+        if isinstance(q, BooleanQuery):
+            return self._score_boolean(q, stats, boost)
+        if isinstance(q, DisjunctionMaxQuery):
+            return self._score_dismax(q, stats, boost)
+        if isinstance(q, PhraseQuery):
+            raise NotImplementedError(
+                "PhraseQuery requires positional postings (planned; north rule "
+                "needs DOCS_AND_FREQS only — SURVEY.md §2.3)"
+            )
+        raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _score_term(self, field: str, term: str, stats, boost: float) -> DataFrame:
+        st = stats.get((field, term))
+        if st is None:
+            return self._empty_scored()
+        doc_freq, _ttf = st
+        doc_count, sttf = self._fieldstats()[field]
+        scorer = bm25.BM25Scorer(
+            doc_freq, doc_count, sttf, boost=boost, k1=self.k1, b=self.b
+        )
+        score_udf = _make_score_udf(scorer.weight, scorer.cache)
+        matched = self.index.postings.filter(
+            (F.col("field") == field) & (F.col("term") == term)
+        ).select("doc_id", "freq")
+        norms = self.index.doclens.filter(F.col("field") == field).select(
+            "doc_id", "norm_byte"
+        )
+        return matched.join(norms, "doc_id").select(
+            "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
+        )
+
+    def _score_synonym(self, q: SynonymQuery, stats, boost: float) -> DataFrame:
+        """SynonymQuery.java: per-doc freq = sum of member freqs, scored once
+        with docFreq = max over members, totalTermFreq = sum over members."""
+        present = [t for t in q.terms if (q.field, t) in stats]
+        if not present:
+            return self._empty_scored()
+        doc_freq = max(stats[(q.field, t)][0] for t in present)
+        doc_count, sttf = self._fieldstats()[q.field]
+        scorer = bm25.BM25Scorer(doc_freq, doc_count, sttf, boost=boost, k1=self.k1, b=self.b)
+        score_udf = _make_score_udf(scorer.weight, scorer.cache)
+        merged = (
+            self.index.postings.filter(
+                (F.col("field") == q.field) & F.col("term").isin(present)
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("freq").cast("int").alias("freq"))
+        )
+        norms = self.index.doclens.filter(F.col("field") == q.field).select(
+            "doc_id", "norm_byte"
+        )
+        return merged.join(norms, "doc_id").select(
+            "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
+        )
+
+    def _score_boolean(self, q: BooleanQuery, stats, boost: float) -> DataFrame:
+        # Lucene folds the boost into leaf weights (BoostQuery rewrite);
+        # we propagate it down the same way.
+        musts = [c.query for c in q.clauses if c.occur == Occur.MUST]
+        shoulds = [c.query for c in q.clauses if c.occur == Occur.SHOULD]
+        filters = [c.query for c in q.clauses if c.occur == Occur.FILTER]
+        nots = [c.query for c in q.clauses if c.occur == Occur.MUST_NOT]
+        msm = q.minimum_should_match
+
+        must_dfs = [
+            self._score(m, stats, boost).withColumnRenamed("score", f"_m{i}")
+            for i, m in enumerate(musts)
+        ]
+        base: DataFrame | None = None
+        if must_dfs:
+            base = reduce(lambda a, b: a.join(b, "doc_id"), must_dfs)
+            must_sum = reduce(
+                lambda a, b: a + b,
+                [F.col(f"_m{i}").cast("double") for i in range(len(musts))],
+            )
+            base = base.select("doc_id", must_sum.alias("_msum"))
+
+        should_agg: DataFrame | None = None
+        if shoulds:
+            union = reduce(
+                lambda a, b: a.unionByName(b),
+                [self._score(s, stats, boost) for s in shoulds],
+            )
+            should_agg = union.groupBy("doc_id").agg(
+                F.sum(F.col("score").cast("double")).alias("_ssum"),
+                F.count("*").alias("_scount"),
+            )
+
+        if base is not None:
+            if should_agg is not None:
+                base = base.join(should_agg, "doc_id", "left")
+                if msm > 0:
+                    base = base.filter(F.coalesce(F.col("_scount"), F.lit(0)) >= msm)
+                out = base.select(
+                    "doc_id",
+                    (F.col("_msum") + F.coalesce(F.col("_ssum"), F.lit(0.0)))
+                    .cast("float")
+                    .alias("score"),
+                )
+            else:
+                out = base.select("doc_id", F.col("_msum").cast("float").alias("score"))
+        elif should_agg is not None:
+            need = max(1, msm)
+            out = should_agg.filter(F.col("_scount") >= need).select(
+                "doc_id", F.col("_ssum").cast("float").alias("score")
+            )
+        elif filters:
+            # pure-filter query: constant score 0 over the filtered set
+            out = None
+        else:
+            return self._empty_scored()
+
+        if out is None:
+            first, *rest = [self._score(f_, stats, 1.0).select("doc_id") for f_ in filters]
+            docs = reduce(lambda a, b: a.join(b, "doc_id", "left_semi"), rest, first)
+            out = docs.select("doc_id", F.lit(0.0).cast("float").alias("score"))
+            filters = []
+
+        for f_ in filters:
+            out = out.join(self._score(f_, stats, 1.0).select("doc_id"), "doc_id", "left_semi")
+        for n in nots:
+            out = out.join(self._score(n, stats, 1.0).select("doc_id"), "doc_id", "left_anti")
+        return out
+
+    def _score_dismax(self, q: DisjunctionMaxQuery, stats, boost: float) -> DataFrame:
+        subs = [self._score(s, stats, boost) for s in q.queries]
+        union = reduce(lambda a, b: a.unionByName(b), subs)
+        tb = float(q.tie_breaker)
+        agg = union.groupBy("doc_id").agg(
+            F.max(F.col("score").cast("double")).alias("_max"),
+            F.sum(F.col("score").cast("double")).alias("_sum"),
+        )
+        return agg.select(
+            "doc_id",
+            (F.col("_max") + F.lit(tb) * (F.col("_sum") - F.col("_max")))
+            .cast("float")
+            .alias("score"),
+        )

@@ -1,0 +1,98 @@
+"""Analyzer golden token-stream tests.
+
+Mirrors the reference's ``TestStandardAnalyzer`` /
+``BaseTokenStreamTestCase.assertTokenStreamContents`` pattern
+(core/src/test/org/apache/lucene/analysis/standard/TestStandardAnalyzer.java)
+for the ALPHANUM/NUM conformance envelope documented in analyzer.py.
+"""
+
+import pandas as pd
+import pytest
+
+from lucene_spark.analysis import (
+    ENGLISH_STOP_WORDS,
+    StandardAnalyzer,
+    java_lower,
+    tokenize,
+)
+
+A = StandardAnalyzer()  # empty stop set, like the reference default
+AE = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+
+
+@pytest.mark.parametrize(
+    "text,expected",
+    [
+        ("", []),
+        ("   \t\n ", []),
+        ("B2B", ["b2b"]),
+        ("2B", ["2b"]),
+        ("some-dashed-phrase", ["some", "dashed", "phrase"]),
+        ("dogs,chase,cats", ["dogs", "chase", "cats"]),
+        ("ac/dc", ["ac", "dc"]),
+        # apostrophes: MidNumLet/MidLetter joins
+        ("O'Reilly", ["o'reilly"]),
+        ("you're", ["you're"]),
+        ("you’re", ["you’re"]),
+        # numerics: MidNum joins
+        ("3.5", ["3.5"]),
+        ("1,000", ["1,000"]),
+        ("21.35", ["21.35"]),
+        ("R2D2 C3PO", ["r2d2", "c3po"]),
+        ("216.239.63.104", ["216.239.63.104"]),
+        # mixed-type mids break
+        ("a,b", ["a", "b"]),
+        ("safari-1.2.1", ["safari", "1.2.1"]),
+        # ExtendNumLet underscore folds
+        ("foo_bar", ["foo_bar"]),
+        ("x_3", ["x_3"]),
+        # letters joined by dots (MidNumLet)
+        ("U.S.A.", ["u.s.a"]),
+        ("example.com", ["example.com"]),
+        # punctuation stripping
+        ("QUOTED word", ["quoted", "word"]),
+        ('"hello" (world)!', ["hello", "world"]),
+        # unicode
+        ("Besançon café", ["besançon", "café"]),
+        ("İstanbul", ["istanbul"]),  # Java 1:1 lowercase of U+0130
+        ("ΑΣ ΣΟΦΟΣ", ["ασ", "σοφοσ"]),  # no contextual final sigma
+    ],
+)
+def test_golden_tokens(text, expected):
+    assert A.analyze(text) == expected
+
+
+def test_stopwords_removed_post_lowercase():
+    assert AE.analyze("The quick AND the dead") == ["quick", "dead"]
+    assert AE.analyze("THE THE THE") == []
+    # default analyzer keeps them
+    assert A.analyze("The quick") == ["the", "quick"]
+
+
+def test_max_token_length_skips_not_truncates():
+    long_tok = "x" * 256
+    ok_tok = "y" * 255
+    assert A.analyze(f"start {long_tok} end") == ["start", "end"]
+    assert A.analyze(f"a {ok_tok} b") == ["a", ok_tok, "b"]
+
+
+def test_english_stop_set_is_the_canonical_33():
+    assert len(ENGLISH_STOP_WORDS) == 33
+    assert {"a", "the", "will", "with", "into"} <= ENGLISH_STOP_WORDS
+    assert "you" not in ENGLISH_STOP_WORDS
+
+
+def test_java_lower_divergent_codepoints():
+    assert java_lower("İ") == "i"
+    assert java_lower("ΣΑΣ") == "σασ"
+    assert java_lower("STRASSE") == "strasse"
+
+
+def test_series_vectorized_and_null_safe():
+    s = pd.Series(["Hello World", None, "", "3.5 tips"])
+    out = StandardAnalyzer().analyze_series(s)
+    assert list(out) == [["hello", "world"], [], [], ["3.5", "tips"]]
+
+
+def test_tokenize_no_case_fold():
+    assert tokenize("Hello") == ["Hello"]

@@ -1,0 +1,65 @@
+"""Driver-gate simulation: every queries() entry vs its DuckDB oracle at sf0.01.
+
+Mirrors what the driver does for CORRECTNESS_r{N}.json: run the Spark query
+and the oracle SQL on the same parquet tables, compare row count, column
+names, and order-insensitive values (here: exact equality after sorting).
+"""
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return math.inf if v != v else v  # NaN-stable
+    return v
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries().keys()))
+def test_query_matches_oracle(spark, ddb, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql().get(name)
+    assert sql is not None, f"{name} missing oracle"
+    sdf = q(spark, SF_DIR)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = sorted(
+        tuple(_norm(v) for v in (row[c] for c in spark_cols))
+        for row in sdf.collect()
+    )
+    res = ddb.execute(sql)
+    duck_cols = sorted(d[0] for d in res.description)
+    duck_raw = res.fetchall()
+    colidx = {d[0]: i for i, d in enumerate(res.description)}
+    duck_rows = sorted(
+        tuple(_norm(r[colidx[c]]) for c in duck_cols) for r in duck_raw
+    )
+    assert spark_cols == duck_cols, f"{name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{name}: row count mismatch"
+    assert spark_rows == duck_rows, f"{name}: value mismatch\nspark={spark_rows[:5]}\nduck={duck_rows[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["doc_id", "score", "rank"]
+    assert len(rows) >= 0
