@@ -1,0 +1,143 @@
+"""Benchmark driver: index-build turns/sec + query latency (one JSON line).
+
+Protocol (BASELINE.md "Ours" rows):
+
+* corpus: deterministic synthetic multi-turn transcripts (BASELINE.json
+  input_hint shape) sized by the sf directory — sf0.1 ≈ 90k turns — built via
+  :func:`lucene_spark.sources.transcripts.synth_transcripts` (seed 42),
+* index build: full five-table build (docmap/doclens/postings/termstats/
+  fieldstats) materialized end-to-end → ``turns_per_sec``,
+* queries: the reference-style query mix (term common/rare, AND, OR, AND NOT,
+  prefix — the shape of ``benchmark/conf/query-terms.txt``) each timed to
+  ``.collect()`` of the top-10; p50/p99 across the set,
+* output: ONE JSON line
+  ``{"metric", "value", "unit", "queries", "sf", ...}``.
+
+Scaling evidence (north rule "N → 4N executors, efficiency ≥ 0.8"):
+``python bench.py --scaling`` re-invokes this script at ``local[8]`` and
+``local[32]`` on the SAME input and reports throughput at both plus
+``scaling_efficiency`` (ratio of turns/sec, divided by the core ratio).
+
+Env: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import subprocess
+import sys
+import time
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Query mix over the synthetic transcript vocabulary (sources/transcripts.py):
+# hot term, mid term, rare term, conjunction, disjunction, negation, prefix.
+QUERIES = {
+    "q_term_hot": ("time", 10),
+    "q_term_mid": ("query", 10),
+    "q_term_rare": ("partition", 10),
+    "q_and": ("index AND query", 10),
+    "q_or": ("spark OR vector", 10),
+    "q_and_not": ("search AND NOT water", 10),
+    "q_prefix": ("par*", 10),
+    "q_bool_nested": ("(merge OR segment) AND posting", 10),
+}
+
+
+def _sf_from_dir(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench() -> dict:
+    from lucene_spark.index.builder import build_index
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.session import get_spark
+    from lucene_spark.sources.transcripts import synth_transcripts
+
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = max(1_000, int(sf * 100_000))
+
+    spark = get_spark("lucene_spark_bench", cores=CPUS, shuffle_partitions=CPUS)
+
+    t0 = time.perf_counter()
+    turns = synth_transcripts(spark, n_convs=n_convs, seed=42)
+    idx = build_index(turns).persist()
+    # materialize every index table (the build is lazy until an action)
+    n_turns = idx.docmap.count()
+    idx.doclens.count()
+    n_postings = idx.postings.count()
+    idx.termstats.count()
+    idx.fieldstats.count()
+    build_sec = time.perf_counter() - t0
+
+    searcher = IndexSearcher(idx)
+    searcher.search("warm", k=10).collect()  # JVM/Arrow warmup
+
+    q_times: dict[str, float] = {}
+    for name, (qtext, k) in QUERIES.items():
+        t1 = time.perf_counter()
+        searcher.search(qtext, k=k).collect()
+        q_times[name] = round(time.perf_counter() - t1, 4)
+
+    lat = sorted(q_times.values())
+    p50 = statistics.median(lat)
+    p99 = lat[min(len(lat) - 1, int(0.99 * len(lat)))]
+    total = build_sec + sum(lat)
+
+    result = {
+        "metric": "index-build turns/sec + BM25 query latency",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "cpus": CPUS,
+        "turns": n_turns,
+        "postings_rows": n_postings,
+        "index_build_sec": round(build_sec, 3),
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "query_p50_sec": round(p50, 4),
+        "query_p99_sec": round(p99, 4),
+    }
+    spark.stop()
+    return result
+
+
+def run_scaling(levels=(8, 32)) -> dict:
+    """Same job at two parallelism levels (north-rule N vs 4N evidence)."""
+    runs = {}
+    for cpus in levels:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        runs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = levels
+    eff = (runs[hi]["turns_per_sec"] / runs[lo]["turns_per_sec"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (turns/sec ratio / core ratio)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "levels": {str(c): runs[c] for c in levels},
+        "sf": _sf_from_dir(SF_DIR),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
