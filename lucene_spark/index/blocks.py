@@ -1,0 +1,130 @@
+"""Block-postings table: compressed 128-doc FOR/VByte blocks + impacts.
+
+Builds the FIXTURES.md §5 ``postings`` block schema from the flat postings:
+
+    (field, term, segment, block_id, first_doc, last_doc, num_docs,
+     doc_blob binary, freq_blob binary, impacts array<struct<freq,norm>>)
+
+Scale shape (the reference's flush path, ``FreqProxTermsWriter.java:83-135``,
+re-expressed):
+
+* posting lists are **per segment** — a segment is a contiguous docID range
+  (one DWPT flush in Lucene; one range partition of the sorted source here),
+  so a hot term's in-memory list is bounded by segment size, never corpus
+  size.  This *is* the two-stage salted aggregation of the north rule: stage
+  1 groups (term, doc) within segments (map-side combine), stage 2
+  concatenates per-segment lists at query/merge time — the salt is the
+  segment id, which also preserves global docID order (segment ranges are
+  disjoint and ordered), so merging is concatenation, not re-sorting
+  (``index/DocIDMerger.java:32``).
+* the build streams: hash-repartition on the group key, sort within
+  partitions by (key, doc_id), then one pass of ``mapInPandas`` with a
+  carry buffer across Arrow batches — no per-group Python overhead, no
+  driver collect, no full-list shuffle skew.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.index.codec import encode_posting_list
+
+BLOCKS_SCHEMA = T.StructType(
+    [
+        T.StructField("field", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("segment", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("num_docs", T.IntegerType(), False),
+        T.StructField("doc_blob", T.BinaryType(), False),
+        T.StructField("freq_blob", T.BinaryType(), False),
+        T.StructField("norm_blob", T.BinaryType(), False),
+        T.StructField(
+            "impacts",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("freq", T.IntegerType(), False),
+                        T.StructField("norm", T.ShortType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def _encode_group(field: str, term: str, segment: int, rows: list[pd.DataFrame]) -> pd.DataFrame:
+    g = pd.concat(rows) if len(rows) > 1 else rows[0]
+    docs = g["doc_id"].to_numpy(dtype=np.int64)
+    freqs = g["freq"].to_numpy(dtype=np.int64)
+    norms = g["norm_byte"].to_numpy(dtype=np.int64)
+    blocks = encode_posting_list(docs, freqs, norms)
+    return pd.DataFrame(
+        {
+            "field": field,
+            "term": term,
+            "segment": np.int32(segment),
+            "block_id": np.array([b.block_id for b in blocks], dtype=np.int32),
+            "first_doc": np.array([b.first_doc for b in blocks], dtype=np.int64),
+            "last_doc": np.array([b.last_doc for b in blocks], dtype=np.int64),
+            "num_docs": np.array([b.num_docs for b in blocks], dtype=np.int32),
+            "doc_blob": [b.doc_blob for b in blocks],
+            "freq_blob": [b.freq_blob for b in blocks],
+            "norm_blob": [b.norm_blob for b in blocks],
+            "impacts": [
+                [{"freq": f_, "norm": n_} for f_, n_ in b.impacts] for b in blocks
+            ],
+        }
+    )
+
+
+def build_block_postings(
+    postings: DataFrame, doclens: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Flat postings (field, term, doc_id, segment, freq) → encoded blocks.
+
+    ``doclens`` supplies per-doc norm bytes for the impact frontiers.
+    """
+    parts = num_partitions or postings.sparkSession.sparkContext.defaultParallelism
+    joined = postings.join(
+        doclens.select("doc_id", "field", "norm_byte"), ["doc_id", "field"]
+    ).select("field", "term", "segment", "doc_id", "freq", "norm_byte")
+
+    arranged = joined.repartition(parts, "field", "term", "segment").sortWithinPartitions(
+        "field", "term", "segment", "doc_id"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry_key: tuple | None = None
+        carry: list[pd.DataFrame] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fa = pdf["field"].to_numpy()
+            ta = pdf["term"].to_numpy()
+            sa = pdf["segment"].to_numpy()
+            change = (fa[1:] != fa[:-1]) | (ta[1:] != ta[:-1]) | (sa[1:] != sa[:-1])
+            starts = np.flatnonzero(np.concatenate(([True], change)))
+            for i, s in enumerate(starts):
+                e = starts[i + 1] if i + 1 < len(starts) else len(pdf)
+                chunk = pdf.iloc[s:e]
+                key = tuple(chunk.iloc[0][["field", "term", "segment"]])
+                if carry_key is not None and key != carry_key:
+                    yield _encode_group(*carry_key, carry)
+                    carry = []
+                carry_key = key
+                carry.append(chunk)
+        if carry_key is not None and carry:
+            yield _encode_group(*carry_key, carry)
+
+    return arranged.mapInPandas(encode, schema=BLOCKS_SCHEMA)

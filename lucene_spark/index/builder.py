@@ -36,21 +36,29 @@ DEFAULT_FIELD = "text"
 
 @dataclass
 class IndexTables:
-    """The queryable index: five DataFrames (FIXTURES.md §5 schemas)."""
+    """The queryable index: five DataFrames (FIXTURES.md §5 schemas) plus the
+    optional compressed block-postings table (``index/blocks.py``)."""
 
     docmap: DataFrame  # doc_id, segment, conv_id, turn_idx (+ passthrough cols)
     doclens: DataFrame  # doc_id, field, len, norm_byte
     postings: DataFrame  # field, term, doc_id, freq   (flat postings)
     termstats: DataFrame  # field, term, doc_freq, total_term_freq
     fieldstats: DataFrame  # field, doc_count, sum_total_term_freq, sum_doc_freq
+    blocks: DataFrame | None = None  # FOR/VByte 128-doc blocks + impacts
+
+    def _tables(self):
+        out = [self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats]
+        if self.blocks is not None:
+            out.append(self.blocks)
+        return out
 
     def persist(self) -> "IndexTables":
-        for df in (self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats):
+        for df in self._tables():
             df.persist()
         return self
 
     def unpersist(self) -> None:
-        for df in (self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats):
+        for df in self._tables():
             df.unpersist()
 
 
@@ -134,6 +142,7 @@ def build_index(
     analyzer: StandardAnalyzer | None = None,
     num_segments: int | None = None,
     doc_id_col: str | None = None,
+    build_blocks: bool = False,
 ) -> IndexTables:
     """Build the five index tables from a document DataFrame.
 
@@ -188,10 +197,17 @@ def build_index(
         )
     )
 
+    blocks = None
+    if build_blocks:
+        from lucene_spark.index.blocks import build_block_postings
+
+        blocks = build_block_postings(postings, doclens)
+
     return IndexTables(
         docmap=docmap,
         doclens=doclens,
         postings=postings,
         termstats=termstats,
         fieldstats=fieldstats,
+        blocks=blocks,
     )

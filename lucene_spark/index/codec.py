@@ -1,0 +1,236 @@
+"""Posting-block codec: delta + FOR bit-packing, VByte tail, impact frontiers.
+
+A from-scratch, numpy-vectorized re-expression of the reference's block
+postings layout (``codecs/lucene103/Lucene103PostingsFormat.java:43-141``):
+
+* docIDs are split into blocks of ``BLOCK_SIZE`` = 128
+  (``ForUtil.java:32``); within a block docIDs are delta-coded (strictly
+  increasing ⇒ store ``delta - 1``) and bit-packed at the block's max bit
+  width — Frame-Of-Reference (``ForDeltaUtil.java:139-160``),
+* term frequencies are stored as ``freq - 1`` and FOR-packed the same way,
+* the tail block (< 128 entries) uses VByte (``DataOutput.writeVInt``
+  semantics, ``store/DataOutput.java:198``),
+* an all-equal block collapses to a single VByte value
+  (``ForDeltaUtil`` all-equal optimization),
+* per block we keep the *competitive impact frontier* — the pareto set of
+  ``(freq, norm_byte)`` pairs (max freq per quantized length, dominated pairs
+  dropped) — exactly the accumulator semantics of
+  ``codecs/CompetitiveImpactAccumulator.java:27-80``; block-max WAND derives
+  its score upper bounds from these pairs (``search/MaxScoreCache.java:72-93``).
+
+Blob layout (ours — documented, not Lucene's bytes):
+``tag:uint8`` then
+  * tag 0 (FOR):  ``bpv:uint8`` + little-endian bit-packed values,
+  * tag 1 (all-equal): one VByte value (implied count = n),
+  * tag 2 (VByte): n VByte values.
+
+Everything is batch numpy (``np.bitwise_or.at`` for the pack scatter); the
+only Python loops are over *bits* (≤ 64) and over VByte bytes (≤ 9), never
+over documents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+TAG_FOR = 0
+TAG_ALL_EQUAL = 1
+TAG_VBYTE = 2
+
+
+# --------------------------------------------------------------------- bitpack
+
+
+def pack_bits(vals: np.ndarray, bpv: int) -> bytes:
+    """Little-endian bit-pack ``vals`` (uint64, each < 2**bpv) at bpv bits."""
+    n = len(vals)
+    if bpv == 0 or n == 0:
+        return b""
+    vals = vals.astype(np.uint64, copy=False)
+    out = np.zeros((n * bpv + 7) // 8, dtype=np.uint8)
+    base = np.arange(n, dtype=np.int64) * bpv
+    for b in range(bpv):  # loop over bits, vectorized over values
+        pos = base + b
+        bits = ((vals >> np.uint64(b)) & np.uint64(1)).astype(np.uint8)
+        np.bitwise_or.at(out, pos >> 3, bits << (pos & 7).astype(np.uint8))
+    return out.tobytes()
+
+
+def unpack_bits(blob: bytes, n: int, bpv: int) -> np.ndarray:
+    """Inverse of :func:`pack_bits`; returns uint64[n]."""
+    if bpv == 0 or n == 0:
+        return np.zeros(n, dtype=np.uint64)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    base = np.arange(n, dtype=np.int64) * bpv
+    vals = np.zeros(n, dtype=np.uint64)
+    for b in range(bpv):
+        pos = base + b
+        bits = (data[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        vals |= bits.astype(np.uint64) << np.uint64(b)
+    return vals
+
+
+# ----------------------------------------------------------------------- vbyte
+
+
+def vbyte_encode(vals: np.ndarray) -> bytes:
+    """VByte (7-bit groups, high bit = continuation) for uint64 values."""
+    vals = vals.astype(np.uint64, copy=False)
+    n = len(vals)
+    if n == 0:
+        return b""
+    # number of 7-bit groups per value (≥1)
+    nbits = np.maximum(1, 64 - _clz64(vals))
+    ngroups = (nbits + 6) // 7
+    total = int(ngroups.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(ngroups)[:-1]))
+    max_g = int(ngroups.max())
+    for g in range(max_g):  # loop over byte positions, vectorized over values
+        mask = ngroups > g
+        v = (vals[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (ngroups[mask] - 1 > g).astype(np.uint8) << 7
+        out[offs[mask] + g] = v.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def vbyte_decode(blob: bytes, n: int) -> np.ndarray:
+    """Decode n VByte values; returns uint64[n]."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    is_last = (data & 0x80) == 0
+    ends = np.flatnonzero(is_last)[:n]
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    vals = np.zeros(n, dtype=np.uint64)
+    lengths = ends - starts + 1
+    for g in range(int(lengths.max())):
+        mask = lengths > g
+        vals[mask] |= (data[starts[mask] + g].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * g)
+    return vals
+
+
+def _clz64(vals: np.ndarray) -> np.ndarray:
+    """Count leading zeros of uint64 values (vectorized via float64 exponent
+    for < 2**53, with a correction loop for the huge tail)."""
+    nb = np.zeros(len(vals), dtype=np.int64)
+    v = vals.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.uint64(1) << np.uint64(shift))
+        nb[big] += shift
+        v[big] >>= np.uint64(shift)
+    return 63 - nb  # for v==0 returns 63 ⇒ nbits=1 via maximum() above
+
+
+# ---------------------------------------------------------------- block encode
+
+
+def _encode_values(vals: np.ndarray, full_block: bool) -> bytes:
+    """Encode one block's worth of non-negative ints per the blob layout."""
+    if len(vals) == 0:
+        return bytes([TAG_ALL_EQUAL]) + vbyte_encode(np.array([0], dtype=np.uint64))
+    if np.all(vals == vals[0]):
+        return bytes([TAG_ALL_EQUAL]) + vbyte_encode(vals[:1])
+    if full_block:
+        bpv = int(np.maximum(1, 64 - _clz64(np.array([int(vals.max())], dtype=np.uint64)))[0])
+        return bytes([TAG_FOR, bpv]) + pack_bits(vals, bpv)
+    return bytes([TAG_VBYTE]) + vbyte_encode(vals)
+
+
+def _decode_values(blob: bytes, n: int) -> np.ndarray:
+    tag = blob[0]
+    if tag == TAG_ALL_EQUAL:
+        v = vbyte_decode(blob[1:], 1)[0]
+        return np.full(n, v, dtype=np.uint64)
+    if tag == TAG_FOR:
+        return unpack_bits(blob[2:], n, blob[1])
+    if tag == TAG_VBYTE:
+        return vbyte_decode(blob[1:], n)
+    raise ValueError(f"bad posting blob tag {tag}")
+
+
+def impact_frontier(freqs: np.ndarray, norms: np.ndarray) -> list[tuple[int, int]]:
+    """Pareto frontier of (freq, norm_byte): for each distinct norm keep max
+    freq, then drop pairs dominated by a (≥freq, ≤unsigned-norm) pair —
+    the ``CompetitiveImpactAccumulator.java:27-80`` invariant.  Sorted by
+    unsigned norm ascending; freq strictly increasing along the frontier."""
+    un = norms.astype(np.int64) & 0xFF
+    order = np.lexsort((-freqs.astype(np.int64), un))
+    un_s, fr_s = un[order], freqs.astype(np.int64)[order]
+    first = np.concatenate(([True], un_s[1:] != un_s[:-1]))
+    un_u, fr_u = un_s[first], fr_s[first]  # max freq per norm, norm ascending
+    keep_f: list[tuple[int, int]] = []
+    best = 0
+    for f_, n_ in zip(fr_u, un_u):  # norm ascending: keep iff freq strictly grows
+        if f_ > best:
+            keep_f.append((int(f_), int(n_)))
+            best = int(f_)
+    return keep_f
+
+
+@dataclass
+class PostingBlock:
+    block_id: int
+    first_doc: int
+    last_doc: int
+    num_docs: int
+    doc_blob: bytes
+    freq_blob: bytes
+    norm_blob: bytes  # raw uint8 norm byte per doc (scoring needs no norms join)
+    impacts: list[tuple[int, int]]  # (freq, norm_byte) frontier
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+) -> list[PostingBlock]:
+    """Split one (sorted, unique-doc) posting list into encoded 128-doc blocks.
+
+    ``norms`` are the per-doc norm bytes, used only for the impact frontier.
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    freqs = np.asarray(freqs, dtype=np.int64)
+    n = len(doc_ids)
+    blocks: list[PostingBlock] = []
+    for bid, start in enumerate(range(0, n, BLOCK_SIZE)):
+        end = min(start + BLOCK_SIZE, n)
+        d = doc_ids[start:end]
+        f = freqs[start:end]
+        nm = np.asarray(norms)[start:end]
+        full = (end - start) == BLOCK_SIZE
+        deltas = np.empty(len(d) - 1, dtype=np.uint64)
+        np.subtract(d[1:], d[:-1] + 1, out=deltas, casting="unsafe")
+        blocks.append(
+            PostingBlock(
+                block_id=bid,
+                first_doc=int(d[0]),
+                last_doc=int(d[-1]),
+                num_docs=end - start,
+                doc_blob=_encode_values(deltas, full),
+                freq_blob=_encode_values((f - 1).astype(np.uint64), full),
+                norm_blob=(nm.astype(np.int64) & 0xFF).astype(np.uint8).tobytes(),
+                impacts=impact_frontier(f, nm),
+            )
+        )
+    return blocks
+
+
+def decode_block(
+    first_doc: int, num_docs: int, doc_blob: bytes, freq_blob: bytes
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (doc_ids int64[num_docs], freqs int64[num_docs])."""
+    deltas = _decode_values(doc_blob, num_docs - 1).astype(np.int64)
+    docs = np.empty(num_docs, dtype=np.int64)
+    docs[0] = first_doc
+    if num_docs > 1:
+        docs[1:] = first_doc + np.cumsum(deltas + 1)
+    freqs = _decode_values(freq_blob, num_docs).astype(np.int64) + 1
+    return docs, freqs
+
+
+def decode_norms(norm_blob: bytes) -> np.ndarray:
+    """→ norm bytes int64[num_docs] (unsigned view of the stored uint8s)."""
+    return np.frombuffer(norm_blob, dtype=np.uint8).astype(np.int64)

@@ -129,8 +129,14 @@ class IndexSearcher:
 
     # ------------------------------------------------------------------ public
 
-    def search(self, query: Query | str, k: int = 10) -> DataFrame:
-        """Top-k hits: (doc_id, score float32, rank 0-based)."""
+    def search(self, query: Query | str, k: int = 10, strategy: str = "auto") -> DataFrame:
+        """Top-k hits: (doc_id, score float32, rank 0-based).
+
+        ``strategy``: ``"auto"`` uses the block-max WAND kernel when the index
+        has a blocks table and the query is a pure term / AND-of-terms /
+        OR-of-terms shape (the classic WAND cases); ``"flat"`` forces the
+        flat-postings DataFrame plan; ``"wand"`` requires the WAND path.
+        """
         if isinstance(query, str):
             from lucene_spark.search.parser import parse
 
@@ -138,6 +144,16 @@ class IndexSearcher:
         query = rewrite_to_fixpoint(query)
         query = rewrite_to_fixpoint(self._expand_multiterm(query))
         stats = self._termstats(collect_terms(query))
+
+        if strategy != "flat" and self.index.blocks is not None:
+            shape = self._wand_shape(query)
+            if shape is not None:
+                return self._search_wand(shape[0], shape[1], stats, k)
+            if strategy == "wand":
+                raise ValueError("query shape not supported by the WAND path")
+        elif strategy == "wand":
+            raise ValueError("index has no blocks table (build_blocks=True)")
+
         scored = self._score(query, stats, boost=1.0)
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         # rank over the <=k collected hits (tiny single-partition window)
@@ -163,6 +179,46 @@ class IndexSearcher:
         query = rewrite_to_fixpoint(self._expand_multiterm(rewrite_to_fixpoint(query)))
         stats = stats or self._termstats(collect_terms(query))
         return self._score(query, stats, boost=1.0)
+
+    # ------------------------------------------------------------- WAND path
+
+    def _wand_shape(self, q: Query):
+        """(term queries, mode) if the query is a classic WAND shape, else None."""
+        if isinstance(q, TermQuery):
+            return [q], "or"
+        if isinstance(q, BooleanQuery):
+            tqs = [c.query for c in q.clauses]
+            if not tqs or not all(isinstance(t, TermQuery) for t in tqs):
+                return None
+            if len({t.field for t in tqs}) != 1:
+                return None
+            occurs = {c.occur for c in q.clauses}
+            if occurs == {Occur.MUST} and q.minimum_should_match == 0:
+                return tqs, "and"
+            if occurs == {Occur.SHOULD} and q.minimum_should_match <= 1:
+                return tqs, "or"
+        return None
+
+    def _search_wand(self, tqs, mode: str, stats, k: int) -> DataFrame:
+        from lucene_spark.search.wand import TermScorer, wand_topk
+
+        field = tqs[0].field
+        doc_count, sttf = self._fieldstats()[field]
+        scorers = []
+        for tq in tqs:
+            st = stats.get((tq.field, tq.term))
+            if st is None:
+                if mode == "and":  # conjunction with an absent term: no hits
+                    empty = self._empty_scored()
+                    return empty.withColumn("rank", F.lit(0).cast("int")).limit(0)
+                continue
+            sc = bm25.BM25Scorer(st[0], doc_count, sttf, k1=self.k1, b=self.b)
+            scorers.append(TermScorer(tq.term, sc.weight, sc.cache))
+        if not scorers:
+            return self._empty_scored().withColumn("rank", F.lit(0).cast("int")).limit(0)
+        topk = wand_topk(self.index.blocks, scorers, k, mode=mode, field=field)
+        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+        return topk.withColumn("rank", w.cast("int"))
 
     # ------------------------------------------------------ multi-term rewrite
 

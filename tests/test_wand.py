@@ -1,0 +1,155 @@
+"""WAND ≡ brute-force rank identity (the CheckHits pattern, SURVEY.md §5).
+
+The block-max WAND path must return *bit-identical* (doc_id, score float32,
+rank) to the flat-postings plan for every query shape it accepts, at every k
+— pruning may never change results, only skip work.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_spark.index.builder import build_index
+from lucene_spark.index.codec import decode_block, decode_norms
+from lucene_spark.search import bm25
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.search.wand import TermScorer, segment_wand_topk
+from lucene_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def searcher(spark):
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
+    turns = synth_transcripts(spark, n_convs=250, seed=11, num_partitions=4)
+    idx = build_index(turns, num_segments=4, build_blocks=True).persist()
+    yield IndexSearcher(idx)
+    idx.unpersist()
+
+
+QUERIES = [
+    "the",          # hottest term
+    "index",
+    "partition",    # rare
+    "nosuchterm",
+    "index AND query",
+    "the AND of AND to",
+    "spark OR vector OR posting",
+    "the OR missingterm",
+    "missingterm AND index",
+]
+
+
+@pytest.mark.parametrize("qtext", QUERIES)
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_equals_flat(searcher, qtext, k):
+    wand = searcher.search(qtext, k=k, strategy="auto").collect()
+    flat = searcher.search(qtext, k=k, strategy="flat").collect()
+    assert [(r.doc_id, r.score, r.rank) for r in wand] == [
+        (r.doc_id, r.score, r.rank) for r in flat
+    ]
+
+
+def test_wand_path_is_actually_used(searcher):
+    # shape accepted → strategy="wand" must not raise
+    searcher.search("index", k=5, strategy="wand").collect()
+    searcher.search("index AND query", k=5, strategy="wand").collect()
+    with pytest.raises(ValueError):
+        searcher.search("merge AND NOT window", k=5, strategy="wand")
+
+
+def test_blocks_roundtrip_to_flat_postings(searcher):
+    """Decoding every block reproduces the flat postings exactly."""
+    idx = searcher.index
+    flat = (
+        idx.postings.join(idx.doclens.select("doc_id", "field", "norm_byte"), ["doc_id", "field"])
+        .orderBy("term", "doc_id")
+        .collect()
+    )
+    want = {}
+    for r in flat:
+        want.setdefault(r.term, []).append((r.doc_id, r.freq, r.norm_byte & 0xFF))
+    got = {}
+    for r in idx.blocks.orderBy("term", "segment", "block_id").collect():
+        d, f = decode_block(r.first_doc, r.num_docs, bytes(r.doc_blob), bytes(r.freq_blob))
+        n = decode_norms(bytes(r.norm_blob))
+        got.setdefault(r.term, []).extend(zip(d.tolist(), f.tolist(), n.tolist()))
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t] == want[t], f"term {t!r} mismatch"
+
+
+# ---------------------------------------------------------- kernel-level fuzz
+
+
+def _random_segment(rng, n_docs, n_terms):
+    """Random per-term postings over a doc space + the block table pdf."""
+    from lucene_spark.index.codec import encode_posting_list
+
+    rows = []
+    truth = {}
+    for ti in range(n_terms):
+        term = f"t{ti}"
+        n = int(rng.integers(1, n_docs))
+        docs = np.sort(rng.choice(n_docs, size=n, replace=False)).astype(np.int64)
+        freqs = rng.integers(1, 20, size=n).astype(np.int64)
+        norms = rng.integers(1, 60, size=n).astype(np.int64)
+        truth[term] = (docs, freqs, norms)
+        for b in encode_posting_list(docs, freqs, norms):
+            rows.append(
+                {
+                    "term": term,
+                    "block_id": b.block_id,
+                    "first_doc": b.first_doc,
+                    "last_doc": b.last_doc,
+                    "num_docs": b.num_docs,
+                    "doc_blob": b.doc_blob,
+                    "freq_blob": b.freq_blob,
+                    "norm_blob": b.norm_blob,
+                    "impacts": [{"freq": f, "norm": n_} for f, n_ in b.impacts],
+                }
+            )
+    return pd.DataFrame(rows), truth
+
+
+def _brute(truth, scorers, k, mode):
+    per_doc = {}
+    counts = {}
+    for s in scorers:
+        if s.term not in truth:
+            if mode == "and":
+                return [], []
+            continue
+        docs, freqs, norms = truth[s.term]
+        sc = s.score(freqs.astype(np.float32), norms)
+        for d, v in zip(docs.tolist(), sc.astype(np.float64).tolist()):
+            per_doc[d] = per_doc.get(d, 0.0) + v
+            counts[d] = counts.get(d, 0) + 1
+    items = [
+        (np.float32(v), d)
+        for d, v in per_doc.items()
+        if mode == "or" or counts[d] == len(scorers)
+    ]
+    items.sort(key=lambda x: (-x[0], x[1]))
+    items = items[:k]
+    return [d for _, d in items], [s for s, _ in items]
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("mode", ["or", "and"])
+def test_kernel_fuzz_vs_brute(seed, mode):
+    rng = np.random.default_rng(seed)
+    n_docs, n_terms = 2000, 3
+    pdf, truth = _random_segment(rng, n_docs, n_terms)
+    doc_count, sttf = n_docs, n_docs * 30
+    scorers = []
+    for ti in range(n_terms):
+        df = len(truth[f"t{ti}"][0])
+        sc = bm25.BM25Scorer(df, doc_count, sttf)
+        scorers.append(TermScorer(f"t{ti}", sc.weight, sc.cache))
+    for k in (1, 7, 50):
+        got_d, got_s = segment_wand_topk(pdf, scorers, k, mode)
+        want_d, want_s = _brute(truth, scorers, k, mode)
+        assert got_d.tolist() == want_d, f"k={k}"
+        assert [np.float32(x) for x in got_s] == want_s, f"k={k}"
