@@ -41,7 +41,11 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         ship_package(spark)  # executors import lucene_spark from a shipped zip
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         idx = build_index(
-            docs, text_col="text", doc_id_col="doc_id", analyzer=GATE_ANALYZER
+            docs,
+            text_col="text",
+            doc_id_col="doc_id",
+            analyzer=GATE_ANALYZER,
+            build_blocks=True,  # term/AND/OR gate queries run block-max WAND
         ).persist()
         _CACHE[sf_dir] = IndexSearcher(idx)
     return _CACHE[sf_dir]
@@ -82,6 +86,20 @@ def _q_and_not_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wand_or3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-term disjunction forced through the block-max WAND kernel."""
+    return _as_gate_schema(
+        _searcher(spark, sf_dir).search("data OR row OR scan", k=12, strategy="wand")
+    )
+
+
+def _q_flat_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as the WAND term query, forced through the flat plan."""
+    return _as_gate_schema(
+        _searcher(spark, sf_dir).search("batch", k=10, strategy="flat")
+    )
+
+
 def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _searcher(spark, sf_dir).count("merge")
     return spark.createDataFrame([(n,)], "n_hits long")
@@ -117,6 +135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_topk": _q_and_topk,
         "bm25_or_topk": _q_or_topk,
         "bm25_and_not_topk": _q_and_not_topk,
+        "bm25_wand_or3_topk": _q_wand_or3_topk,
+        "bm25_flat_term_topk": _q_flat_term_topk,
         "term_count": _q_term_count,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
@@ -129,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_topk": osql.and_topk_sql("merge", "join", 10),
         "bm25_or_topk": osql.or_topk_sql("spark", "vector", 15),
         "bm25_and_not_topk": osql.and_not_topk_sql("merge", "window", 10),
+        "bm25_wand_or3_topk": osql.multi_or_topk_sql(["data", "row", "scan"], 12),
+        "bm25_flat_term_topk": osql.term_topk_sql("batch", 10),
         "term_count": osql.term_count_sql("merge"),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from lucene_spark.index.codec import encode_posting_list
+from lucene_spark.index.codec import BLOCK_SIZE, encode_posting_list
 
 BLOCKS_SCHEMA = T.StructType(
     [
@@ -44,6 +44,7 @@ BLOCKS_SCHEMA = T.StructType(
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("num_docs", T.IntegerType(), False),
+        T.StructField("sum_freq", T.LongType(), False),
         T.StructField("doc_blob", T.BinaryType(), False),
         T.StructField("freq_blob", T.BinaryType(), False),
         T.StructField("norm_blob", T.BinaryType(), False),
@@ -78,6 +79,13 @@ def _encode_group(field: str, term: str, segment: int, rows: list[pd.DataFrame])
             "first_doc": np.array([b.first_doc for b in blocks], dtype=np.int64),
             "last_doc": np.array([b.last_doc for b in blocks], dtype=np.int64),
             "num_docs": np.array([b.num_docs for b in blocks], dtype=np.int32),
+            "sum_freq": np.array(
+                [
+                    int(freqs[i * BLOCK_SIZE : i * BLOCK_SIZE + b.num_docs].sum())
+                    for i, b in enumerate(blocks)
+                ],
+                dtype=np.int64,
+            ),
             "doc_blob": [b.doc_blob for b in blocks],
             "freq_blob": [b.freq_blob for b in blocks],
             "norm_blob": [b.norm_blob for b in blocks],

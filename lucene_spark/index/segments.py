@@ -1,0 +1,553 @@
+"""Segmented on-disk index: checkpointed build, lineage + metrics, merges.
+
+The persistent form of the engine — the re-expression of Lucene's segment
+lifecycle (``index/SegmentInfos.java`` manifest, ``index/IndexWriter.java:
+1312-1346`` two-phase commit, ``index/SegmentMerger.java:113`` compaction,
+``index/CheckIndex.java:127`` verification) on a data-lake layout:
+
+    index_dir/
+      manifest/plan.json            build plan: boundaries, counts, offsets
+                                    (the lineage root)
+      manifest/seg-{i:05d}.json     per-segment checkpoint: status, lineage,
+                                    metrics (turns/sec, rows, wall)
+      docmap/segment={i}/  doclens/…  blocks/…   parquet, partitioned by segment
+      stats/termstats/  stats/fieldstats/        global stats (recomputed after
+                                                 every append/merge — the
+                                                 "stats freshness" rule)
+
+Design for 10^12 turns:
+
+* a *segment* is a contiguous ``conv_id`` range (conversations never split),
+  sized for one executor task — the DWPT analogy
+  (``index/DocumentsWriterPerThread.java``); docIDs are
+  ``plan.offset[seg] + local rank`` under (conv_id, turn_idx), so the global
+  docID order is identical no matter how many executors build it, at N or
+  4N parallelism (the north-rule invariant),
+* the build is **resumable per batch of segments**: each batch is one Spark
+  job writing only its segments' parquet partitions (dynamic partition
+  overwrite ⇒ re-running a crashed batch is idempotent); the manifest
+  checkpoint is written after the batch commits (temp file + atomic rename —
+  on a real lake this is an Iceberg snapshot commit).  Restart skips
+  completed batches,
+* the plan phase computes boundaries ONCE (range-partitioner sampling over
+  distinct conv_ids — no global sort, no driver materialization) and
+  persists them; restarts reuse the persisted boundaries, so segmentation —
+  and therefore docIDs — is deterministic across attempts,
+* merges concatenate per-segment posting lists in segment order — docIDs
+  are globally ordered by construction, so a merge is decode → concat →
+  re-encode (``index/DocIDMerger.java:32`` concatenation remap, trivial
+  here), never a re-sort.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.analysis.analyzer import StandardAnalyzer
+from lucene_spark.index.blocks import build_block_postings
+from lucene_spark.index.builder import (
+    IndexTables,
+    _norm_byte_udf,
+    make_analyze_udf,
+)
+
+DEFAULT_FIELD = "text"
+
+
+# ------------------------------------------------------------------- manifest
+
+
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)  # atomic on POSIX; Iceberg snapshot commit on a lake
+
+
+def _manifest_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest")
+
+
+def load_plan(index_dir: str) -> dict | None:
+    p = os.path.join(_manifest_dir(index_dir), "plan.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def segment_states(index_dir: str, n_segments: int) -> list[dict | None]:
+    out: list[dict | None] = []
+    for i in range(n_segments):
+        p = os.path.join(_manifest_dir(index_dir), f"seg-{i:05d}.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                out.append(json.load(f))
+        else:
+            out.append(None)
+    return out
+
+
+def metrics_table(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Per-segment build metrics/lineage as a DataFrame (the north-rule
+    "metrics tables"); rows come from the manifest checkpoints."""
+    plan = load_plan(index_dir)
+    rows = [s for s in segment_states(index_dir, plan["num_segments"]) if s]
+    return spark.createDataFrame(
+        [
+            (
+                s["segment"],
+                s["status"],
+                s["rows"],
+                s["doc_offset"],
+                float(s["batch_wall_sec"]),
+                float(s["batch_turns_per_sec"]),
+                json.dumps(s["lineage"]),
+                float(s["ts"]),
+            )
+            for s in rows
+        ],
+        "segment int, status string, rows long, doc_offset long, "
+        "batch_wall_sec double, batch_turns_per_sec double, lineage string, ts double",
+    )
+
+
+# ----------------------------------------------------------------- plan phase
+
+
+def _segment_of_udf(boundaries: list[str]):
+    bnd = np.array(boundaries, dtype=str)
+
+    @F.pandas_udf(T.IntegerType())
+    def seg_of(conv: pd.Series) -> pd.Series:
+        if len(bnd) == 0:
+            return pd.Series(np.zeros(len(conv), dtype=np.int32))
+        idx = np.searchsorted(bnd, conv.to_numpy(dtype=str), side="right")
+        return pd.Series(idx.astype(np.int32))
+
+    return seg_of
+
+
+def plan_build(
+    source: DataFrame,
+    index_dir: str,
+    num_segments: int,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+) -> dict:
+    """Phase 0: boundaries + per-segment counts + docID offsets → plan.json.
+
+    Runs exactly once per index; restarts load the persisted plan so that
+    segmentation (⇒ docIDs) is stable across attempts and cluster sizes.
+    """
+    existing = load_plan(index_dir)
+    if existing is not None:
+        return existing
+    os.makedirs(_manifest_dir(index_dir), exist_ok=True)
+
+    conv_col = key_cols[0]
+    if num_segments > 1:
+        # range-partitioner sampling: scalable boundary estimation, no global
+        # sort — each range partition's min is a split candidate
+        distinct = source.select(conv_col).distinct()
+        bounds_rows = (
+            distinct.repartitionByRange(num_segments, F.col(conv_col))
+            .withColumn("_p", F.spark_partition_id())
+            .groupBy("_p")
+            .agg(F.min(conv_col).alias("lo"))
+            .orderBy("_p")
+            .collect()
+        )
+        boundaries = sorted({r["lo"] for r in bounds_rows[1:]})
+    else:
+        boundaries = []
+    num_segments = len(boundaries) + 1  # empty ranges collapse
+
+    seg_of = _segment_of_udf(boundaries)
+    counts = {
+        int(r["_seg"]): int(r["n"])
+        for r in source.groupBy(seg_of(F.col(conv_col)).alias("_seg"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for i in range(num_segments):
+        offsets.append(acc)
+        acc += counts.get(i, 0)
+
+    plan = {
+        "num_segments": num_segments,
+        "boundaries": boundaries,
+        "counts": [counts.get(i, 0) for i in range(num_segments)],
+        "offsets": offsets,
+        "total_rows": acc,
+        "key_cols": list(key_cols),
+        "created_ts": time.time(),
+    }
+    _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
+    return plan
+
+
+# ---------------------------------------------------------------- build phase
+
+
+def build_segments(
+    source: DataFrame,
+    index_dir: str,
+    num_segments: int | None = None,
+    batch_size: int = 8,
+    key_cols: Sequence[str] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    field: str = DEFAULT_FIELD,
+    analyzer: StandardAnalyzer | None = None,
+) -> dict:
+    """Checkpointed segment build; safe to kill and re-run (idempotent).
+
+    ``source`` must be the same deterministic DataFrame on every attempt
+    (same parquet path / same generator args) — recorded in the lineage.
+    """
+    spark = source.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    num_segments = num_segments or max(2, spark.sparkContext.defaultParallelism)
+    plan = plan_build(source, index_dir, num_segments, key_cols)
+    num_segments = plan["num_segments"]
+    analyzer = analyzer or StandardAnalyzer()
+    states = segment_states(index_dir, num_segments)
+
+    for lo in range(0, num_segments, batch_size):
+        hi = min(lo + batch_size, num_segments)
+        if all(states[i] and states[i]["status"] == "done" for i in range(lo, hi)):
+            continue
+        t0 = time.perf_counter()
+        rows_written = _build_batch(
+            source, index_dir, plan, lo, hi, key_cols, text_col, field, analyzer
+        )
+        wall = time.perf_counter() - t0
+        for i in range(lo, hi):
+            _write_json_atomic(
+                os.path.join(_manifest_dir(index_dir), f"seg-{i:05d}.json"),
+                {
+                    "segment": i,
+                    "status": "done",
+                    "rows": plan["counts"][i],
+                    "doc_offset": plan["offsets"][i],
+                    "batch": [lo, hi],
+                    "batch_rows_written": rows_written,
+                    "batch_wall_sec": round(wall, 3),
+                    "batch_turns_per_sec": round(rows_written / max(wall, 1e-9), 1),
+                    "lineage": {
+                        "key_cols": plan["key_cols"],
+                        "boundary_lo": (plan["boundaries"][i - 1] if i > 0 else None),
+                        "boundary_hi": (
+                            plan["boundaries"][i] if i < num_segments - 1 else None
+                        ),
+                    },
+                    "ts": time.time(),
+                },
+            )
+
+    _refresh_global_stats(spark, index_dir, field)
+    return plan
+
+
+def _build_batch(
+    source: DataFrame,
+    index_dir: str,
+    plan: dict,
+    seg_lo: int,
+    seg_hi: int,
+    key_cols: Sequence[str],
+    text_col: str,
+    field: str,
+    analyzer: StandardAnalyzer,
+) -> int:
+    conv_col = key_cols[0]
+    seg_of = _segment_of_udf(plan["boundaries"])
+    off_arr = list(plan["offsets"])
+
+    batch = source.withColumn("_seg", seg_of(F.col(conv_col))).filter(
+        (F.col("_seg") >= seg_lo) & (F.col("_seg") < seg_hi)
+    )
+    arranged = batch.repartition(seg_hi - seg_lo, "_seg").sortWithinPartitions(
+        "_seg", *key_cols
+    )
+
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + [f for f in arranged.schema.fields if f.name != "_seg"]
+        + [T.StructField("segment", T.IntegerType(), False)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local: dict[int, int] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            segs = pdf["_seg"].to_numpy()
+            out = pdf.drop(columns=["_seg"])
+            ids = np.empty(len(pdf), dtype=np.int64)
+            # per-segment running counters (a partition may carry >1 segment)
+            for s in np.unique(segs):
+                m = segs == s
+                start = off_arr[int(s)] + local.get(int(s), 0)
+                ids[m] = start + np.arange(int(m.sum()), dtype=np.int64)
+                local[int(s)] = local.get(int(s), 0) + int(m.sum())
+            out.insert(0, "doc_id", ids)
+            out["segment"] = segs.astype(np.int32)
+            yield out
+
+    docmap = arranged.mapInPandas(assign, schema=out_schema)
+
+    analyze = make_analyze_udf(analyzer)
+    norm_byte = _norm_byte_udf()
+    tokens = docmap.select("doc_id", "segment", analyze(F.col(text_col)).alias("tokens"))
+    doclens = tokens.select(
+        "doc_id", "segment", F.lit(field).alias("field"), F.size("tokens").alias("len")
+    ).withColumn("norm_byte", norm_byte(F.col("len")))
+    postings = (
+        tokens.select("doc_id", "segment", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "segment")
+        .agg(F.count("*").cast("int").alias("freq"))
+        .select(F.lit(field).alias("field"), "term", "doc_id", "segment", "freq")
+    )
+    blocks = build_block_postings(postings, doclens)
+
+    # dynamic partition overwrite: each write touches only segment={lo..hi}
+    for df, name in ((docmap, "docmap"), (doclens, "doclens"), (blocks, "blocks")):
+        df.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(index_dir, name)
+        )
+    return sum(plan["counts"][seg_lo:seg_hi])
+
+
+def _refresh_global_stats(spark: SparkSession, index_dir: str, field: str) -> None:
+    """Recompute termstats/fieldstats over ALL segments (post-append/merge
+    freshness — ``IndexSearcher.java:1140-1155`` resolves stats globally).
+    Aggregates block *metadata* only (num_docs, sum_freq) — never decodes."""
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    termstats = blocks.groupBy("field", "term").agg(
+        F.sum("num_docs").cast("long").alias("doc_freq"),
+        F.sum("sum_freq").cast("long").alias("total_term_freq"),
+    )
+    termstats.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "stats", "termstats")
+    )
+    fieldstats = doclens.groupBy("field").agg(
+        F.sum(F.when(F.col("len") > 0, 1).otherwise(0)).alias("doc_count"),
+        F.sum("len").alias("sum_total_term_freq"),
+    )
+    fieldstats.write.mode("overwrite").parquet(
+        os.path.join(index_dir, "stats", "fieldstats")
+    )
+
+
+# ------------------------------------------------------------------ read path
+
+
+def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
+    """Open the on-disk index as queryable DataFrames."""
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    termstats = spark.read.parquet(os.path.join(index_dir, "stats", "termstats"))
+    fieldstats = spark.read.parquet(
+        os.path.join(index_dir, "stats", "fieldstats")
+    ).join(
+        termstats.groupBy("field").agg(F.sum("doc_freq").alias("sum_doc_freq")),
+        "field",
+        "left",
+    )
+    postings = decode_blocks_to_postings(blocks)
+    return IndexTables(
+        docmap=docmap,
+        doclens=doclens,
+        postings=postings,
+        termstats=termstats,
+        fieldstats=fieldstats,
+        blocks=blocks,
+    )
+
+
+def decode_blocks_to_postings(blocks: DataFrame) -> DataFrame:
+    """Lazy flat-postings view over the compressed blocks (vectorized decode;
+    the loop is per *block* = per 128 docs, not per row)."""
+    from lucene_spark.index.codec import decode_block
+
+    schema = "field string, term string, doc_id long, segment int, freq int"
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                d, f = decode_block(
+                    int(r.first_doc), int(r.num_docs), bytes(r.doc_blob), bytes(r.freq_blob)
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "field": r.field,
+                            "term": r.term,
+                            "doc_id": d,
+                            "segment": np.int32(r.segment),
+                            "freq": f.astype(np.int32),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return blocks.mapInPandas(decode, schema=schema)
+
+
+# --------------------------------------------------------------------- merges
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    group_size: int = 2,
+    field: str = DEFAULT_FIELD,
+) -> None:
+    """Compaction: concatenate groups of ``group_size`` adjacent segments.
+
+    Because segments hold disjoint, *ordered* docID ranges, merging posting
+    lists is pure concatenation + re-encode (tail blocks of the left list
+    and head blocks of the right are re-packed into full 128-doc blocks) —
+    the ``SegmentMerger.java:113`` pipeline without the docID remap.  Global
+    stats are unchanged by a merge but are refreshed anyway (cheap, metadata
+    only).  The merged layout overwrites the segment partitions atomically
+    via dynamic partition overwrite; the manifest records the merge lineage.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    plan = load_plan(index_dir)
+    num_segments = plan["num_segments"]
+    mapping = {i: (i // group_size) * group_size for i in range(num_segments)}
+
+    blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+    postings = decode_blocks_to_postings(blocks)
+    # segment remap is integer floor-division — pure column math, no UDF
+    map_col = (F.col("segment").cast("int") / group_size).cast("int") * group_size
+    remapped = postings.withColumn("segment", map_col)
+    doclens = spark.read.parquet(os.path.join(index_dir, "doclens")).withColumn(
+        "segment", map_col
+    )
+    merged_blocks = build_block_postings(remapped, doclens)
+
+    merged_blocks.write.mode("overwrite").partitionBy("segment").parquet(
+        os.path.join(index_dir, "blocks_merged")
+    )
+    # atomic-ish swap (directory rename; snapshot commit on a real lake)
+    old, new = os.path.join(index_dir, "blocks"), os.path.join(index_dir, "blocks_merged")
+    bak = os.path.join(index_dir, "blocks_premerge")
+    os.replace(old, bak)
+    os.replace(new, old)
+    import shutil
+
+    shutil.rmtree(bak)
+
+    for df, name in ((doclens, "doclens"),):
+        df.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(index_dir, name + "_merged")
+        )
+        os.replace(os.path.join(index_dir, name), os.path.join(index_dir, name + "_pre"))
+        os.replace(os.path.join(index_dir, name + "_merged"), os.path.join(index_dir, name))
+        shutil.rmtree(os.path.join(index_dir, name + "_pre"))
+
+    docmap = spark.read.parquet(os.path.join(index_dir, "docmap")).withColumn(
+        "segment", map_col
+    )
+    docmap.write.mode("overwrite").partitionBy("segment").parquet(
+        os.path.join(index_dir, "docmap_merged")
+    )
+    os.replace(os.path.join(index_dir, "docmap"), os.path.join(index_dir, "docmap_pre"))
+    os.replace(os.path.join(index_dir, "docmap_merged"), os.path.join(index_dir, "docmap"))
+    shutil.rmtree(os.path.join(index_dir, "docmap_pre"))
+
+    plan["merge_history"] = plan.get("merge_history", []) + [
+        {"group_size": group_size, "ts": time.time()}
+    ]
+    plan["num_segments_live"] = len(set(mapping.values()))
+    _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
+    _refresh_global_stats(spark, index_dir, field)
+
+
+# ------------------------------------------------------------------ integrity
+
+
+def check_index(idx: IndexTables) -> dict:
+    """CheckIndex analog: structural invariants as DataFrame assertions.
+
+    Returns a report dict; raises AssertionError on the first violation.
+    """
+    report = {}
+
+    # 1. postings sorted & unique per (field, term): max(doc) count == doc_freq
+    dup = (
+        idx.postings.groupBy("field", "term", "doc_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, f"{dup} duplicate (term, doc) postings"
+    report["postings_unique"] = True
+
+    # 2. freqs >= 1
+    bad_freq = idx.postings.filter(F.col("freq") < 1).count()
+    assert bad_freq == 0, f"{bad_freq} postings with freq < 1"
+    report["freqs_positive"] = True
+
+    # 3. docFreq == posting count per term
+    mism = (
+        idx.postings.groupBy("field", "term")
+        .agg(F.count("*").alias("n"), F.sum("freq").alias("ttf"))
+        .join(idx.termstats, ["field", "term"], "full")
+        .filter(
+            (F.col("n") != F.col("doc_freq")) | (F.col("ttf") != F.col("total_term_freq"))
+        )
+        .count()
+    )
+    assert mism == 0, f"{mism} terms with inconsistent stats"
+    report["termstats_consistent"] = True
+
+    # 4. doclens cover docmap exactly once per field
+    n_docs = idx.docmap.count()
+    n_lens = idx.doclens.select("doc_id").distinct().count()
+    assert n_docs == n_lens, f"doclens {n_lens} != docmap {n_docs}"
+    report["doclens_cover"] = True
+
+    # 5. docmap ids dense & unique
+    stats = idx.docmap.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("doc_id").alias("nd"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == stats["nd"], "duplicate doc_ids"
+    assert stats["lo"] == 0 and stats["hi"] == stats["n"] - 1, "doc_ids not dense"
+    report["docids_dense"] = True
+
+    if idx.blocks is not None:
+        # 6. block invariants: ordered ranges, num_docs sum == doc_freq
+        bad_rng = idx.blocks.filter(F.col("first_doc") > F.col("last_doc")).count()
+        assert bad_rng == 0, "block with first_doc > last_doc"
+        bsum = (
+            idx.blocks.groupBy("field", "term")
+            .agg(F.sum("num_docs").alias("n"))
+            .join(idx.termstats, ["field", "term"])
+            .filter(F.col("n") != F.col("doc_freq"))
+            .count()
+        )
+        assert bsum == 0, "block num_docs sum != doc_freq"
+        report["blocks_consistent"] = True
+
+    report["n_docs"] = n_docs
+    return report

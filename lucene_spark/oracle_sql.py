@@ -109,6 +109,38 @@ combined AS (
 """
 
 
+def multi_or_topk_sql(terms: list[str], k: int) -> str:
+    """OR of N terms: per-doc sum of float32 leaf scores (double acc)."""
+    names = [f"t{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_cte(n, t) for n, t in zip(names, terms))
+    union = " UNION ALL ".join(f"SELECT doc_id, score FROM sc_{n}" for n in names)
+    return f"""
+WITH {BASE_CTES}, {ctes},
+unioned AS ({union}),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM unioned GROUP BY doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def multi_and_topk_sql(terms: list[str], k: int) -> str:
+    """AND of N terms: docs matching all; float32 leaf scores summed in double."""
+    names = [f"t{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_cte(n, t) for n, t in zip(names, terms))
+    union = " UNION ALL ".join(f"SELECT doc_id, score FROM sc_{n}" for n in names)
+    return f"""
+WITH {BASE_CTES}, {ctes},
+unioned AS ({union}),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM unioned GROUP BY doc_id HAVING count(*) = {len(terms)}
+)
+{_topk('combined', k)}
+"""
+
+
 def and_not_topk_sql(term_a: str, term_not: str, k: int) -> str:
     return f"""
 WITH {BASE_CTES}, {_term_cte('a', term_a)}, {_term_cte('n', term_not)},

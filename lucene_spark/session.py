@@ -22,6 +22,10 @@ def ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_lucene_spark_shipped", False):
         return
+    if not os.path.isdir(os.path.join(_REPO_DIR, "lucene_spark")):
+        # already running from a --py-files zip: spark-submit ships it
+        sc._lucene_spark_shipped = True
+        return
     d = tempfile.mkdtemp(prefix="lucene_spark_pkg_")
     zip_path = shutil.make_archive(
         os.path.join(d, "lucene_spark_pkg"),

@@ -1,0 +1,113 @@
+"""Segmented on-disk index: build, resume-after-crash, merge, check_index.
+
+Mirrors the reference's index-lifecycle tests: random build + CheckIndex
+(SURVEY.md §5.5), resumability per FIXTURES.md §5 "killing the build mid-way
+and restarting yields identical tables"."""
+
+import os
+
+import pytest
+
+from lucene_spark.index import segments as seg
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.sources.transcripts import synth_transcripts
+
+QUERY = "index OR query OR merge"
+
+
+@pytest.fixture(scope="module")
+def source(spark):
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
+    return synth_transcripts(spark, n_convs=120, seed=5, num_partitions=4)
+
+
+def _search(spark, index_dir, qtext=QUERY, k=15):
+    idx = seg.read_index(spark, index_dir)
+    s = IndexSearcher(idx)
+    return [(r.doc_id, r.score, r.rank) for r in s.search(qtext, k=k).collect()]
+
+
+def test_build_read_search_and_check(spark, source, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_full"))
+    plan = seg.build_segments(source, d, num_segments=4, batch_size=2)
+    assert plan["total_rows"] == source.count()
+    assert os.path.exists(os.path.join(d, "manifest", "plan.json"))
+
+    idx = seg.read_index(spark, d)
+    report = seg.check_index(idx)
+    assert report["n_docs"] == plan["total_rows"]
+
+    # on-disk search == in-memory build search (same analyzer, same docIDs)
+    from lucene_spark.index.builder import build_index
+
+    mem = build_index(source, num_segments=4).persist()
+    want = [
+        (r.doc_id, r.score, r.rank)
+        for r in IndexSearcher(mem).search(QUERY, k=15).collect()
+    ]
+    got = _search(spark, d)
+    mem.unpersist()
+    assert got == want
+
+    # metrics/lineage table
+    m = seg.metrics_table(spark, d)
+    rows = m.collect()
+    assert len(rows) == plan["num_segments"]
+    assert all(r.status == "done" for r in rows)
+
+
+def test_resume_after_crash(spark, source, tmp_path_factory, monkeypatch):
+    d_crash = str(tmp_path_factory.mktemp("idx_crash"))
+    d_ref = str(tmp_path_factory.mktemp("idx_ref"))
+
+    # reference build
+    seg.build_segments(source, d_ref, num_segments=4, batch_size=2)
+
+    # crashing build: die on the second batch
+    real = seg._build_batch
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor loss")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(seg, "_build_batch", flaky)
+    with pytest.raises(RuntimeError):
+        seg.build_segments(source, d_crash, num_segments=4, batch_size=2)
+    monkeypatch.setattr(seg, "_build_batch", real)
+
+    # restart completes, reusing the persisted plan + done segments
+    states = seg.segment_states(d_crash, 4)
+    assert any(s and s["status"] == "done" for s in states[:2])
+    seg.build_segments(source, d_crash, num_segments=4, batch_size=2)
+
+    # identical tables ⇒ identical search results
+    assert _search(spark, d_crash) == _search(spark, d_ref)
+    dm_a = sorted(
+        (r.doc_id, r.conv_id, r.turn_idx)
+        for r in seg.read_index(spark, d_crash).docmap.collect()
+    )
+    dm_b = sorted(
+        (r.doc_id, r.conv_id, r.turn_idx)
+        for r in seg.read_index(spark, d_ref).docmap.collect()
+    )
+    assert dm_a == dm_b
+
+
+def test_merge_preserves_results(spark, source, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_merge"))
+    seg.build_segments(source, d, num_segments=4, batch_size=4)
+    before = _search(spark, d)
+
+    seg.merge_segments(spark, d, group_size=2)
+    after = _search(spark, d)
+    assert after == before
+
+    idx = seg.read_index(spark, d)
+    live = {r.segment for r in idx.blocks.select("segment").distinct().collect()}
+    assert len(live) <= 2
+    seg.check_index(idx)
