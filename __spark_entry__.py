@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark import oracle_sql as osql
+from lucene_spark.extras import oracles as xor
 from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS, StandardAnalyzer
 from lucene_spark.analysis.smallfloat import byte4_to_int_np
 from lucene_spark.index.builder import IndexTables, build_index
@@ -129,6 +130,93 @@ def _q_termstats_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- training-data extras gate
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + injected exact duplicates (doc_id%50==0 shifted +100000) —
+    mirrors oracles.DOCS_WITH_DUPS so dedup queries have real work."""
+    d = _docs(spark, sf_dir)
+    dup = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.select("doc_id", "text").unionByName(dup.select("doc_id", "text"))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs_with_dups(spark, sf_dir))
+
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.dedup import simhash_pairs
+
+    return simhash_pairs(_docs_with_dups(spark, sf_dir), max_distance=3)
+
+
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.dedup import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # 0.4: ~60 pairs at sf0.01 (the synthetic embeddings' near-dup tail)
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.similarity import knn_brute
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return knn_brute(emb, qv, k=10)
+
+
+def _q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.extras.multimodal import attach_fake_payload, media_summary
+
+    return media_summary(attach_fake_payload(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_term_topk": _q_term_topk,
@@ -140,6 +228,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_count": _q_term_count,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
+        "dedup_exact_groups": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding_cos": _q_dedup_embedding,
+        "ann_cosine_topk": _q_ann_topk,
+        "text_token_counts": _q_text_tokens,
+        "text_quality_scores": _q_text_quality,
+        "text_lang_id": _q_text_langid,
+        "text_fingerprints": _q_text_fingerprint,
+        "multimodal_summary": _q_multimodal_summary,
     }
 
 
@@ -154,4 +253,15 @@ def oracle_sql() -> dict[str, str]:
         "term_count": osql.term_count_sql("merge"),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),
+        "dedup_exact_groups": xor.exact_dup_groups_sql(),
+        "dedup_ngram_jaccard": xor.ngram_jaccard_pairs_sql(0.5),
+        "dedup_minhash_lsh": xor.minhash_lsh_pairs_sql(threshold=0.5),
+        "dedup_simhash": xor.simhash_pairs_sql(3),
+        "dedup_embedding_cos": xor.embedding_near_dup_sql(0.4),
+        "ann_cosine_topk": xor.knn_cosine_topk_sql(0, 10),
+        "text_token_counts": xor.token_counts_sql(),
+        "text_quality_scores": xor.quality_scores_sql(),
+        "text_lang_id": xor.lang_id_sql(),
+        "text_fingerprints": xor.fingerprints_sql(),
+        "multimodal_summary": xor.media_summary_sql(),
     }

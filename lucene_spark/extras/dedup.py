@@ -1,0 +1,300 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over a ``documents(doc_id, text)``-shaped table, each
+Spark-first and oracle-checkable (DuckDB SQL twins in
+``lucene_spark/extras/oracles.py``):
+
+* :func:`exact_dup_groups` — content-hash groupBy (md5), map-side combined;
+  the 100 TB shape is a single shuffle on a 128-bit key, no skew beyond
+  genuinely identical documents.
+* :func:`ngram_jaccard_pairs` — *exact* word-n-gram Jaccard via a
+  shingle-inverted-index self-join (the textbook "similar pairs by inverted
+  index" plan).  Quadratic in the worst case — bounded in practice by
+  dropping ultra-common shingles is left to callers; at 100 TB use
+  :func:`minhash_lsh_pairs` and verify candidates with this.
+* :func:`minhash_lsh_pairs` — MinHash signatures (vectorized numpy outer
+  min over (a·h+b) mod p) → banded buckets → bucket join for candidates →
+  exact-Jaccard verification of candidates only.  Sub-quadratic: work is
+  O(docs × hashes) + O(candidate pairs).
+* :func:`simhash_pairs` — 32-bit SimHash (token-hash sign sums), banded
+  into 4 × 8-bit chunks (any pair at Hamming distance ≤ 3 shares a chunk —
+  pigeonhole), verified with ``bit_count(xor) <= max_distance``.
+* :func:`embedding_near_dup_pairs` — cosine near-duplicates over an
+  embedding column; JVM-side ``zip_with``/``aggregate`` math (no Python),
+  all-pairs via self-join (small scale) — the LSH-bucketed scale path is in
+  ``extras/similarity.py``.
+
+Hash parity contract (for the DuckDB oracles): the 32-bit string hash is
+``int(md5(s)[:8], 16)`` — ``conv(substring(md5(s),1,8),16,10)`` in Spark,
+``CAST('0x'||substr(md5(s),1,8) AS BIGINT)`` in DuckDB.  MinHash seeds are
+``(a_i·h + b_i) mod 2147483647`` with deterministic a, b from seed 42.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+def minhash_seeds(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, MERSENNE_P, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def hash32(col):
+    """The shared 32-bit md5-prefix hash (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def words_col(text_col):
+    """Lowercased whitespace words (matches DuckDB string_split_regex)."""
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def shingles_df(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams per document."""
+    words = words_col(F.col(text_col))
+    # guard: Spark sequence(1, 0) DESCENDS (it is not empty) — docs with
+    # < n words must yield no shingles, matching DuckDB generate_series
+    sh = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select("doc_id", F.explode(sh).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ exact dup
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs, min_doc_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# -------------------------------------------------------------- exact jaccard
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold: (doc_a, doc_b, jaccard), a < b."""
+    sh = shingles_df(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------- minhash LSH
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes]) MinHash signatures.
+
+    Shingle hashes are computed JVM-side (md5 prefix); the signature is one
+    vectorized numpy outer-min per Arrow batch — O(shingles × hashes) flops,
+    no per-row Python.
+    """
+    a, b = minhash_seeds(num_hashes, seed)
+
+    sh = shingles_df(df, text_col, n).withColumn("h", hash32(F.col("shingle")))
+    grouped = sh.groupBy("doc_id").agg(F.collect_list("h").alias("hs"))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64)
+            # (H, S) matrix of permuted hashes → min per row
+            m = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE_P
+            out.append(m.min(axis=1))
+        return pd.Series(out)
+
+    return grouped.select("doc_id", sig("hs").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates (banded signatures) verified with exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) for candidate pairs whose *exact*
+    jaccard ≥ threshold.  Probabilistic recall (banding may miss pairs);
+    precision is exact thanks to verification.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, n, num_hashes, seed)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        "_", F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, text_col, n, threshold)
+    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+
+# -------------------------------------------------------------------- simhash
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — 32-bit SimHash over word unigrams.
+
+    Pure column math: explode words → hash32 → for each of 32 bits sum
+    (+freq / −freq) by bit value → sign → pack.  The bit loop unrolls into
+    32 conditional-sum aggregations (one shuffle, map-side combined).
+    """
+    toks = (
+        df.select("doc_id", F.explode(words_col(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .withColumn("h", hash32(F.col("w")))
+    )
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", max_distance: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs at Hamming distance ≤ max_distance.
+
+    Banding: 32 bits → 4 chunks of 8; distance ≤ 3 ⇒ some chunk equal
+    (pigeonhole), so candidates = chunk-equality join, then verify with
+    ``bit_count(xor)``.  Scale: the join key is (chunk_id, chunk_value) —
+    distributes like a hash join on 10 bits + data entropy.
+    """
+    sigs = simhash_signatures(df, text_col)
+    chunked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(0xFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "cval"),
+    )
+    cand = (
+        chunked.alias("x")
+        .join(chunked.alias("y"), ["chunk", "cval"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("hamming") <= max_distance)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --------------------------------------------------------- embedding near-dup
+
+
+def cosine_expr(a, b):
+    """JVM-side cosine of two array<double> columns (left-fold double sums —
+    byte-identical to the DuckDB oracle's sequential list arithmetic)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold: float = 0.9, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold: (id_a, id_b, cos).
+
+    All-pairs self-join — correct at any scale but O(n²); the LSH-bucketed
+    sub-quadratic path is ``similarity.hyperplane_lsh_*``.  Cosine is rounded
+    to 6 decimals for stable cross-engine comparison.
+    """
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            cosine_expr(F.col("x.v"), F.col("y.v")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

@@ -1,0 +1,113 @@
+"""Similarity search over embedding columns (ANN for training-data dedup).
+
+* :func:`knn_brute` — exact cosine top-k: JVM-side ``zip_with``/``aggregate``
+  dot products against a broadcast query vector, distributed
+  ``ORDER BY cos DESC, id ASC LIMIT k`` (TakeOrderedAndProject = per-partition
+  heap + driver merge).  The 100 TB shape: one scan, no shuffle beyond the
+  final top-k collect.
+* :func:`hyperplane_codes` / :func:`knn_lsh` — the sub-quadratic scale path:
+  random-hyperplane LSH (sign of ``V·P`` per plane → n-bit bucket code,
+  vectorized numpy matmul per Arrow batch).  A query probes the ``nprobe``
+  buckets nearest in code Hamming distance and brute-forces only those —
+  recall tuned by (nbits, nprobe), asserted ≥ 0.9 @ defaults in tests.
+  With ``nprobe = 2**nbits`` the result is exactly :func:`knn_brute`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.extras.dedup import cosine_expr
+
+
+def _query_vec_expr(query_vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+
+
+def knn_brute(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cos rounded to 6dp, rank)."""
+    from pyspark.sql import Window
+
+    q = _query_vec_expr(query_vec)
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(
+            cosine_expr(F.col(vec_col).cast("array<double>"), q), 6
+        ).alias("cos"),
+    )
+    topk = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("vec_id"))) - 1
+    return topk.withColumn("rank", w.cast("int"))
+
+
+# ------------------------------------------------------------ hyperplane LSH
+
+
+def hyperplanes(dim: int, nbits: int = 16, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, nbits))
+
+
+def hyperplane_codes(
+    emb: DataFrame,
+    planes: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, code int) — sign-bit bucket code per vector (numpy matmul)."""
+    nbits = planes.shape[1]
+    weights = np.int64(1) << np.arange(nbits, dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def code(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes) > 0
+        return pd.Series(bits @ weights)
+
+    return emb.select(F.col(id_col).alias("vec_id"), code(F.col(vec_col)).alias("code"))
+
+
+def _code_of(query_vec, planes: np.ndarray) -> int:
+    bits = (np.asarray(query_vec, dtype=np.float64) @ planes) > 0
+    return int(bits @ (np.int64(1) << np.arange(planes.shape[1], dtype=np.int64)))
+
+
+def knn_lsh(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    nbits: int = 12,
+    nprobe: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe the nprobe Hamming-nearest buckets.
+
+    Candidate selection is a semi-join of vectors against the probed bucket
+    codes (broadcast — nprobe ints), then exact scoring of candidates only.
+    """
+    dim = len(query_vec)
+    planes = hyperplanes(dim, nbits, seed)
+    qcode = _code_of(query_vec, planes)
+
+    all_codes = np.arange(2**nbits, dtype=np.int64)
+    ham = np.array([bin(int(qcode ^ c)).count("1") for c in all_codes])
+    probes = all_codes[np.lexsort((all_codes, ham))][:nprobe].tolist()
+
+    coded = hyperplane_codes(emb, planes, id_col, vec_col)
+    probe_ids = coded.filter(F.col("code").isin(probes)).select(
+        F.col("vec_id").alias("_probe_id")
+    )
+    cands = emb.join(probe_ids, emb[id_col] == F.col("_probe_id"), "left_semi")
+    return knn_brute(cands, query_vec, k, id_col, vec_col)

@@ -1,0 +1,179 @@
+"""Unit tests for the training-data extras (dedup / similarity / textstats /
+multimodal) on crafted fixtures — the oracle gate covers sf0.01 parity; these
+cover semantics and the approximate paths' recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.extras import multimodal as mm
+from lucene_spark.extras.dedup import (
+    embedding_near_dup_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from lucene_spark.extras.similarity import knn_brute, knn_lsh
+from lucene_spark.extras.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " today"),  # near dup of 0
+        (3, "completely different text about spark inverted index construction"),
+        (4, "the quick brown fox jumps over the lazy cat near the river bank"),
+        (5, ""),
+        (6, "der hund und die katze sind nicht mit der maus auf dem tisch"),
+        (7, "le chat est dans la maison et il ne veut pas sortir pour jouer"),
+        (8, "el perro y el gato no son una buena pareja para la casa"),
+        (9, "numbers 123 456 and symbols !!! ??? ..."),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dup_groups(docs):
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].n_docs == 2 and groups[0].min_doc_id == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and 0.8 <= pairs[(0, 2)] < 1.0  # one word appended
+    assert (0, 4) in pairs  # one word substituted
+    assert (0, 3) not in pairs
+
+
+def test_minhash_finds_near_dups_subset_of_exact(docs):
+    exact = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    mh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert mh <= exact
+    assert (0, 1) in mh  # identical docs always collide
+    assert len(mh) >= len(exact) - 1  # high recall on this fixture
+
+
+def test_simhash_pairs(docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_distance=6).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text, distance 0
+    assert (0, 2) in pairs  # near dup, small distance
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dups(spark):
+    v = np.eye(4).tolist()
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]
+
+
+def test_knn_brute_on_testdata(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    exact = knn_brute(emb, qv, k=10).collect()
+    assert exact[0].vec_id == 7  # the query vector itself is its own nearest
+    assert [r.rank for r in exact] == list(range(10))
+    scores = [r.cos for r in exact]
+    assert scores == sorted(scores, reverse=True)
+    # full probe ⇒ identical to brute force
+    full = [r.vec_id for r in knn_lsh(emb, qv, k=10, nbits=6, nprobe=64).collect()]
+    assert full == [r.vec_id for r in exact]
+
+
+def test_knn_lsh_recall_on_planted_neighbors(spark):
+    """LSH probing must recover planted near-duplicates of the query —
+    the actual ANN workload (random noise vectors have no true neighbors)."""
+    rng = np.random.default_rng(0)
+    dim = 32
+    base = rng.standard_normal((500, dim))
+    q = rng.standard_normal(dim)
+    planted = q[None, :] + 0.15 * rng.standard_normal((10, dim))
+    vecs = np.vstack([base, planted])
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = [r.vec_id for r in knn_brute(emb, q.tolist(), k=10).collect()]
+    assert set(exact) == set(range(500, 510))  # brute force finds all planted
+    approx = [
+        r.vec_id
+        for r in knn_lsh(emb, q.tolist(), k=10, nbits=12, nprobe=64).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9
+
+
+def test_token_counts(docs):
+    rows = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert rows[5].n_ws_tokens == 0 and rows[5].n_bpe_tokens == 0
+    assert rows[0].n_ws_tokens == 13
+    assert rows[9].n_bpe_tokens == 3 + 6 + 9  # 3 alpha runs + 6 digits + 9 symbols
+
+
+def test_quality_scores(docs):
+    rows = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert rows[0].quality > rows[9].quality  # clean prose beats symbol soup
+    assert rows[5].n_words == 0
+    assert 0.0 <= rows[9].quality <= 1.0
+
+
+def test_lang_id(docs):
+    rows = {r.doc_id: r.lang for r in lang_id(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[6] == "de"
+    assert rows[7] == "fr"
+    assert rows[8] == "es"
+    assert rows[5] == "und"
+
+
+def test_fingerprints_normalize(spark):
+    rows = [
+        (0, "Hello,   World!"),
+        (1, "hello world"),
+        (2, "different"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: r.fingerprint for r in fingerprints(df).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_multimodal_plumbing(docs):
+    media = mm.attach_fake_payload(docs)
+    feats = {r.doc_id: r for r in mm.extract_features(media).collect()}
+    assert len(feats) == 10
+    assert len(feats[0].features) == mm.FEATURE_BINS
+    assert feats[0].features == feats[1].features  # deterministic on same bytes
+    assert abs(sum(feats[0].features) - 1.0) < 1e-9  # L1-normalized
+    assert feats[5].feat_norm == 0.0  # empty payload
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        mm.resize_image(b"", 8, 8)
+    with pytest.raises(NotImplementedError):
+        mm.sample_frames(b"")
+    summ = {r.doc_id: r for r in mm.media_summary(media).collect()}
+    assert summ[0].n_bytes == len(docs.collect()[0].text.encode())
