@@ -47,6 +47,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             doc_id_col="doc_id",
             analyzer=GATE_ANALYZER,
             build_blocks=True,  # term/AND/OR gate queries run block-max WAND
+            with_positions=True,  # phrase gate query
         ).persist()
         _CACHE[sf_dir] = IndexSearcher(idx)
     return _CACHE[sf_dir]
@@ -101,6 +102,11 @@ def _q_flat_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase over positional postings."""
+    return _as_gate_schema(_searcher(spark, sf_dir).search('"table value"', k=10))
+
+
 def _q_term_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _searcher(spark, sf_dir).count("merge")
     return spark.createDataFrame([(n,)], "n_hits long")
@@ -128,6 +134,62 @@ def _q_termstats_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("term", "doc_freq", "total_term_freq")
     )
+
+
+# ------------------------------------------------------ collectors gate
+
+
+def _q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import facet_counts
+
+    s = _searcher(spark, sf_dir)
+    return facet_counts(s.score_all("merge"), _docs(spark, sf_dir), "source")
+
+
+_NCHAR_RANGES = (("small", 0, 200), ("mid", 200, 350), ("big", 350, 10_000))
+
+
+def _q_range_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import range_facet_counts
+
+    s = _searcher(spark, sf_dir)
+    return range_facet_counts(
+        s.score_all("merge"), _docs(spark, sf_dir), "n_chars", _NCHAR_RANGES
+    )
+
+
+def _q_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import grouped_topk
+
+    s = _searcher(spark, sf_dir)
+    out = grouped_topk(s.score_all("merge"), _docs(spark, sf_dir), "source", 2)
+    return out.withColumn("score", F.col("score").cast("double"))
+
+
+def _q_block_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import block_join_parents
+
+    s = _searcher(spark, sf_dir)
+    out = block_join_parents(s.score_all("merge"), _docs(spark, sf_dir), "source", "max")
+    return out.withColumn("score", F.col("score").cast("double"))
+
+
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import search_after
+
+    s = _searcher(spark, sf_dir)
+    scored = s.score_all("merge")
+    page1 = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10).collect()
+    anchor = page1[-1]
+    out = search_after(scored, anchor.score, anchor.doc_id, 10)
+    return out.withColumn("score", F.col("score").cast("double"))
+
+
+def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import rrf
+
+    s = _searcher(spark, sf_dir)
+    return rrf([s.score_all("merge"), s.score_all("join")], k=60, top_n=15)
 
 
 # ------------------------------------------------- training-data extras gate
@@ -225,9 +287,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and_not_topk": _q_and_not_topk,
         "bm25_wand_or3_topk": _q_wand_or3_topk,
         "bm25_flat_term_topk": _q_flat_term_topk,
+        "bm25_phrase_topk": _q_phrase_topk,
         "term_count": _q_term_count,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
+        "facet_source_counts": _q_facet_source,
+        "facet_nchars_ranges": _q_range_facet,
+        "grouped_topk_source": _q_grouped_topk,
+        "block_join_source_max": _q_block_join,
+        "search_after_page2": _q_search_after,
+        "rrf_merge_join": _q_rrf,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -250,9 +319,16 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and_not_topk": osql.and_not_topk_sql("merge", "window", 10),
         "bm25_wand_or3_topk": osql.multi_or_topk_sql(["data", "row", "scan"], 12),
         "bm25_flat_term_topk": osql.term_topk_sql("batch", 10),
+        "bm25_phrase_topk": osql.phrase_topk_sql(["table", "value"], 10),
         "term_count": osql.term_count_sql("merge"),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),
+        "facet_source_counts": osql.facet_counts_sql("merge", "source"),
+        "facet_nchars_ranges": osql.range_facet_sql("merge", "n_chars", _NCHAR_RANGES),
+        "grouped_topk_source": osql.grouped_topk_sql("merge", "source", 2),
+        "block_join_source_max": osql.block_join_sql("merge", "source", "max"),
+        "search_after_page2": osql.search_after_sql("merge", 10),
+        "rrf_merge_join": osql.rrf_sql("merge", "join", 60, 15),
         "dedup_exact_groups": xor.exact_dup_groups_sql(),
         "dedup_ngram_jaccard": xor.ngram_jaccard_pairs_sql(0.5),
         "dedup_minhash_lsh": xor.minhash_lsh_pairs_sql(threshold=0.5),

@@ -106,6 +106,27 @@ class StandardAnalyzer:
         analyze = self.analyze
         return texts.map(lambda t: analyze(t) if isinstance(t, str) else [])
 
+    def analyze_with_positions(self, text: str) -> list[tuple[str, int]]:
+        """(token, position) pairs with Lucene position-increment semantics:
+        stopped tokens (StopFilter via FilteringTokenFilter) and over-long
+        tokens (StandardTokenizer.java:163-174) leave *holes* — the position
+        counter advances for every raw tokenizer emission."""
+        if not isinstance(text, str) or not text:
+            return []
+        out = []
+        for pos, t in enumerate(_TOKEN_RE.findall(text)):
+            if len(t) > self.max_token_length:
+                continue
+            lt = java_lower(t)
+            if lt in self.stop_words:
+                continue
+            out.append((lt, pos))
+        return out
+
+    def analyze_with_positions_series(self, texts: pd.Series) -> pd.Series:
+        f = self.analyze_with_positions
+        return texts.map(f)
+
 
 def analyze_series(texts: pd.Series, stop_words: Iterable[str] | None = None) -> pd.Series:
     return StandardAnalyzer(stop_words).analyze_series(texts)

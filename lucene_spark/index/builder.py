@@ -45,11 +45,14 @@ class IndexTables:
     termstats: DataFrame  # field, term, doc_freq, total_term_freq
     fieldstats: DataFrame  # field, doc_count, sum_total_term_freq, sum_doc_freq
     blocks: DataFrame | None = None  # FOR/VByte 128-doc blocks + impacts
+    positions: DataFrame | None = None  # field, term, doc_id, segment, positions
+    inverted: DataFrame | None = None  # internal: cached analysis output
 
     def _tables(self):
         out = [self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats]
-        if self.blocks is not None:
-            out.append(self.blocks)
+        for extra in (self.blocks, self.positions, self.inverted):
+            if extra is not None:
+                out.append(extra)
         return out
 
     def persist(self) -> "IndexTables":
@@ -134,6 +137,92 @@ def make_analyze_udf(analyzer: StandardAnalyzer):
     return analyze
 
 
+INVERT_SCHEMA = T.StructType(
+    [
+        T.StructField("len", T.IntegerType(), False),
+        T.StructField(
+            "tf",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("freq", T.IntegerType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def make_invert_udf(analyzer: StandardAnalyzer):
+    """Per-document inversion INSIDE the UDF: text → (len, [(term, freq)]).
+
+    This is the reference's in-memory document inversion
+    (``index/IndexingChain.java:553`` + ``TermsHashPerField.add``): term
+    frequencies are counted per document at analysis time, so the postings
+    stage needs NO (term, doc) shuffle — the per-doc Counter is a perfect
+    map-side combine.  At 10^12 turns this removes the single largest
+    shuffle of the build (raw token explosion ≈ 30× the row count)."""
+    from collections import Counter
+
+    @F.pandas_udf(INVERT_SCHEMA)
+    def invert(texts: pd.Series) -> pd.DataFrame:
+        lens: list[int] = []
+        tfs: list[list[dict]] = []
+        analyze = analyzer.analyze
+        for t in texts:
+            toks = analyze(t) if isinstance(t, str) else []
+            c = Counter(toks)
+            lens.append(len(toks))
+            tfs.append([{"term": k, "freq": v} for k, v in c.items()])
+        return pd.DataFrame({"len": lens, "tf": tfs})
+
+    return invert
+
+
+def make_analyze_pos_udf(analyzer: StandardAnalyzer):
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("pos", T.IntegerType(), False),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def analyze_pos(texts: pd.Series) -> pd.Series:
+        return analyzer.analyze_with_positions_series(texts)
+
+    return analyze_pos
+
+
+def build_positions(
+    docmap: DataFrame,
+    text_col: str,
+    field: str,
+    analyzer: StandardAnalyzer,
+) -> DataFrame:
+    """Positional postings (field, term, doc_id, segment, positions int[]).
+
+    Positions carry Lucene increment semantics (stop/overlong holes).  The
+    per-(term, doc) position list is bounded by term freq in one document —
+    ``collect_list`` here never sees corpus-scale groups.
+    """
+    analyze_pos = make_analyze_pos_udf(analyzer)
+    pairs = docmap.select(
+        "doc_id", "segment", F.explode(analyze_pos(F.col(text_col))).alias("tp")
+    )
+    return (
+        pairs.select("doc_id", "segment", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+        .groupBy("term", "doc_id", "segment")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+        .select(F.lit(field).alias("field"), "term", "doc_id", "segment", "positions")
+    )
+
+
 def build_index(
     df: DataFrame,
     text_col: str = "text",
@@ -143,6 +232,7 @@ def build_index(
     num_segments: int | None = None,
     doc_id_col: str | None = None,
     build_blocks: bool = False,
+    with_positions: bool = False,
 ) -> IndexTables:
     """Build the five index tables from a document DataFrame.
 
@@ -151,7 +241,7 @@ def build_index(
     carries stable ids (e.g. the ``documents`` test table).
     """
     analyzer = analyzer or StandardAnalyzer()
-    analyze = make_analyze_udf(analyzer)
+    invert = make_invert_udf(analyzer)
     norm_byte = _norm_byte_udf()
 
     if doc_id_col is not None:
@@ -161,22 +251,28 @@ def build_index(
     else:
         docmap = assign_doc_ids(df, key_cols, num_segments)
 
-    tokens = docmap.select(
-        "doc_id", "segment", analyze(F.col(text_col)).alias("tokens")
-    )
+    # persisted: doclens and postings both read it — without the cache the
+    # (expensive) analysis UDF would run once per derived table
+    inverted = docmap.select(
+        "doc_id", "segment", invert(F.col(text_col)).alias("inv")
+    ).persist()
 
-    doclens = tokens.select(
+    doclens = inverted.select(
         "doc_id",
         "segment",
         F.lit(field).alias("field"),
-        F.size("tokens").alias("len"),
+        F.col("inv.len").alias("len"),
     ).withColumn("norm_byte", norm_byte(F.col("len")))
 
-    postings = (
-        tokens.select("doc_id", "segment", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "segment")
-        .agg(F.count("*").cast("int").alias("freq"))
-        .select(F.lit(field).alias("field"), "term", "doc_id", "segment", "freq")
+    # per-doc inversion already counted freqs — explode is shuffle-free
+    postings = inverted.select(
+        "doc_id", "segment", F.explode("inv.tf").alias("tf")
+    ).select(
+        F.lit(field).alias("field"),
+        F.col("tf.term").alias("term"),
+        "doc_id",
+        "segment",
+        F.col("tf.freq").alias("freq"),
     )
 
     termstats = postings.groupBy("field", "term").agg(
@@ -203,6 +299,10 @@ def build_index(
 
         blocks = build_block_postings(postings, doclens)
 
+    positions = (
+        build_positions(docmap, text_col, field, analyzer) if with_positions else None
+    )
+
     return IndexTables(
         docmap=docmap,
         doclens=doclens,
@@ -210,4 +310,6 @@ def build_index(
         termstats=termstats,
         fieldstats=fieldstats,
         blocks=blocks,
+        positions=positions,
+        inverted=inverted,
     )

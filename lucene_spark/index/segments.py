@@ -57,7 +57,7 @@ from lucene_spark.index.blocks import build_block_postings
 from lucene_spark.index.builder import (
     IndexTables,
     _norm_byte_udf,
-    make_analyze_udf,
+    make_invert_udf,
 )
 
 DEFAULT_FIELD = "text"
@@ -306,17 +306,24 @@ def _build_batch(
 
     docmap = arranged.mapInPandas(assign, schema=out_schema)
 
-    analyze = make_analyze_udf(analyzer)
+    invert = make_invert_udf(analyzer)
     norm_byte = _norm_byte_udf()
-    tokens = docmap.select("doc_id", "segment", analyze(F.col(text_col)).alias("tokens"))
-    doclens = tokens.select(
-        "doc_id", "segment", F.lit(field).alias("field"), F.size("tokens").alias("len")
+    # cached across the three table writes of this batch (docmap/doclens/
+    # blocks all sit downstream of the analysis UDF), freed after the batch
+    inverted = docmap.select(
+        "doc_id", "segment", invert(F.col(text_col)).alias("inv")
+    ).persist()
+    doclens = inverted.select(
+        "doc_id", "segment", F.lit(field).alias("field"), F.col("inv.len").alias("len")
     ).withColumn("norm_byte", norm_byte(F.col("len")))
-    postings = (
-        tokens.select("doc_id", "segment", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "segment")
-        .agg(F.count("*").cast("int").alias("freq"))
-        .select(F.lit(field).alias("field"), "term", "doc_id", "segment", "freq")
+    postings = inverted.select(
+        "doc_id", "segment", F.explode("inv.tf").alias("tf")
+    ).select(
+        F.lit(field).alias("field"),
+        F.col("tf.term").alias("term"),
+        "doc_id",
+        "segment",
+        F.col("tf.freq").alias("freq"),
     )
     blocks = build_block_postings(postings, doclens)
 
@@ -325,6 +332,7 @@ def _build_batch(
         df.write.mode("overwrite").partitionBy("segment").parquet(
             os.path.join(index_dir, name)
         )
+    inverted.unpersist()
     return sum(plan["counts"][seg_lo:seg_hi])
 
 

@@ -152,6 +152,142 @@ combined AS (
 """
 
 
+def phrase_topk_sql(terms: list[str], k: int) -> str:
+    """Exact phrase BM25 top-k (PhraseQuery.java semantics): positions are
+    pre-stop-removal word indices (holes preserved), phrase freq = number of
+    start positions, weight = float32(Σ double(float32 idf_i))."""
+    names = [f"p{i}" for i in range(len(terms))]
+    pos_ctes = ", ".join(
+        f"{nm} AS (SELECT doc_id, pos FROM tp WHERE term = '{t}')"
+        for nm, t in zip(names, terms)
+    )
+    joins = " ".join(
+        f"JOIN {nm} ON {nm}.doc_id = p0.doc_id AND {nm}.pos = p0.pos + {i}"
+        for i, nm in enumerate(names[1:], start=1)
+    )
+    idf_sum = " + ".join(
+        f"CAST(CAST(ln(1 + (fs.n - (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{t}') + 0.5) "
+        f"/ ((SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{t}') + 0.5)) AS FLOAT) AS DOUBLE)"
+        for t in terms
+    )
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+{pos_ctes},
+match AS (
+    SELECT p0.doc_id, count(*)::INT AS freq
+    FROM p0 {joins}
+    GROUP BY p0.doc_id
+),
+w AS (
+    SELECT CAST({idf_sum} AS FLOAT) AS w,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs
+),
+sc AS (
+    SELECT m.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(m.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(nm.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM match m JOIN norm nm USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
+def facet_counts_sql(term: str, facet_col: str) -> str:
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT d.{facet_col} AS label, count(*)::BIGINT AS n
+FROM sc_a JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY n DESC, label ASC
+"""
+
+
+def range_facet_sql(term: str, value_col: str, ranges) -> str:
+    case = " ".join(
+        f"WHEN d.{value_col} >= {lo} AND d.{value_col} < {hi} THEN '{label}'"
+        for label, lo, hi in ranges
+    )
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT label, count(*)::BIGINT AS n
+FROM (
+    SELECT CASE {case} END AS label
+    FROM sc_a JOIN documents d USING (doc_id)
+)
+WHERE label IS NOT NULL
+GROUP BY 1 ORDER BY label ASC
+"""
+
+
+def grouped_topk_sql(term: str, group_col: str, k_per_group: int) -> str:
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT {group_col}, doc_id, CAST(score AS DOUBLE) AS score, grp_rank
+FROM (
+    SELECT sc_a.doc_id, sc_a.score, d.{group_col},
+           CAST(row_number() OVER (
+               PARTITION BY d.{group_col}
+               ORDER BY sc_a.score DESC, sc_a.doc_id ASC) - 1 AS INT) AS grp_rank
+    FROM sc_a JOIN documents d USING (doc_id)
+)
+WHERE grp_rank < {k_per_group}
+ORDER BY {group_col} ASC, grp_rank ASC
+"""
+
+
+def block_join_sql(term: str, parent_col: str, score_mode: str = "max") -> str:
+    agg = {"max": "max", "sum": "sum", "avg": "avg", "min": "min"}[score_mode]
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT d.{parent_col} AS parent,
+       CAST(CAST({agg}(CAST(score AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score,
+       count(*)::BIGINT AS n_children
+FROM sc_a JOIN documents d USING (doc_id)
+GROUP BY 1 ORDER BY score DESC, parent ASC
+"""
+
+
+def search_after_sql(term: str, k: int) -> str:
+    """Page 2 of the term top-k: identical ordering, OFFSET k."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT doc_id,
+       CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 - {k} AS INT) AS rank
+FROM sc_a
+ORDER BY score DESC, doc_id ASC
+LIMIT {k} OFFSET {k}
+"""
+
+
+def rrf_sql(term_a: str, term_b: str, rrf_k: int, top_n: int) -> str:
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term_a)}, {_term_cte('b', term_b)},
+ra AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM sc_a
+),
+rb AS (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn FROM sc_b
+),
+u AS (
+    SELECT doc_id, CAST(1.0 AS DOUBLE) / ({rrf_k} + rn) AS rr FROM ra
+    UNION ALL
+    SELECT doc_id, CAST(1.0 AS DOUBLE) / ({rrf_k} + rn) AS rr FROM rb
+)
+SELECT doc_id, sum(rr) AS rrf_score
+FROM u GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id ASC
+LIMIT {top_n}
+"""
+
+
 def term_count_sql(term: str) -> str:
     return f"""
 WITH {BASE_CTES}

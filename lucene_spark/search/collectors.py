@@ -1,0 +1,161 @@
+"""Collectors: facets, grouping, block join, pagination, fusion, rescoring.
+
+Spark-first re-expressions of the reference's aggregation/collection
+operators (SURVEY.md §2.5–2.7):
+
+* facet counts (``facet/FacetsCollector.java``, ``StringValueFacetCounts``):
+  GROUP BY label COUNT over the hit set — one shuffle, map-side combined,
+* numeric range facets (``facet/range/LongRangeFacetCounts.java``): bucket
+  CASE expression + groupBy,
+* grouping / top-k per group (``grouping/FirstPassGroupingCollector`` +
+  ``SecondPassGroupingCollector``): a window ``row_number() <= k`` — Spark
+  does in one pass what Lucene needs two passes for,
+* parent/child block join (``join/ToParentBlockJoinQuery.java``): child
+  scores rolled up per parent with max/sum/avg — for transcripts this is
+  the turn → conversation rollup,
+* ``searchAfter`` pagination (``IndexSearcher.java:576-591``): strict
+  (score, docID) anchor filter before the top-k,
+* reciprocal-rank fusion (``TopDocs.rrf``, ``search/TopDocs.java:372``),
+* rescoring (``search/QueryRescorer.java``): second-pass re-rank of top-N.
+
+All operate on a *scored* DataFrame (doc_id, score) — the output of
+``IndexSearcher.score_all`` — joined against doc metadata, so they compose
+with every query type.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def facet_counts(scored: DataFrame, docmeta: DataFrame, facet_col: str) -> DataFrame:
+    """(label, count) of hit docs per ``facet_col`` value, count DESC."""
+    return (
+        scored.join(docmeta.select("doc_id", facet_col), "doc_id")
+        .groupBy(F.col(facet_col).alias("label"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("label"))
+    )
+
+
+def range_facet_counts(
+    scored: DataFrame,
+    docmeta: DataFrame,
+    value_col: str,
+    ranges: Sequence[tuple[str, float, float]],
+) -> DataFrame:
+    """Counts per declared [lo, hi) bucket (LongRangeFacetCounts shape)."""
+    joined = scored.join(docmeta.select("doc_id", value_col), "doc_id")
+    bucket = None
+    for label, lo, hi in ranges:
+        cond = (F.col(value_col) >= lo) & (F.col(value_col) < hi)
+        bucket = F.when(cond, label) if bucket is None else bucket.when(cond, label)
+    joined = joined.withColumn("label", bucket)
+    return (
+        joined.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.asc("label"))
+    )
+
+
+def grouped_topk(
+    scored: DataFrame,
+    docmeta: DataFrame,
+    group_col: str,
+    k_per_group: int,
+) -> DataFrame:
+    """Top-k hits per group by (score DESC, doc_id ASC) — the two-pass
+    grouping collectors as one windowed pass."""
+    w = Window.partitionBy(group_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(docmeta.select("doc_id", group_col), "doc_id")
+        .withColumn("grp_rank", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("grp_rank") < k_per_group)
+        .select(group_col, "doc_id", "score", "grp_rank")
+        .orderBy(F.asc(group_col), F.asc("grp_rank"))
+    )
+
+
+def block_join_parents(
+    scored: DataFrame,
+    docmeta: DataFrame,
+    parent_col: str,
+    score_mode: str = "max",
+) -> DataFrame:
+    """Child hits rolled up to parents (ToParentBlockJoinQuery ScoreMode):
+    (parent, score float32 via double-acc agg, n_children)."""
+    agg = {
+        "max": F.max,
+        "sum": F.sum,
+        "avg": F.avg,
+        "min": F.min,
+    }[score_mode](F.col("score").cast("double"))
+    return (
+        scored.join(docmeta.select("doc_id", parent_col), "doc_id")
+        .groupBy(F.col(parent_col).alias("parent"))
+        .agg(
+            agg.cast("float").alias("score"),
+            F.count("*").alias("n_children"),
+        )
+        .orderBy(F.desc("score"), F.asc("parent"))
+    )
+
+
+def search_after(
+    scored: DataFrame, after_score: float, after_doc: int, k: int
+) -> DataFrame:
+    """Hits strictly after the (score, docID) anchor, top-k
+    (IndexSearcher.searchAfter bounds)."""
+    cond = (F.col("score") < F.lit(after_score)) | (
+        (F.col("score") == F.lit(after_score)) & (F.col("doc_id") > F.lit(after_doc))
+    )
+    topk = scored.filter(cond).orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return topk.withColumn("rank", w.cast("int"))
+
+
+def rrf(results: Sequence[DataFrame], k: int = 60, top_n: int | None = None) -> DataFrame:
+    """Reciprocal-rank fusion of scored lists: Σ 1/(k + rank_i + 1)
+    (TopDocs.rrf semantics; rank is 0-based here so +1 keeps the classic
+    1/(k+r) with r starting at 1)."""
+    ranked = []
+    for i, df in enumerate(results):
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        ranked.append(
+            df.select(
+                "doc_id", (F.lit(1.0) / (F.lit(k) + F.row_number().over(w))).alias("rr")
+            )
+        )
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), ranked)
+        .groupBy("doc_id")
+        .agg(F.sum("rr").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    )
+    return fused.limit(top_n) if top_n else fused
+
+
+def rescore(
+    topn: DataFrame, second: DataFrame, weight_first: float = 1.0, weight_second: float = 1.0
+) -> DataFrame:
+    """QueryRescorer: combine first-pass top-N scores with a second query's
+    scores (missing second-pass score = 0)."""
+    return (
+        topn.select("doc_id", F.col("score").alias("_s1"))
+        .join(second.select("doc_id", F.col("score").alias("_s2")), "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.lit(weight_first) * F.col("_s1").cast("double")
+                + F.lit(weight_second) * F.coalesce(F.col("_s2").cast("double"), F.lit(0.0))
+            )
+            .cast("float")
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )

@@ -313,11 +313,70 @@ class IndexSearcher:
         if isinstance(q, DisjunctionMaxQuery):
             return self._score_dismax(q, stats, boost)
         if isinstance(q, PhraseQuery):
-            raise NotImplementedError(
-                "PhraseQuery requires positional postings (planned; north rule "
-                "needs DOCS_AND_FREQS only — SURVEY.md §2.3)"
-            )
+            return self._score_phrase(q, stats, boost)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _score_phrase(self, q: PhraseQuery, stats, boost: float) -> DataFrame:
+        """Exact phrase (slop=0) over the positional postings table.
+
+        PhraseQuery.java:71-143 semantics: the query matches docs where the
+        terms occur at consecutive positions; scoring is BM25 with
+        weight = boost · Σ idf(term_i) (idfExplain over the TermStatistics
+        array, BM25Similarity.java:166-174) and freq = number of phrase
+        start positions (ExactPhraseMatcher).  The plan is the two-phase
+        shape (TwoPhaseIterator): conjunction join on docID (approximation)
+        + position-intersection verify — here a single JVM expression
+        ``array_intersect`` over per-term positions shifted by their phrase
+        offset, so verification is vectorized and shuffle-free beyond the
+        join itself.
+        """
+        if self.index.positions is None:
+            raise ValueError(
+                "phrase queries need a positional index: build_index(..., "
+                "with_positions=True)"
+            )
+        if q.slop != 0:
+            raise NotImplementedError("sloppy phrases (slop > 0) not implemented")
+        if not q.terms:
+            return self._empty_scored()
+        missing = [t for t in q.terms if (q.field, t) not in stats]
+        if missing:
+            return self._empty_scored()
+
+        doc_count, sttf = self._fieldstats()[q.field]
+        idfs = [bm25.idf(stats[(q.field, t)][0], doc_count) for t in q.terms]
+        weight = np.float32(boost) * bm25.sum_idf(idfs)
+        cache = bm25.norm_inverse_cache(bm25.avgdl(sttf, doc_count), self.k1, self.b)
+        score_udf = _make_score_udf(weight, cache)
+
+        pos = self.index.positions.filter(F.col("field") == q.field)
+
+        def shift_by(off: int):
+            # single-arg lambda: a 2-arg lambda would receive the ARRAY INDEX
+            # as its second argument (F.transform(col, (x, i) -> ...))
+            return lambda x: x - F.lit(off)
+
+        joined: DataFrame | None = None
+        for i, t in enumerate(q.terms):
+            p = pos.filter(F.col("term") == t).select(
+                "doc_id",
+                F.transform("positions", shift_by(i)).alias(f"_s{i}"),
+            )
+            joined = p if joined is None else joined.join(p, "doc_id")
+        inter = F.col("_s0")
+        for i in range(1, len(q.terms)):
+            inter = F.array_intersect(inter, F.col(f"_s{i}"))
+        matched = (
+            joined.withColumn("freq", F.size(inter).cast("int"))
+            .filter(F.col("freq") > 0)
+            .select("doc_id", "freq")
+        )
+        norms = self.index.doclens.filter(F.col("field") == q.field).select(
+            "doc_id", "norm_byte"
+        )
+        return matched.join(norms, "doc_id").select(
+            "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
+        )
 
     def _score_term(self, field: str, term: str, stats, boost: float) -> DataFrame:
         st = stats.get((field, term))

@@ -1,0 +1,155 @@
+"""NRT streaming index ingest: per-micro-batch segment appends.
+
+The reference's near-real-time path (``ControlledRealTimeReopenThread``,
+``index/ReaderManager.java``) re-expressed: each Structured Streaming
+micro-batch becomes ONE new segment appended to the on-disk index
+(``index/segments.py`` layout); readers opening the index after a batch
+commit see the new docs — the snapshot-per-trigger visibility model (on a
+real lake this is an Iceberg snapshot per commit).  Late data needs no
+special handling: it simply lands in a later segment, exactly as a late
+``addDocument`` lands in a later Lucene segment.
+
+DocID continuity: the manifest tracks ``next_doc_id`` / ``next_segment``;
+each batch claims a contiguous docID range, so global (score DESC, docID
+ASC) ordering semantics keep working across streamed appends.  Global
+term/field stats are refreshed after every batch (the stats-freshness rule
+— queries must see docFreq/avgdl over the WHOLE index).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lucene_spark.analysis.analyzer import StandardAnalyzer
+from lucene_spark.index.blocks import build_block_postings
+from lucene_spark.index.builder import _norm_byte_udf, make_invert_udf
+from lucene_spark.index.segments import (
+    DEFAULT_FIELD,
+    _manifest_dir,
+    _refresh_global_stats,
+    _write_json_atomic,
+)
+
+
+def _stream_state_path(index_dir: str) -> str:
+    return os.path.join(_manifest_dir(index_dir), "stream_state.json")
+
+
+def _load_stream_state(index_dir: str) -> dict:
+    p = _stream_state_path(index_dir)
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {"next_doc_id": 0, "next_segment": 0, "epochs": []}
+
+
+def append_batch(
+    batch: DataFrame,
+    index_dir: str,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    text_col: str = "text",
+    field: str = DEFAULT_FIELD,
+    analyzer: StandardAnalyzer | None = None,
+    epoch_id: int | None = None,
+    refresh_stats: bool = True,
+) -> dict:
+    """Index one micro-batch as a fresh segment; returns the commit record.
+
+    Idempotent per epoch: if ``epoch_id`` was already committed (streaming
+    replay after failure) the batch is skipped — exactly-once appends on
+    top of Structured Streaming's at-least-once ``foreachBatch``.
+    """
+    spark = batch.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    analyzer = analyzer or StandardAnalyzer()
+    os.makedirs(_manifest_dir(index_dir), exist_ok=True)
+    state = _load_stream_state(index_dir)
+    if epoch_id is not None and any(e["epoch"] == epoch_id for e in state["epochs"]):
+        return {"skipped": True, "epoch": epoch_id}
+
+    seg = int(state["next_segment"])
+    base = int(state["next_doc_id"])
+
+    arranged = batch.repartition(1).sortWithinPartitions(*key_cols)
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType(), False)]
+        + list(arranged.schema.fields)
+        + [T.StructField("segment", T.IntegerType(), False)]
+    )
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = pdf.copy()
+            out.insert(0, "doc_id", np.arange(base + local, base + local + len(pdf), dtype=np.int64))
+            out["segment"] = np.int32(seg)
+            local += len(pdf)
+            yield out
+
+    docmap = arranged.mapInPandas(assign, schema=out_schema)
+    invert = make_invert_udf(analyzer)
+    norm_byte = _norm_byte_udf()
+    inverted = docmap.select(
+        "doc_id", "segment", invert(F.col(text_col)).alias("inv")
+    ).persist()
+    doclens = inverted.select(
+        "doc_id", "segment", F.lit(field).alias("field"), F.col("inv.len").alias("len")
+    ).withColumn("norm_byte", norm_byte(F.col("len")))
+    postings = inverted.select(
+        "doc_id", "segment", F.explode("inv.tf").alias("tf")
+    ).select(
+        F.lit(field).alias("field"),
+        F.col("tf.term").alias("term"),
+        "doc_id",
+        "segment",
+        F.col("tf.freq").alias("freq"),
+    )
+    blocks = build_block_postings(postings, doclens)
+
+    n_rows = 0
+    for df, name in ((docmap, "docmap"), (doclens, "doclens"), (blocks, "blocks")):
+        df.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(index_dir, name)
+        )
+    n_rows = spark.read.parquet(os.path.join(index_dir, "docmap")).filter(
+        F.col("segment") == seg
+    ).count()
+    inverted.unpersist()
+
+    state["next_segment"] = seg + 1
+    state["next_doc_id"] = base + n_rows
+    state["epochs"].append({"epoch": epoch_id, "segment": seg, "rows": n_rows, "ts": time.time()})
+    _write_json_atomic(_stream_state_path(index_dir), state)
+    if refresh_stats:
+        _refresh_global_stats(spark, index_dir, field)
+    return {"segment": seg, "rows": n_rows, "doc_base": base, "epoch": epoch_id}
+
+
+def stream_to_index(
+    stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """writeStream.foreachBatch wiring for :func:`append_batch`."""
+
+    def step(batch: DataFrame, epoch_id: int) -> None:
+        append_batch(batch, index_dir, epoch_id=epoch_id, **kwargs)
+
+    return (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

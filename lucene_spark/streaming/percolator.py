@@ -1,0 +1,148 @@
+"""Percolator (reverse search) + NRT streaming ingest — Structured Streaming.
+
+Re-expression of the reference's ``monitor`` module (``monitor/Monitor.java:42``,
+``Presearcher.java``, ``QueryIndex.java``): queries are *registered*, documents
+*stream through*, and (document, query) match pairs are emitted.
+
+Design (SURVEY.md §2.9):
+
+* the registered query set lives in two small broadcast-able tables —
+  ``query_terms(query_id, term, clause)`` (the presearcher's query-term
+  index) and ``query_reqs(query_id, n_must, min_should, has_should)``,
+* per micro-batch (``foreachBatch`` or a direct call on a static frame):
+  analyze the batch (the same Arrow UDF as the index build), explode to
+  distinct (doc, term), join against the query-term index → per-(doc,
+  query) matched-clause counts → verify against the requirements:
+  ``must_hits == n_must AND should_hits >= max(min_should, 1 if pure-OR)
+  AND not_hits == 0`` — Boolean-of-terms semantics without building an
+  index for the batch (the ``MemoryIndex``/``DocumentBatch`` shape,
+  ``memory/MemoryIndex.java:198``),
+* supported query shapes: single terms and one-level Booleans of terms
+  (MUST / SHOULD / MUST_NOT / FILTER, minimumNumberShouldMatch) — the same
+  envelope Lucene's presearcher optimizes well; anything else would need a
+  per-batch scoring pass with :class:`~lucene_spark.search.searcher.IndexSearcher`.
+
+Scale shape: the query tables are broadcast (thousands of registered
+queries ≈ KBs); the only shuffle is the per-batch (doc, query) groupBy,
+proportional to candidate pairs, never to corpus size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis.analyzer import StandardAnalyzer
+from lucene_spark.index.builder import make_analyze_udf
+from lucene_spark.search.parser import parse
+from lucene_spark.search.query import BooleanQuery, Occur, TermQuery
+
+
+@dataclass
+class _Registered:
+    query_id: int
+    terms: list[tuple[str, str]]  # (term, clause) clause ∈ must/should/not
+    n_must: int
+    min_should: int
+    pure_should: bool
+
+
+def _decompose(query_id: int, q) -> _Registered:
+    if isinstance(q, TermQuery):
+        return _Registered(query_id, [(q.term, "should")], 0, 1, True)
+    if isinstance(q, BooleanQuery):
+        terms: list[tuple[str, str]] = []
+        n_must = 0
+        for c in q.clauses:
+            if not isinstance(c.query, TermQuery):
+                raise ValueError(
+                    f"query {query_id}: percolator supports terms and "
+                    f"one-level Booleans of terms, got {type(c.query).__name__}"
+                )
+            if c.occur in (Occur.MUST, Occur.FILTER):
+                terms.append((c.query.term, "must"))
+                n_must += 1
+            elif c.occur == Occur.SHOULD:
+                terms.append((c.query.term, "should"))
+            else:
+                terms.append((c.query.term, "not"))
+        n_should = sum(1 for _, cl in terms if cl == "should")
+        pure = n_must == 0 and n_should > 0
+        min_should = q.minimum_should_match
+        if pure and min_should == 0:
+            min_should = 1  # Lucene: no MUST ⇒ at least one SHOULD must hit
+        return _Registered(query_id, terms, n_must, min_should, pure)
+    raise ValueError(f"query {query_id}: unsupported percolator query {type(q).__name__}")
+
+
+class Monitor:
+    """Register queries once; match document batches / streams against them."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        queries: dict[int, str],
+        analyzer: StandardAnalyzer | None = None,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        text_col: str = "text",
+    ):
+        self.spark = spark
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.key_cols = list(key_cols)
+        self.text_col = text_col
+
+        regs = [_decompose(qid, parse(qs)) for qid, qs in sorted(queries.items())]
+        self.query_terms = spark.createDataFrame(
+            [(r.query_id, t, cl) for r in regs for t, cl in r.terms],
+            "query_id int, term string, clause string",
+        )
+        self.query_reqs = spark.createDataFrame(
+            [(r.query_id, r.n_must, r.min_should) for r in regs],
+            "query_id int, n_must int, min_should int",
+        )
+
+    def match_batch(self, batch: DataFrame) -> DataFrame:
+        """(key_cols..., query_id) pairs for documents matching each query."""
+        analyze = make_analyze_udf(self.analyzer)
+        keys = [F.col(c) for c in self.key_cols]
+        toks = (
+            batch.select(*keys, F.explode(analyze(F.col(self.text_col))).alias("term"))
+            .distinct()
+        )
+        hits = toks.join(F.broadcast(self.query_terms), "term").groupBy(
+            *self.key_cols, "query_id"
+        ).agg(
+            F.sum(F.when(F.col("clause") == "must", 1).otherwise(0)).alias("must_hits"),
+            F.sum(F.when(F.col("clause") == "should", 1).otherwise(0)).alias("should_hits"),
+            F.sum(F.when(F.col("clause") == "not", 1).otherwise(0)).alias("not_hits"),
+        )
+        verified = (
+            hits.join(F.broadcast(self.query_reqs), "query_id")
+            .filter(
+                (F.col("must_hits") == F.col("n_must"))
+                & (F.col("should_hits") >= F.col("min_should"))
+                & (F.col("not_hits") == 0)
+            )
+            .select(*self.key_cols, "query_id")
+        )
+        return verified
+
+    def run_stream(self, stream: DataFrame, checkpoint_dir: str, output_dir: str):
+        """Wire a streaming source through the percolator via foreachBatch."""
+
+        def step(batch: DataFrame, epoch_id: int) -> None:
+            (
+                self.match_batch(batch)
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(output_dir)
+            )
+
+        return (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start()
+        )

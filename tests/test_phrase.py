@@ -1,0 +1,118 @@
+"""PhraseQuery over positional postings: position-increment semantics
+(FilteringTokenFilter holes), exact-phrase matching, BM25 phrase scoring."""
+
+import numpy as np
+import pytest
+
+from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_spark.index.builder import build_index
+from lucene_spark.search import bm25
+from lucene_spark.search.searcher import IndexSearcher
+
+
+def test_positions_have_stopword_holes():
+    a = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    assert a.analyze_with_positions("quick the fox") == [("quick", 0), ("fox", 2)]
+
+
+def test_positions_have_overlong_holes():
+    a = StandardAnalyzer()
+    long_tok = "x" * 256
+    assert a.analyze_with_positions(f"one {long_tok} two") == [("one", 0), ("two", 2)]
+
+
+def test_positions_lowercase():
+    a = StandardAnalyzer()
+    assert a.analyze_with_positions("Quick FOX") == [("quick", 0), ("fox", 1)]
+
+
+@pytest.fixture(scope="module")
+def searcher(spark):
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
+    rows = [
+        ("c0", 0, "the quick brown fox jumps"),
+        ("c0", 1, "quick brown shoes and a quick brown hat"),
+        ("c1", 0, "quick the fox runs"),  # 'quick [the] fox': hole blocks phrase
+        ("c1", 1, "brown quick reversed order"),
+        ("c2", 0, "row row row your boat"),
+        ("c2", 1, "totally unrelated text here"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    idx = build_index(
+        df,
+        analyzer=StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS),
+        num_segments=2,
+        with_positions=True,
+    ).persist()
+    yield IndexSearcher(idx)
+    idx.unpersist()
+
+
+def _ids(searcher, q, k=10):
+    return [r.doc_id for r in searcher.search(q, k=k).collect()]
+
+
+def test_exact_phrase_matches(searcher):
+    hits = _ids(searcher, '"quick brown"')
+    docs = {r.doc_id: r for r in searcher.index.docmap.collect()}
+    matched = {(docs[d].conv_id, docs[d].turn_idx) for d in hits}
+    assert matched == {("c0", 0), ("c0", 1)}
+
+
+def test_phrase_does_not_cross_stopword_hole(searcher):
+    # 'quick the fox' has quick@0, fox@2 — "quick fox" must NOT match
+    assert _ids(searcher, '"quick fox"') == []
+
+
+def test_phrase_respects_order(searcher):
+    assert _ids(searcher, '"brown quick"') != []  # c1/1 has it
+    hits = _ids(searcher, '"brown quick"')
+    docs = {r.doc_id: r for r in searcher.index.docmap.collect()}
+    assert {(docs[d].conv_id, docs[d].turn_idx) for d in hits} == {("c1", 1)}
+
+
+def test_repeated_term_phrase_freq(searcher):
+    # "row row" occurs at starts 0 and 1 in 'row row row your boat' → freq 2
+    hits = searcher.search('"row row"', k=5).collect()
+    assert len(hits) == 1
+    idx = searcher.index
+    st = {("text", t): None for t in ("row",)}
+    # score check: freq=2, weight = 2 * idf(row)
+    doc_count, sttf = searcher._fieldstats()["text"]
+    idf = bm25.idf(1, doc_count)  # 'row' appears in 1 doc
+    weight = bm25.sum_idf([idf, idf])
+    cache = bm25.norm_inverse_cache(bm25.avgdl(sttf, doc_count))
+    doclen_row = idx.doclens.filter("doc_id = %d" % hits[0].doc_id).collect()[0]
+    want = bm25.bm25_score(
+        np.array([2], dtype=np.float32),
+        np.array([doclen_row.norm_byte]),
+        weight,
+        cache,
+    )[0]
+    assert hits[0].score == pytest.approx(float(want), abs=0)
+
+
+def test_three_term_phrase(searcher):
+    hits = _ids(searcher, '"quick brown fox"')
+    docs = {r.doc_id: r for r in searcher.index.docmap.collect()}
+    assert {(docs[d].conv_id, docs[d].turn_idx) for d in hits} == {("c0", 0)}
+
+
+def test_absent_term_phrase_empty(searcher):
+    assert _ids(searcher, '"quick zebra"') == []
+
+
+def test_slop_not_implemented(searcher):
+    with pytest.raises(NotImplementedError):
+        searcher.search('"quick brown"~2', k=5).collect()
+
+
+def test_phrase_requires_positions(spark):
+    rows = [("c0", 0, "a b c")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    idx = build_index(df, num_segments=1)
+    s = IndexSearcher(idx)
+    with pytest.raises(ValueError):
+        s.search('"a b"', k=5).collect()

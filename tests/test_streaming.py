@@ -1,0 +1,115 @@
+"""Percolator (reverse search) + NRT streaming segment appends."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.segments import read_index
+from lucene_spark.search.searcher import IndexSearcher
+from lucene_spark.streaming.ingest import append_batch
+from lucene_spark.streaming.percolator import Monitor
+
+
+@pytest.fixture(scope="module")
+def monitor(spark):
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
+    return Monitor(
+        spark,
+        {
+            1: "spark",
+            2: "index AND query",
+            3: "vector OR stream",
+            4: "merge AND NOT window",
+            5: "missingterm",
+        },
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+
+def test_percolator_matches(spark, monitor):
+    batch = _batch(
+        spark,
+        [
+            ("c0", 0, "spark makes the index fast"),
+            ("c0", 1, "index query planning"),
+            ("c1", 0, "a vector of values"),
+            ("c1", 1, "merge the window state"),
+            ("c1", 2, "merge two runs"),
+            ("c2", 0, "nothing relevant here"),
+        ],
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.query_id) for r in monitor.match_batch(batch).collect()
+    }
+    assert got == {
+        ("c0", 0, 1),  # 'spark'
+        ("c0", 1, 2),  # index AND query
+        ("c1", 0, 3),  # vector
+        ("c1", 2, 4),  # merge AND NOT window ('c1',1 has window → excluded)
+    }
+
+
+def test_percolator_rejects_unsupported(spark):
+    with pytest.raises(ValueError):
+        Monitor(spark, {1: '"exact phrase"'})
+
+
+def test_percolator_foreachbatch_stream(spark, monitor, tmp_path):
+    """End-to-end micro-batch stream through the percolator (rate-less:
+    a file source fed by one parquet drop)."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _batch(spark, [("s0", 0, "spark streaming test")]).write.parquet(src)
+    stream = spark.readStream.schema("conv_id string, turn_idx int, text string").parquet(src)
+    q = monitor.run_stream(stream, ckpt, out)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out).collect()
+    assert {(r.conv_id, r.turn_idx, r.query_id) for r in got} == {("s0", 0, 1)}
+
+
+def test_nrt_append_batches(spark, tmp_path):
+    """Two appended micro-batches = two segments, contiguous docIDs,
+    searchable after each commit, idempotent on epoch replay."""
+    d = str(tmp_path / "idx")
+    r1 = append_batch(
+        _batch(spark, [("a", 0, "spark index alpha"), ("a", 1, "beta spark")]),
+        d,
+        epoch_id=0,
+    )
+    assert r1["segment"] == 0 and r1["rows"] == 2 and r1["doc_base"] == 0
+
+    idx1 = read_index(spark, d)
+    s1 = IndexSearcher(idx1)
+    assert s1.search("spark", k=10).count() == 2
+
+    r2 = append_batch(
+        _batch(spark, [("b", 0, "gamma spark late arrival")]), d, epoch_id=1
+    )
+    assert r2["segment"] == 1 and r2["doc_base"] == 2
+
+    idx2 = read_index(spark, d)
+    s2 = IndexSearcher(idx2)
+    assert s2.search("spark", k=10).count() == 3
+    # stats freshness: docFreq('spark') spans both segments
+    st = {
+        (r.field, r.term): r.doc_freq
+        for r in idx2.termstats.filter(F.col("term") == "spark").collect()
+    }
+    assert st[("text", "spark")] == 3
+
+    # epoch replay (streaming retry) is a no-op
+    r3 = append_batch(
+        _batch(spark, [("b", 0, "gamma spark late arrival")]), d, epoch_id=1
+    )
+    assert r3.get("skipped") is True
+    assert IndexSearcher(read_index(spark, d)).search("spark", k=10).count() == 3
