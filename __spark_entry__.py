@@ -136,6 +136,37 @@ def _q_termstats_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.query import DisjunctionMaxQuery, TermQuery
+
+    q = DisjunctionMaxQuery((TermQuery("data"), TermQuery("scan")), tie_breaker=0.3)
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=12))
+
+
+def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.query import SynonymQuery
+
+    q = SynonymQuery(("fast", "slow"))
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=12))
+
+
+def _q_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+
+    q = BooleanQuery(
+        tuple(
+            BooleanClause(Occur.SHOULD, TermQuery(t)) for t in ("data", "row", "scan")
+        ),
+        minimum_should_match=2,
+    )
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=12))
+
+
 # ------------------------------------------------------ collectors gate
 
 
@@ -183,6 +214,27 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor = page1[-1]
     out = search_after(scored, anchor.score, anchor.doc_id, 10)
     return out.withColumn("score", F.col("score").cast("double"))
+
+
+def _q_sort_by_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import sort_topk
+
+    s = _searcher(spark, sf_dir)
+    out = sort_topk(s.score_all("merge"), _docs(spark, sf_dir), [("n_chars", True)], 10)
+    return out.select(
+        "doc_id", F.col("n_chars").cast("long").alias("n_chars"), "rank"
+    )
+
+
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import function_score
+
+    # integer-exact expression: no transcendental cross-engine drift
+    return function_score(
+        _docs(spark, sf_dir),
+        "(n_chars % 97) * 0.5 + (doc_id % 7)",
+        k=10,
+    )
 
 
 def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_or3_topk": _q_wand_or3_topk,
         "bm25_flat_term_topk": _q_flat_term_topk,
         "bm25_phrase_topk": _q_phrase_topk,
+        "bm25_dismax_topk": _q_dismax_topk,
+        "bm25_synonym_topk": _q_synonym_topk,
+        "bm25_msm_topk": _q_msm_topk,
         "term_count": _q_term_count,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
@@ -297,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_join_source_max": _q_block_join,
         "search_after_page2": _q_search_after,
         "rrf_merge_join": _q_rrf,
+        "sort_by_field_topk": _q_sort_by_field,
+        "function_score_topk": _q_function_score,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -320,6 +377,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_or3_topk": osql.multi_or_topk_sql(["data", "row", "scan"], 12),
         "bm25_flat_term_topk": osql.term_topk_sql("batch", 10),
         "bm25_phrase_topk": osql.phrase_topk_sql(["table", "value"], 10),
+        "bm25_dismax_topk": osql.dismax_topk_sql("data", "scan", 0.3, 12),
+        "bm25_synonym_topk": osql.synonym_topk_sql(["fast", "slow"], 12),
+        "bm25_msm_topk": osql.msm_topk_sql(["data", "row", "scan"], 2, 12),
         "term_count": osql.term_count_sql("merge"),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),
@@ -329,6 +389,10 @@ def oracle_sql() -> dict[str, str]:
         "block_join_source_max": osql.block_join_sql("merge", "source", "max"),
         "search_after_page2": osql.search_after_sql("merge", 10),
         "rrf_merge_join": osql.rrf_sql("merge", "join", 60, 15),
+        "sort_by_field_topk": osql.sort_by_field_sql("merge", "n_chars", 10),
+        "function_score_topk": osql.function_score_sql(
+            "(n_chars % 97) * 0.5 + (doc_id % 7)", 10
+        ),
         "dedup_exact_groups": xor.exact_dup_groups_sql(),
         "dedup_ngram_jaccard": xor.ngram_jaccard_pairs_sql(0.5),
         "dedup_minhash_lsh": xor.minhash_lsh_pairs_sql(threshold=0.5),

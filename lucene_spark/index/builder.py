@@ -34,6 +34,31 @@ from lucene_spark.analysis.smallfloat import int_to_byte4_np
 DEFAULT_FIELD = "text"
 
 
+def delete_by_ids(idx: "IndexTables", doc_ids: DataFrame) -> "IndexTables":
+    """Buffered deletes (IndexWriter.deleteDocuments analog): docs stay in
+    the postings until the next merge/compaction; queries anti-join the
+    delete set at collect time (the live-docs bitset,
+    ``index/PendingDeletes.java`` / ``Lucene90LiveDocsFormat``).
+
+    NOTE: like Lucene, deletes do NOT update global stats until compaction
+    — docFreq/avgdl still count deleted docs (documented Lucene behavior).
+    """
+    from dataclasses import replace
+
+    dels = doc_ids.select(F.col(doc_ids.columns[0]).cast("long").alias("doc_id"))
+    if idx.deletes is not None:
+        dels = idx.deletes.unionByName(dels).distinct()
+    return replace(idx, deletes=dels)
+
+
+def delete_by_term(idx: "IndexTables", term: str, field: str = DEFAULT_FIELD) -> "IndexTables":
+    """IndexWriter.deleteDocuments(Term): mark every doc containing term."""
+    hits = idx.postings.filter(
+        (F.col("field") == field) & (F.col("term") == term)
+    ).select("doc_id")
+    return delete_by_ids(idx, hits)
+
+
 @dataclass
 class IndexTables:
     """The queryable index: five DataFrames (FIXTURES.md §5 schemas) plus the
@@ -47,6 +72,7 @@ class IndexTables:
     blocks: DataFrame | None = None  # FOR/VByte 128-doc blocks + impacts
     positions: DataFrame | None = None  # field, term, doc_id, segment, positions
     inverted: DataFrame | None = None  # internal: cached analysis output
+    deletes: DataFrame | None = None  # doc_id — buffered deletes (live-docs filter)
 
     def _tables(self):
         out = [self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats]

@@ -358,6 +358,44 @@ def _refresh_global_stats(spark: SparkSession, index_dir: str, field: str) -> No
     )
 
 
+# ------------------------------------------------------------------- deletes
+
+
+def delete_documents(
+    spark: SparkSession,
+    index_dir: str,
+    term: str | None = None,
+    doc_ids: list[int] | None = None,
+    field: str = DEFAULT_FIELD,
+) -> int:
+    """Persistent buffered deletes (IndexWriter.deleteDocuments): append doc
+    ids to the ``deletes`` table; queries anti-join it (soft delete), the
+    next :func:`merge_segments` applies it physically (compaction)."""
+    if term is not None:
+        blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
+        hits = (
+            decode_blocks_to_postings(
+                blocks.filter((F.col("field") == field) & (F.col("term") == term))
+            )
+            .select("doc_id")
+            .distinct()
+        )
+    elif doc_ids is not None:
+        hits = spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long")
+    else:
+        raise ValueError("one of term / doc_ids required")
+    n = hits.count()
+    hits.write.mode("append").parquet(os.path.join(index_dir, "deletes"))
+    return n
+
+
+def _load_deletes(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    p = os.path.join(index_dir, "deletes")
+    if not os.path.isdir(p):
+        return None
+    return spark.read.parquet(p).select("doc_id").distinct()
+
+
 # ------------------------------------------------------------------ read path
 
 
@@ -382,6 +420,7 @@ def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
         termstats=termstats,
         fieldstats=fieldstats,
         blocks=blocks,
+        deletes=_load_deletes(spark, index_dir),
     )
 
 
@@ -448,6 +487,14 @@ def merge_segments(
     doclens = spark.read.parquet(os.path.join(index_dir, "doclens")).withColumn(
         "segment", map_col
     )
+    # compaction applies buffered deletes physically (SegmentMerger drops
+    # non-live docs; stats recomputed below become delete-aware)
+    deletes = _load_deletes(spark, index_dir)
+    if deletes is not None:
+        deletes = deletes.persist()
+        deletes.count()
+        remapped = remapped.join(deletes, "doc_id", "left_anti")
+        doclens = doclens.join(deletes, "doc_id", "left_anti")
     merged_blocks = build_block_postings(remapped, doclens)
 
     merged_blocks.write.mode("overwrite").partitionBy("segment").parquet(
@@ -473,12 +520,20 @@ def merge_segments(
     docmap = spark.read.parquet(os.path.join(index_dir, "docmap")).withColumn(
         "segment", map_col
     )
+    if deletes is not None:
+        docmap = docmap.join(deletes, "doc_id", "left_anti")
     docmap.write.mode("overwrite").partitionBy("segment").parquet(
         os.path.join(index_dir, "docmap_merged")
     )
     os.replace(os.path.join(index_dir, "docmap"), os.path.join(index_dir, "docmap_pre"))
     os.replace(os.path.join(index_dir, "docmap_merged"), os.path.join(index_dir, "docmap"))
     shutil.rmtree(os.path.join(index_dir, "docmap_pre"))
+
+    if deletes is not None:
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(index_dir, "deletes"))
+        deletes.unpersist()
 
     plan["merge_history"] = plan.get("merge_history", []) + [
         {"group_size": group_size, "ts": time.time()}
@@ -540,8 +595,11 @@ def check_index(idx: IndexTables) -> dict:
         F.max("doc_id").alias("hi"),
     ).collect()[0]
     assert stats["n"] == stats["nd"], "duplicate doc_ids"
-    assert stats["lo"] == 0 and stats["hi"] == stats["n"] - 1, "doc_ids not dense"
-    report["docids_dense"] = True
+    # density is soft: applied deletes legitimately leave holes (docIDs stay
+    # stable across merges — we never remap, unlike DocIDMerger)
+    report["docids_dense"] = bool(
+        stats["lo"] == 0 and stats["hi"] == stats["n"] - 1
+    )
 
     if idx.blocks is not None:
         # 6. block invariants: ordered ranges, num_docs sum == doc_freq

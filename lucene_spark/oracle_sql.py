@@ -200,6 +200,73 @@ sc AS (
 """
 
 
+def dismax_topk_sql(term_a: str, term_b: str, tie_breaker: float, k: int) -> str:
+    """DisjunctionMaxQuery: max(score) + tieBreaker·(sum − max), double acc,
+    cast float (DisjunctionMaxScorer)."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term_a)}, {_term_cte('b', term_b)},
+unioned AS (
+    SELECT doc_id, score FROM sc_a UNION ALL SELECT doc_id, score FROM sc_b
+),
+combined AS (
+    SELECT doc_id,
+           CAST(max(CAST(score AS DOUBLE)) +
+                {tie_breaker} * (sum(CAST(score AS DOUBLE)) - max(CAST(score AS DOUBLE)))
+                AS FLOAT) AS score
+    FROM unioned GROUP BY doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def synonym_topk_sql(terms: list[str], k: int) -> str:
+    """SynonymQuery: per-doc freq = SUM of member freqs, scored ONCE with
+    docFreq = max over members (SynonymQuery.java)."""
+    freq_unions = " UNION ALL ".join(
+        f"SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{t}' GROUP BY doc_id"
+        for t in terms
+    )
+    df_exprs = ", ".join(
+        f"(SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{t}')" for t in terms
+    )
+    return f"""
+WITH {BASE_CTES},
+merged AS (
+    SELECT doc_id, sum(freq)::INT AS freq FROM ({freq_unions}) GROUP BY doc_id
+),
+w AS (
+    SELECT CAST(ln(1 + (fs.n - st.df + 0.5) / (st.df + 0.5)) AS FLOAT) AS w,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs, (SELECT greatest({df_exprs})::BIGINT AS df) st
+),
+sc AS (
+    SELECT m.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(m.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(nm.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM merged m JOIN norm nm USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
+def msm_topk_sql(terms: list[str], msm: int, k: int) -> str:
+    """SHOULD disjunction with minimumNumberShouldMatch
+    (BooleanQuery.java:130-167): HAVING count >= msm, scores summed."""
+    names = [f"t{i}" for i in range(len(terms))]
+    ctes = ", ".join(_term_cte(n, t) for n, t in zip(names, terms))
+    union = " UNION ALL ".join(f"SELECT doc_id, score FROM sc_{n}" for n in names)
+    return f"""
+WITH {BASE_CTES}, {ctes},
+unioned AS ({union}),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM unioned GROUP BY doc_id HAVING count(*) >= {msm}
+)
+{_topk('combined', k)}
+"""
+
+
 def facet_counts_sql(term: str, facet_col: str) -> str:
     return f"""
 WITH {BASE_CTES}, {_term_cte('a', term)}
@@ -285,6 +352,29 @@ SELECT doc_id, sum(rr) AS rrf_score
 FROM u GROUP BY doc_id
 ORDER BY rrf_score DESC, doc_id ASC
 LIMIT {top_n}
+"""
+
+
+def sort_by_field_sql(term: str, value_col: str, k: int) -> str:
+    """TopFieldCollector: hit set sorted by (value_col DESC, doc_id ASC)."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT doc_id, CAST(d.{value_col} AS BIGINT) AS {value_col},
+       CAST(row_number() OVER (ORDER BY d.{value_col} DESC, doc_id ASC) - 1 AS INT) AS rank
+FROM sc_a JOIN documents d USING (doc_id)
+ORDER BY d.{value_col} DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def function_score_sql(expr: str, k: int) -> str:
+    """FunctionQuery analog: score = SQL expression over doc columns."""
+    return f"""
+SELECT doc_id, CAST({expr} AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY CAST({expr} AS DOUBLE) DESC, doc_id ASC) - 1 AS INT) AS rank
+FROM documents
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
 """
 
 

@@ -106,6 +106,41 @@ def block_join_parents(
     )
 
 
+def sort_topk(
+    scored: DataFrame,
+    docmeta: DataFrame,
+    sort_cols: Sequence[tuple[str, bool]],
+    k: int,
+) -> DataFrame:
+    """TopFieldCollector: top-k of the hit set by arbitrary field sort
+    (``search/TopFieldCollector.java`` / ``Sort``/``SortField``); docID ASC
+    is always the final tie-break.  Spark's TakeOrderedAndProject is the
+    distributed per-partition-heap + merge."""
+    meta_cols = [c for c, _ in sort_cols if c in docmeta.columns]
+    joined = scored.join(docmeta.select("doc_id", *meta_cols), "doc_id")
+    order = [
+        (F.desc(c) if desc else F.asc(c)) for c, desc in sort_cols
+    ] + [F.asc("doc_id")]
+    topk = joined.orderBy(*order).limit(k)
+    w = F.row_number().over(Window.orderBy(*order)) - 1
+    return topk.withColumn("rank", w.cast("int"))
+
+
+def function_score(
+    docs: DataFrame, expr: str, k: int | None = None
+) -> DataFrame:
+    """FunctionQuery / expressions-module analog: score every doc by a SQL
+    expression over its (doc-values) columns — Spark's ``expr()`` IS the
+    compiled expression engine (richer than
+    ``expressions/js/JavascriptCompiler.java``)."""
+    scored = docs.select("doc_id", F.expr(expr).cast("double").alias("score"))
+    if k is None:
+        return scored
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return topk.withColumn("rank", w.cast("int"))
+
+
 def search_after(
     scored: DataFrame, after_score: float, after_doc: int, k: int
 ) -> DataFrame:

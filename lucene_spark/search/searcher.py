@@ -145,16 +145,25 @@ class IndexSearcher:
         query = rewrite_to_fixpoint(self._expand_multiterm(query))
         stats = self._termstats(collect_terms(query))
 
-        if strategy != "flat" and self.index.blocks is not None:
+        # buffered deletes force the flat path: WAND's per-segment heaps
+        # would let deleted docs crowd out live hits (Lucene checks liveDocs
+        # inside the scorer; our delete set applies as a final anti-join)
+        if (
+            strategy != "flat"
+            and self.index.blocks is not None
+            and self.index.deletes is None
+        ):
             shape = self._wand_shape(query)
             if shape is not None:
                 return self._search_wand(shape[0], shape[1], stats, k)
             if strategy == "wand":
                 raise ValueError("query shape not supported by the WAND path")
         elif strategy == "wand":
-            raise ValueError("index has no blocks table (build_blocks=True)")
+            raise ValueError(
+                "index has no blocks table (build_blocks=True) or has deletes"
+            )
 
-        scored = self._score(query, stats, boost=1.0)
+        scored = self._apply_deletes(self._score(query, stats, boost=1.0))
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         # rank over the <=k collected hits (tiny single-partition window)
         w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
@@ -168,7 +177,7 @@ class IndexSearcher:
             query = parse(query)
         query = rewrite_to_fixpoint(self._expand_multiterm(rewrite_to_fixpoint(query)))
         stats = self._termstats(collect_terms(query))
-        return self._score(query, stats, boost=1.0).count()
+        return self._apply_deletes(self._score(query, stats, boost=1.0)).count()
 
     def score_all(self, query: Query | str, stats=None) -> DataFrame:
         """All matching docs with scores (the brute-force/oracle path)."""
@@ -178,7 +187,14 @@ class IndexSearcher:
             query = parse(query)
         query = rewrite_to_fixpoint(self._expand_multiterm(rewrite_to_fixpoint(query)))
         stats = stats or self._termstats(collect_terms(query))
-        return self._score(query, stats, boost=1.0)
+        return self._apply_deletes(self._score(query, stats, boost=1.0))
+
+    def _apply_deletes(self, scored: DataFrame) -> DataFrame:
+        """Live-docs filter: anti-join the buffered delete set
+        (PendingDeletes / Lucene90LiveDocsFormat semantics)."""
+        if self.index.deletes is None:
+            return scored
+        return scored.join(self.index.deletes, "doc_id", "left_anti")
 
     # ------------------------------------------------------------- WAND path
 
