@@ -136,6 +136,32 @@ def _q_termstats_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classic_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(_searcher(spark, sf_dir).index, similarity="classic")
+    return _as_gate_schema(s.search("merge", k=10))
+
+
+def _q_boolean_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(_searcher(spark, sf_dir).index, similarity="boolean")
+    return _as_gate_schema(s.search("merge", k=400))
+
+
+def _q_prefix_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_gate_schema(_searcher(spark, sf_dir).search("mer*", k=400))
+
+
+def _q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_gate_schema(_searcher(spark, sf_dir).search("s?an", k=400))
+
+
+def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _as_gate_schema(_searcher(spark, sf_dir).search("merge~1", k=400))
+
+
 def _q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.search.query import DisjunctionMaxQuery, TermQuery
 
@@ -343,6 +369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax_topk": _q_dismax_topk,
         "bm25_synonym_topk": _q_synonym_topk,
         "bm25_msm_topk": _q_msm_topk,
+        "classic_tfidf_topk": _q_classic_topk,
+        "boolean_sim_topk": _q_boolean_sim_topk,
+        "prefix_topk": _q_prefix_topk,
+        "wildcard_topk": _q_wildcard_topk,
+        "fuzzy_topk": _q_fuzzy_topk,
         "term_count": _q_term_count,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
@@ -380,6 +411,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax_topk": osql.dismax_topk_sql("data", "scan", 0.3, 12),
         "bm25_synonym_topk": osql.synonym_topk_sql(["fast", "slow"], 12),
         "bm25_msm_topk": osql.msm_topk_sql(["data", "row", "scan"], 2, 12),
+        "classic_tfidf_topk": osql.classic_term_topk_sql("merge", 10),
+        "boolean_sim_topk": osql.boolean_sim_term_topk_sql("merge", 400),
+        "prefix_topk": osql.prefix_topk_sql("mer", 400),
+        "wildcard_topk": osql.wildcard_topk_sql("s_an", 400),
+        "fuzzy_topk": osql.fuzzy_topk_sql("merge", 1, 400),
         "term_count": osql.term_count_sql("merge"),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),

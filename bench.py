@@ -75,13 +75,19 @@ def run_bench() -> dict:
         1_000, int(sf * 100_000)
     )
 
+    extra = {"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "24g")}
+    if os.path.isdir("/dev/shm"):
+        # tmpfs shuffle/spill dirs: on one box a single shared disk is an
+        # artificial bottleneck that a real cluster doesn't have (every
+        # executor brings its own local disks)
+        extra["spark.local.dir"] = "/dev/shm/lucene_spark_tmp"
     spark = get_spark(
         "lucene_spark_bench",
         cores=CPUS,
         # 3× cores: stage tails from skewed conversations don't stall a
         # whole stage (AQE coalesces the small ones back)
         shuffle_partitions=3 * CPUS,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "24g")},
+        extra_conf=extra,
     )
 
     # corpus materialization is NOT timed: the reference's AddDoc benchmark
@@ -167,7 +173,7 @@ def _pregenerate_corpus(n_convs: int) -> str:
     return path
 
 
-def run_scaling(levels=(4, 16), n_convs: int = 1_800_000, repeats: int = 2) -> dict:
+def run_scaling(levels=(4, 16), n_convs: int = 470_000, repeats: int = 3) -> dict:
     """Same job at two parallelism levels (north-rule N vs 4N evidence).
 
     Uses a compute-bound pre-generated corpus (~15M turns) regardless of

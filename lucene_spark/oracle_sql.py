@@ -355,6 +355,68 @@ LIMIT {top_n}
 """
 
 
+def classic_term_topk_sql(term: str, k: int) -> str:
+    """ClassicSimilarity (TF-IDF): idf=(f32)(ln((N+1)/(df+1))+1), tf=(f32)
+    sqrt(freq), lengthNorm=(f32)(1/sqrt(qlen)); score = (w·tf)·norm with
+    per-op float32 rounding (TFIDFSimilarity.java)."""
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+w AS (
+    SELECT CAST(ln((fs.n + 1) / CAST(st.df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w
+    FROM fs, (SELECT count(*)::BIGINT AS df FROM tf_a) st
+),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(CAST(w.w * CAST(sqrt(CAST(tf.freq AS DOUBLE)) AS FLOAT) AS FLOAT)
+                * CAST(1.0 / sqrt(CAST(n.qlen AS DOUBLE)) AS FLOAT) AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
+def boolean_sim_term_topk_sql(term: str, k: int) -> str:
+    """BooleanSimilarity: every match scores the boost (1.0)."""
+    return f"""
+WITH {BASE_CTES},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{term}')
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) - 1 AS INT) AS rank
+FROM matched ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def _constant_score_docs_sql(term_cond: str, k: int) -> str:
+    """CONSTANT_SCORE multi-term rewrite (MultiTermQuery.java:80-128): docs
+    containing ANY term matching ``term_cond``, score 1.0, docID order."""
+    return f"""
+WITH {BASE_CTES},
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE {term_cond})
+SELECT doc_id, CAST(1.0 AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY doc_id ASC) - 1 AS INT) AS rank
+FROM matched ORDER BY doc_id ASC LIMIT {k}
+"""
+
+
+def prefix_topk_sql(prefix: str, k: int) -> str:
+    return _constant_score_docs_sql(f"term LIKE '{prefix}%'", k)
+
+
+def wildcard_topk_sql(like_pattern: str, k: int) -> str:
+    return _constant_score_docs_sql(f"term LIKE '{like_pattern}'", k)
+
+
+def fuzzy_topk_sql(term: str, max_edits: int, k: int) -> str:
+    return _constant_score_docs_sql(
+        f"length(term) BETWEEN {len(term) - max_edits} AND {len(term) + max_edits} "
+        f"AND levenshtein(term, '{term}') <= {max_edits}",
+        k,
+    )
+
+
 def sort_by_field_sql(term: str, value_col: str, k: int) -> str:
     """TopFieldCollector: hit set sorted by (value_col DESC, doc_id ASC)."""
     return f"""

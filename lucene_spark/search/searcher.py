@@ -80,6 +80,19 @@ def _make_score_udf(weight: float, cache: np.ndarray):
     return score
 
 
+def _make_leaf_udf(leaf):
+    """Vectorized SimScorer UDF for any pluggable Similarity leaf."""
+
+    @F.pandas_udf(T.FloatType())
+    def score(freq: pd.Series, norm_byte: pd.Series) -> pd.Series:
+        s = leaf.score(
+            freq.to_numpy(dtype=np.float32), norm_byte.to_numpy(dtype=np.int64)
+        )
+        return pd.Series(s, dtype="float32")
+
+    return score
+
+
 def wildcard_to_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -93,10 +106,21 @@ def wildcard_to_regex(pattern: str) -> str:
 
 
 class IndexSearcher:
-    def __init__(self, index: IndexTables, k1: float = bm25.K1, b: float = bm25.B):
+    def __init__(
+        self,
+        index: IndexTables,
+        k1: float = bm25.K1,
+        b: float = bm25.B,
+        similarity="bm25",
+    ):
+        from lucene_spark.search.similarities import BM25Similarity, resolve
+
         self.index = index
         self.k1 = k1
         self.b = b
+        self.similarity = (
+            BM25Similarity(k1, b) if similarity == "bm25" else resolve(similarity)
+        )
         self._spark = index.postings.sparkSession
         self._fieldstats_cache: dict[str, tuple[int, int]] | None = None
 
@@ -152,6 +176,7 @@ class IndexSearcher:
             strategy != "flat"
             and self.index.blocks is not None
             and self.index.deletes is None
+            and self.similarity.supports_wand
         ):
             shape = self._wand_shape(query)
             if shape is not None:
@@ -360,10 +385,10 @@ class IndexSearcher:
             return self._empty_scored()
 
         doc_count, sttf = self._fieldstats()[q.field]
-        idfs = [bm25.idf(stats[(q.field, t)][0], doc_count) for t in q.terms]
+        idfs = [self.similarity.idf(stats[(q.field, t)][0], doc_count) for t in q.terms]
         weight = np.float32(boost) * bm25.sum_idf(idfs)
-        cache = bm25.norm_inverse_cache(bm25.avgdl(sttf, doc_count), self.k1, self.b)
-        score_udf = _make_score_udf(weight, cache)
+        leaf = self.similarity.leaf_scorer_from_weight(weight, doc_count, sttf)
+        score_udf = _make_leaf_udf(leaf)
 
         pos = self.index.positions.filter(F.col("field") == q.field)
 
@@ -400,10 +425,8 @@ class IndexSearcher:
             return self._empty_scored()
         doc_freq, _ttf = st
         doc_count, sttf = self._fieldstats()[field]
-        scorer = bm25.BM25Scorer(
-            doc_freq, doc_count, sttf, boost=boost, k1=self.k1, b=self.b
-        )
-        score_udf = _make_score_udf(scorer.weight, scorer.cache)
+        leaf = self.similarity.leaf_scorer(boost, doc_freq, doc_count, sttf)
+        score_udf = _make_leaf_udf(leaf)
         matched = self.index.postings.filter(
             (F.col("field") == field) & (F.col("term") == term)
         ).select("doc_id", "freq")
@@ -422,8 +445,8 @@ class IndexSearcher:
             return self._empty_scored()
         doc_freq = max(stats[(q.field, t)][0] for t in present)
         doc_count, sttf = self._fieldstats()[q.field]
-        scorer = bm25.BM25Scorer(doc_freq, doc_count, sttf, boost=boost, k1=self.k1, b=self.b)
-        score_udf = _make_score_udf(scorer.weight, scorer.cache)
+        leaf = self.similarity.leaf_scorer(boost, doc_freq, doc_count, sttf)
+        score_udf = _make_leaf_udf(leaf)
         merged = (
             self.index.postings.filter(
                 (F.col("field") == q.field) & F.col("term").isin(present)
