@@ -270,6 +270,63 @@ def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf([s.score_all("merge"), s.score_all("join")], k=60, top_n=15)
 
 
+# -------------------------------------------------------- features gate
+
+
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.features import suggest_terms
+
+    return suggest_terms(_searcher(spark, sf_dir).index, "merg", k=5, max_edits=2)
+
+
+def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.features import term_vectors
+
+    return term_vectors(_searcher(spark, sf_dir).index, [1, 2, 3])
+
+
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.features import more_like_this
+
+    s = _searcher(spark, sf_dir)
+    q = more_like_this(s.index, doc_id=0, max_terms=3)
+    return _as_gate_schema(s.search(q, k=10))
+
+
+def _q_distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import distinct_values
+
+    s = _searcher(spark, sf_dir)
+    return distinct_values(s.score_all("merge"), _docs(spark, sf_dir), "source")
+
+
+def _q_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.features import join_query
+
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    out = join_query(s.score_all("merge"), docs, "source", docs, "source")
+    return out.select("doc_id").orderBy("doc_id")
+
+
+def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.collectors import drill_sideways
+
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    base = s.score_all("merge").select("doc_id")
+    dims = {
+        "source": docs.filter(F.col("source") == "src1").select("doc_id"),
+        "lang": docs.filter(F.col("lang") == "en").select("doc_id"),
+    }
+    counts = drill_sideways(dims, base, docs)
+    union = None
+    for dim in ("lang", "source"):
+        part = counts[dim].select(F.lit(dim).alias("dim"), "label", "n")
+        union = part if union is None else union.unionByName(part)
+    return union.orderBy("dim", "label")
+
+
 # ------------------------------------------------- training-data extras gate
 
 
@@ -385,6 +442,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_merge_join": _q_rrf,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
+        "suggest_terms": _q_suggest,
+        "term_vectors": _q_term_vectors,
+        "more_like_this_topk": _q_mlt,
+        "distinct_values": _q_distinct_values,
+        "join_query": _q_join_query,
+        "drill_sideways": _q_drill_sideways,
         "dedup_exact_groups": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -429,6 +492,12 @@ def oracle_sql() -> dict[str, str]:
         "function_score_topk": osql.function_score_sql(
             "(n_chars % 97) * 0.5 + (doc_id % 7)", 10
         ),
+        "suggest_terms": osql.suggest_terms_sql("merg", 2, 5),
+        "term_vectors": osql.term_vectors_sql([1, 2, 3]),
+        "more_like_this_topk": osql.mlt_topk_sql(0, 3, 10),
+        "distinct_values": osql.distinct_values_sql("merge", "source"),
+        "join_query": osql.join_query_sql("merge", "source", "source"),
+        "drill_sideways": osql.drill_sideways_sql("merge", "src1", "en"),
         "dedup_exact_groups": xor.exact_dup_groups_sql(),
         "dedup_ngram_jaccard": xor.ngram_jaccard_pairs_sql(0.5),
         "dedup_minhash_lsh": xor.minhash_lsh_pairs_sql(threshold=0.5),

@@ -267,6 +267,115 @@ combined AS (
 """
 
 
+def suggest_terms_sql(text: str, max_edits: int, k: int) -> str:
+    """DirectSpellChecker ranking: (distance ASC, docFreq DESC, term ASC)."""
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq FROM toks GROUP BY term
+)
+SELECT term, CAST(levenshtein(term, '{text}') AS INT) AS distance, doc_freq
+FROM ts
+WHERE length(term) BETWEEN {len(text) - max_edits} AND {len(text) + max_edits}
+  AND term <> '{text}'
+  AND levenshtein(term, '{text}') <= {max_edits}
+ORDER BY distance ASC, doc_freq DESC, term ASC
+LIMIT {k}
+"""
+
+
+def term_vectors_sql(doc_ids: list[int]) -> str:
+    ids = ", ".join(str(int(d)) for d in doc_ids)
+    return f"""
+WITH {BASE_CTES}
+SELECT doc_id, term, count(*)::INT AS freq
+FROM toks WHERE doc_id IN ({ids})
+GROUP BY doc_id, term
+ORDER BY doc_id, term
+"""
+
+
+def mlt_topk_sql(source_doc_id: int, max_terms: int, k: int) -> str:
+    """MoreLikeThis: top tf·idf terms of the source doc → OR query, BM25."""
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+),
+src_tf AS (
+    SELECT term, count(*)::BIGINT AS freq FROM toks
+    WHERE doc_id = {source_doc_id} GROUP BY term
+),
+sel AS (
+    SELECT s.term
+    FROM src_tf s JOIN ts USING (term) CROSS JOIN fs
+    ORDER BY s.freq * ln(1 + (fs.n - ts.df + 0.5) / (ts.df + 0.5)) DESC, s.term ASC
+    LIMIT {max_terms}
+),
+tf AS (
+    SELECT doc_id, term, count(*)::INT AS freq FROM toks
+    WHERE term IN (SELECT term FROM sel) GROUP BY doc_id, term
+),
+w AS (
+    SELECT ts.term,
+           CAST(ln(1 + (fs.n - ts.df + 0.5) / (ts.df + 0.5)) AS FLOAT) AS w,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM ts, fs WHERE ts.term IN (SELECT term FROM sel)
+),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(tf.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(n.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM tf JOIN w USING (term) JOIN norm n USING (doc_id)
+),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM sc GROUP BY doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def distinct_values_sql(term: str, col: str) -> str:
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT DISTINCT d.{col} AS value
+FROM sc_a JOIN documents d USING (doc_id)
+ORDER BY value
+"""
+
+
+def join_query_sql(term: str, from_col: str, to_col: str) -> str:
+    """JoinUtil: docs whose ``to_col`` matches any hit's ``from_col``."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+keys AS (
+    SELECT DISTINCT d.{from_col} AS k
+    FROM sc_a JOIN documents d USING (doc_id)
+)
+SELECT doc_id FROM documents WHERE {to_col} IN (SELECT k FROM keys)
+ORDER BY doc_id
+"""
+
+
+def drill_sideways_sql(term: str, source_val: str, lang_val: str) -> str:
+    """Two-dim drill-sideways: each dim's counts exclude its own filter."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT 'source' AS dim, d.source AS label, count(*)::BIGINT AS n
+FROM sc_a JOIN documents d USING (doc_id)
+WHERE d.lang = '{lang_val}'
+GROUP BY d.source
+UNION ALL
+SELECT 'lang' AS dim, d.lang AS label, count(*)::BIGINT AS n
+FROM sc_a JOIN documents d USING (doc_id)
+WHERE d.source = '{source_val}'
+GROUP BY d.lang
+ORDER BY dim, label
+"""
+
+
 def facet_counts_sql(term: str, facet_col: str) -> str:
     return f"""
 WITH {BASE_CTES}, {_term_cte('a', term)}

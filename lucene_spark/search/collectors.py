@@ -141,6 +141,46 @@ def function_score(
     return topk.withColumn("rank", w.cast("int"))
 
 
+def distinct_values(scored: DataFrame, docmeta: DataFrame, col: str) -> DataFrame:
+    """AllGroupsCollector/DistinctValuesCollector: distinct values of
+    ``col`` over the hit set + total distinct count column."""
+    vals = (
+        scored.join(docmeta.select("doc_id", col), "doc_id")
+        .select(F.col(col).alias("value"))
+        .distinct()
+        .orderBy("value")
+    )
+    return vals
+
+
+def drill_sideways(
+    dim_hits: dict[str, DataFrame],
+    base_hits: DataFrame | None,
+    docmeta: DataFrame,
+) -> dict[str, DataFrame]:
+    """DrillSideways (facet/DrillSideways.java): for each drilled dimension,
+    facet counts computed with every OTHER dimension's filter applied but
+    its own dropped (the N+1 aggregations share the per-dim hit sets).
+
+    ``dim_hits[dim]`` = docs passing that dim's drill-down filter;
+    ``base_hits`` = docs matching the base query (or None = match-all).
+    Returns {dim: (label, n) facet counts over docmeta[dim]}.
+    """
+    out = {}
+    dims = list(dim_hits)
+    for dim in dims:
+        hits = base_hits
+        for other in dims:
+            if other == dim:
+                continue
+            oh = dim_hits[other].select("doc_id")
+            hits = oh if hits is None else hits.join(oh, "doc_id", "left_semi")
+        if hits is None:
+            hits = docmeta.select("doc_id")
+        out[dim] = facet_counts(hits.select("doc_id"), docmeta, dim)
+    return out
+
+
 def search_after(
     scored: DataFrame, after_score: float, after_doc: int, k: int
 ) -> DataFrame:

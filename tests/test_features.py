@@ -1,0 +1,86 @@
+"""Search features: MLT, suggest, term vectors, stored-field fetch, highlight,
+query-time join (oracle parity for most is in the driver gate)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.index.builder import build_index
+from lucene_spark.search.features import (
+    fetch_docs,
+    highlight,
+    interesting_terms,
+    join_query,
+    more_like_this,
+    suggest_terms,
+    term_vectors,
+)
+from lucene_spark.search.searcher import IndexSearcher
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
+    rows = [
+        (0, "spark index merge merge merge", "s0"),
+        (1, "spark query planner", "s0"),
+        (2, "merge sort algorithm details", "s1"),
+        (3, "unrelated cooking recipe text", "s1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+@pytest.fixture(scope="module")
+def idx(corpus):
+    i = build_index(corpus, doc_id_col="doc_id").persist()
+    yield i
+    i.unpersist()
+
+
+def test_interesting_terms_rank_rare_frequent_terms_first(idx):
+    terms = interesting_terms(idx, 0, max_terms=2)
+    assert terms[0] == "merge"  # freq 3 in doc, moderately rare
+
+
+def test_mlt_finds_similar_docs(idx):
+    s = IndexSearcher(idx)
+    q = more_like_this(idx, 0, max_terms=3)
+    hits = [r.doc_id for r in s.search(q, k=4).collect()]
+    assert hits[0] == 0  # the source doc matches itself best
+    assert 2 in hits and 1 in hits  # shares 'merge' / 'spark'
+    assert 3 not in hits
+
+
+def test_suggest_terms(idx):
+    out = [(r.term, r.distance) for r in suggest_terms(idx, "merg", k=3).collect()]
+    assert out[0] == ("merge", 1)
+
+
+def test_term_vectors(idx):
+    tv = [(r.doc_id, r.term, r.freq) for r in term_vectors(idx, [0]).collect()]
+    assert (0, "merge", 3) in tv and (0, "spark", 1) in tv
+
+
+def test_fetch_docs_stored_fields(idx, corpus):
+    s = IndexSearcher(idx)
+    hits = s.search("spark", k=5)
+    out = fetch_docs(hits, corpus, ["text", "source"]).collect()
+    assert all(r.text is not None and r.source is not None for r in out)
+    assert len(out) == 2
+
+
+def test_highlight(idx, corpus):
+    s = IndexSearcher(idx)
+    hits = fetch_docs(s.search("spark", k=5), corpus, ["text"])
+    hl = {r.doc_id: r.highlighted for r in highlight(hits, ["spark"]).collect()}
+    assert hl[1] == "<b>spark</b> query planner"
+
+
+def test_join_query(idx, corpus):
+    s = IndexSearcher(idx)
+    hits = s.score_all("query")  # only doc 1 (source s0)
+    out = sorted(
+        r.doc_id for r in join_query(hits, corpus, "source", corpus, "source").collect()
+    )
+    assert out == [0, 1]  # all docs in source s0
