@@ -273,6 +273,20 @@ def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------- features gate
 
 
+def _q_hybrid_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scoring + Catalyst-pushed numeric range filter (BKD analog)."""
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    docs = _docs(spark, sf_dir).filter(F.col("n_chars").between(200, 350))
+    scored = s.score_all("merge").join(docs.select("doc_id"), "doc_id", "left_semi")
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return topk.select(
+        "doc_id", F.col("score").cast("double").alias("score")
+    ).withColumn("rank", w.cast("int"))
+
+
 def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.search.features import suggest_terms
 
@@ -442,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_merge_join": _q_rrf,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
+        "hybrid_range_topk": _q_hybrid_range,
         "suggest_terms": _q_suggest,
         "term_vectors": _q_term_vectors,
         "more_like_this_topk": _q_mlt,
@@ -492,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "function_score_topk": osql.function_score_sql(
             "(n_chars % 97) * 0.5 + (doc_id % 7)", 10
         ),
+        "hybrid_range_topk": osql.hybrid_range_topk_sql("merge", "n_chars", 200, 350, 10),
         "suggest_terms": osql.suggest_terms_sql("merg", 2, 5),
         "term_vectors": osql.term_vectors_sql([1, 2, 3]),
         "more_like_this_topk": osql.mlt_topk_sql(0, 3, 10),

@@ -90,16 +90,45 @@ class StandardAnalyzer:
         self,
         stop_words: Iterable[str] | None = None,
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
+        token_filters: tuple = (),
+        post_stop_filters: tuple = (),
     ):
+        """``token_filters`` / ``post_stop_filters``: extra ``str -> str |
+        None`` filters (the TokenFilter extension point,
+        ``analysis/Analyzer.java:85-95``).  Chain order mirrors
+        EnglishAnalyzer: lowercase → token_filters (possessive, folding) →
+        stop removal → post_stop_filters (stemming) — stemming must run
+        after stops or "was" would stem to the non-stopword "wa".  See
+        :mod:`lucene_spark.analysis.filters` for implementations."""
         self.stop_words = frozenset(stop_words) if stop_words else frozenset()
         self.max_token_length = max_token_length
+        self.token_filters = tuple(token_filters)
+        self.post_stop_filters = tuple(post_stop_filters)
+
+    def _post(self, token: str) -> str | None:
+        t = java_lower(token)
+        for f in self.token_filters:
+            t = f(t)
+            if t is None:
+                return None
+        if t in self.stop_words:
+            return None
+        for f in self.post_stop_filters:
+            t = f(t)
+            if t is None:
+                return None
+        return t
 
     def analyze(self, text: str) -> list[str]:
         toks = tokenize(text, self.max_token_length)
-        stops = self.stop_words
-        if stops:
-            return [t for t in (java_lower(x) for x in toks) if t not in stops]
-        return [java_lower(x) for x in toks]
+        if not self.token_filters and not self.post_stop_filters and not self.stop_words:
+            return [java_lower(x) for x in toks]
+        out = []
+        for x in toks:
+            t = self._post(x)
+            if t is not None:
+                out.append(t)
+        return out
 
     def analyze_series(self, texts: pd.Series) -> pd.Series:
         """Vectorized batch form for pandas/Arrow UDFs."""
@@ -117,8 +146,8 @@ class StandardAnalyzer:
         for pos, t in enumerate(_TOKEN_RE.findall(text)):
             if len(t) > self.max_token_length:
                 continue
-            lt = java_lower(t)
-            if lt in self.stop_words:
+            lt = self._post(t)
+            if lt is None:
                 continue
             out.append((lt, pos))
         return out

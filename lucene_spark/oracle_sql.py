@@ -376,6 +376,20 @@ ORDER BY dim, label
 """
 
 
+def hybrid_range_topk_sql(term: str, value_col: str, lo: int, hi: int, k: int) -> str:
+    """BM25 term + numeric doc-values range filter (PointRangeQuery /
+    IndexOrDocValuesQuery pattern: the filter contributes no score)."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)}
+SELECT doc_id, CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS INT) AS rank
+FROM sc_a JOIN documents d USING (doc_id)
+WHERE d.{value_col} BETWEEN {lo} AND {hi}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def facet_counts_sql(term: str, facet_col: str) -> str:
     return f"""
 WITH {BASE_CTES}, {_term_cte('a', term)}

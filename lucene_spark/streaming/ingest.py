@@ -136,6 +136,38 @@ def append_batch(
     return {"segment": seg, "rows": n_rows, "doc_base": base, "epoch": epoch_id}
 
 
+def update_documents(
+    batch: DataFrame,
+    index_dir: str,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    **kwargs,
+) -> dict:
+    """IndexWriter.updateDocument (``index/IndexWriter.java:1844``): atomic
+    delete-by-key + add — existing docs whose ``key_cols`` match a batch row
+    are soft-deleted (applied at the next merge), and the batch is appended
+    as a new segment.  The new docs win every query from this commit on.
+    """
+    spark = batch.sparkSession
+    docmap_path = os.path.join(index_dir, "docmap")
+    if os.path.isdir(docmap_path):
+        docmap = spark.read.parquet(docmap_path)
+        victims = (
+            docmap.join(
+                F.broadcast(batch.select(*key_cols).distinct()), list(key_cols)
+            )
+            .select("doc_id")
+            .distinct()
+        )
+        n_victims = victims.count()
+        if n_victims:
+            victims.write.mode("append").parquet(os.path.join(index_dir, "deletes"))
+    else:
+        n_victims = 0
+    rec = append_batch(batch, index_dir, key_cols=key_cols, **kwargs)
+    rec["deleted"] = n_victims
+    return rec
+
+
 def stream_to_index(
     stream: DataFrame,
     index_dir: str,

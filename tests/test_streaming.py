@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from lucene_spark.index.segments import read_index
 from lucene_spark.search.searcher import IndexSearcher
-from lucene_spark.streaming.ingest import append_batch
+from lucene_spark.streaming.ingest import append_batch, update_documents
 from lucene_spark.streaming.percolator import Monitor
 
 
@@ -113,3 +113,25 @@ def test_nrt_append_batches(spark, tmp_path):
     )
     assert r3.get("skipped") is True
     assert IndexSearcher(read_index(spark, d)).search("spark", k=10).count() == 3
+
+
+def test_update_documents(spark, tmp_path):
+    """updateDocument = atomic delete-by-key + add: new version wins."""
+    d = str(tmp_path / "idx_upd")
+    append_batch(
+        _batch(spark, [("a", 0, "old spark text"), ("a", 1, "keep me spark")]),
+        d,
+        epoch_id=0,
+    )
+    rec = update_documents(
+        _batch(spark, [("a", 0, "new replacement words")]), d, epoch_id=1
+    )
+    assert rec["deleted"] == 1
+
+    idx = read_index(spark, d)
+    s = IndexSearcher(idx)
+    assert s.count("old") == 0  # old version invisible
+    assert s.count("replacement") == 1
+    assert s.count("spark") == 1  # only the untouched turn remains
+    # docmap still has the tombstoned row until compaction; deletes table set
+    assert idx.deletes is not None and idx.deletes.count() == 1
