@@ -162,6 +162,11 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_gate_schema(_searcher(spark, sf_dir).search("merge~1", k=400))
 
 
+def _q_sloppy_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sloppy phrase (window semantics, see searcher._score_sloppy_phrase)."""
+    return _as_gate_schema(_searcher(spark, sf_dir).search('"table value"~3', k=10))
+
+
 def _q_dismax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.search.query import DisjunctionMaxQuery, TermQuery
 
@@ -437,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_or3_topk": _q_wand_or3_topk,
         "bm25_flat_term_topk": _q_flat_term_topk,
         "bm25_phrase_topk": _q_phrase_topk,
+        "bm25_sloppy_phrase_topk": _q_sloppy_phrase_topk,
         "bm25_dismax_topk": _q_dismax_topk,
         "bm25_synonym_topk": _q_synonym_topk,
         "bm25_msm_topk": _q_msm_topk,
@@ -486,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_wand_or3_topk": osql.multi_or_topk_sql(["data", "row", "scan"], 12),
         "bm25_flat_term_topk": osql.term_topk_sql("batch", 10),
         "bm25_phrase_topk": osql.phrase_topk_sql(["table", "value"], 10),
+        "bm25_sloppy_phrase_topk": osql.sloppy_phrase_topk_sql("table", "value", 3, 10),
         "bm25_dismax_topk": osql.dismax_topk_sql("data", "scan", 0.3, 12),
         "bm25_synonym_topk": osql.synonym_topk_sql(["fast", "slow"], 12),
         "bm25_msm_topk": osql.msm_topk_sql(["data", "row", "scan"], 2, 12),

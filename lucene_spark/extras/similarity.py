@@ -82,6 +82,56 @@ def _code_of(query_vec, planes: np.ndarray) -> int:
     return int(bits @ (np.int64(1) << np.arange(planes.shape[1], dtype=np.int64)))
 
 
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nbits: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic cosine near-dup pairs: ``bands`` independent
+    hyperplane tables; a pair is a candidate if it shares a bucket in ANY
+    table (banding boosts recall exactly like MinHash bands), then exact
+    cosine verification keeps precision at 1.  Work = O(n·bands) codes +
+    O(candidate pairs) — never the n² of
+    :func:`~lucene_spark.extras.dedup.embedding_near_dup_pairs`."""
+    from lucene_spark.extras.dedup import cosine_expr
+
+    cand = None
+    for b in range(bands):
+        dim = len(emb.select(vec_col).first()[0])
+        planes = hyperplanes(dim, nbits, seed + 1000 * b)
+        coded = hyperplane_codes(emb, planes, id_col, vec_col).withColumn(
+            "band", F.lit(b)
+        )
+        pairs = (
+            coded.alias("x")
+            .join(coded.alias("y"), ["band", "code"])
+            .where(F.col("x.vec_id") < F.col("y.vec_id"))
+            .select(
+                F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+            )
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return (
+        cand.join(e.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(e.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def knn_lsh(
     emb: DataFrame,
     query_vec,

@@ -563,6 +563,51 @@ LIMIT {k}
 """
 
 
+def sloppy_phrase_topk_sql(term_a: str, term_b: str, slop: int, k: int) -> str:
+    """Two-term sloppy phrase per the engine's documented window spec:
+    anchor on term-0 shifted positions, nearest term-1 shifted position,
+    freq = count of anchors with span <= slop (integer)."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+p0 AS (SELECT doc_id, pos AS s FROM tp WHERE term = '{term_a}'),
+p1 AS (SELECT doc_id, pos - 1 AS s FROM tp WHERE term = '{term_b}'),
+near AS (
+    SELECT p0.doc_id, p0.s AS a, min(abs(p1.s - p0.s)) AS span
+    FROM p0 JOIN p1 USING (doc_id)
+    GROUP BY p0.doc_id, p0.s
+),
+m AS (
+    SELECT doc_id, count(*) FILTER (WHERE span <= {slop})::INT AS freq
+    FROM near GROUP BY doc_id
+),
+mm AS (SELECT * FROM m WHERE freq > 0),
+w AS (
+    SELECT CAST(
+        CAST(CAST(ln(1 + (fs.n - (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_a}') + 0.5)
+             / ((SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_a}') + 0.5)) AS FLOAT) AS DOUBLE)
+      + CAST(CAST(ln(1 + (fs.n - (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_b}') + 0.5)
+             / ((SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_b}') + 0.5)) AS FLOAT) AS DOUBLE)
+      AS FLOAT) AS w,
+      CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs
+),
+sc AS (
+    SELECT mm.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(mm.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(nm.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM mm JOIN norm nm USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
 def term_count_sql(term: str) -> str:
     return f"""
 WITH {BASE_CTES}

@@ -123,6 +123,9 @@ class IndexSearcher:
         )
         self._spark = index.postings.sparkSession
         self._fieldstats_cache: dict[str, tuple[int, int]] | None = None
+        # TermStates cache (index/TermStates.java): stats are immutable per
+        # reader/snapshot, so repeated queries skip the lookup job
+        self._termstats_memo: dict[tuple[str, str], tuple[int, int] | None] = {}
 
     # ------------------------------------------------------------------ stats
 
@@ -136,19 +139,28 @@ class IndexSearcher:
         return self._fieldstats_cache
 
     def _termstats(self, terms: set[tuple[str, str]]) -> dict[tuple[str, str], tuple[int, int]]:
-        """One driver lookup for all query terms (TermStates resolution)."""
-        if not terms:
-            return {}
-        by_field: dict[str, list[str]] = {}
-        for f_, t_ in terms:
-            by_field.setdefault(f_, []).append(t_)
-        conds = [
-            (F.col("field") == f_) & F.col("term").isin(ts) for f_, ts in by_field.items()
-        ]
-        rows = self.index.termstats.filter(reduce(lambda a, b: a | b, conds)).collect()
+        """One driver lookup for all *unseen* query terms (TermStates
+        resolution, memoized per searcher)."""
+        missing = [t for t in terms if t not in self._termstats_memo]
+        if missing:
+            by_field: dict[str, list[str]] = {}
+            for f_, t_ in missing:
+                by_field.setdefault(f_, []).append(t_)
+            conds = [
+                (F.col("field") == f_) & F.col("term").isin(ts)
+                for f_, ts in by_field.items()
+            ]
+            rows = self.index.termstats.filter(reduce(lambda a, b: a | b, conds)).collect()
+            found = {
+                (r["field"], r["term"]): (int(r["doc_freq"]), int(r["total_term_freq"]))
+                for r in rows
+            }
+            for key in missing:
+                self._termstats_memo[key] = found.get(key)
         return {
-            (r["field"], r["term"]): (int(r["doc_freq"]), int(r["total_term_freq"]))
-            for r in rows
+            t: self._termstats_memo[t]
+            for t in terms
+            if self._termstats_memo.get(t) is not None
         }
 
     # ------------------------------------------------------------------ public
@@ -220,6 +232,91 @@ class IndexSearcher:
         if self.index.deletes is None:
             return scored
         return scored.join(self.index.deletes, "doc_id", "left_anti")
+
+    def _score_sloppy_phrase(self, q: PhraseQuery, stats, boost: float) -> DataFrame:
+        """Sloppy phrase (slop > 0) with documented *window* semantics.
+
+        A doc matches when an offset-adjusted position choice
+        ``s_i = p_i - i`` exists per term with span ``max(s) - min(s) <=
+        slop``.  Phrase freq = the number of term-0 anchors whose greedy
+        alignment (each other term picks its nearest shifted position)
+        stays within slop — an integer, so the BM25 math remains exactly
+        reproducible.  NOTE: this is Lucene-inspired, NOT rank-identical to
+        ``SloppyPhraseMatcher`` (Lucene weights each match 1/(1+matchLength)
+        and uses a different match enumeration); the contract here is
+        exactness against this documented spec (oracle-gated).
+        """
+        if not q.terms:
+            return self._empty_scored()
+        if any((q.field, t) not in stats for t in q.terms):
+            return self._empty_scored()
+
+        doc_count, sttf = self._fieldstats()[q.field]
+        idfs = [self.similarity.idf(stats[(q.field, t)][0], doc_count) for t in q.terms]
+        weight = np.float32(boost) * bm25.sum_idf(idfs)
+        leaf = self.similarity.leaf_scorer_from_weight(weight, doc_count, sttf)
+        score_udf = _make_leaf_udf(leaf)
+
+        pos = self.index.positions.filter(F.col("field") == q.field)
+
+        def shift_by(off: int):
+            # single-arg lambda (2-arg transform lambdas receive the index)
+            return lambda x: x - F.lit(off)
+
+        joined: DataFrame | None = None
+        for i, t in enumerate(q.terms):
+            p = pos.filter(F.col("term") == t).select(
+                "doc_id",
+                F.transform("positions", shift_by(i)).alias(f"_s{i}"),
+            )
+            joined = p if joined is None else joined.join(p, "doc_id")
+
+        n_terms = len(q.terms)
+        slop = int(q.slop)
+
+        @F.pandas_udf(T.IntegerType())
+        def sloppy_freq(*cols: pd.Series) -> pd.Series:
+            out = np.zeros(len(cols[0]), dtype=np.int32)
+            for r in range(len(cols[0])):
+                anchors = np.asarray(cols[0][r], dtype=np.int64)
+                others = [np.sort(np.asarray(cols[i][r], dtype=np.int64)) for i in range(1, n_terms)]
+                freq = 0
+                for a in anchors:
+                    lo = hi = a
+                    ok = True
+                    for s in others:
+                        j = np.searchsorted(s, a)
+                        best = None
+                        if j < len(s):
+                            best = s[j]
+                        if j > 0 and (best is None or a - s[j - 1] <= best - a):
+                            best = s[j - 1]
+                        if best is None:
+                            ok = False
+                            break
+                        lo = min(lo, best)
+                        hi = max(hi, best)
+                        if hi - lo > slop:
+                            ok = False
+                            break
+                    if ok:
+                        freq += 1
+                out[r] = freq
+            return pd.Series(out, dtype="int32")
+
+        matched = (
+            joined.withColumn(
+                "freq", sloppy_freq(*[F.col(f"_s{i}") for i in range(n_terms)])
+            )
+            .filter(F.col("freq") > 0)
+            .select("doc_id", "freq")
+        )
+        norms = self.index.doclens.filter(F.col("field") == q.field).select(
+            "doc_id", "norm_byte"
+        )
+        return matched.join(norms, "doc_id").select(
+            "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
+        )
 
     # ------------------------------------------------------------- WAND path
 
@@ -377,7 +474,7 @@ class IndexSearcher:
                 "with_positions=True)"
             )
         if q.slop != 0:
-            raise NotImplementedError("sloppy phrases (slop > 0) not implemented")
+            return self._score_sloppy_phrase(q, stats, boost)
         if not q.terms:
             return self._empty_scored()
         missing = [t for t in q.terms if (q.field, t) not in stats]

@@ -126,6 +126,30 @@ def test_knn_lsh_recall_on_planted_neighbors(spark):
     assert recall >= 0.9
 
 
+def test_lsh_near_dup_pairs_recall_and_precision(spark):
+    from lucene_spark.extras.dedup import embedding_near_dup_pairs
+    from lucene_spark.extras.similarity import lsh_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((300, 16))
+    # plant 15 near-dup pairs
+    planted = base[:15] + 0.05 * rng.standard_normal((15, 16))
+    vecs = np.vstack([base, planted])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(emb, threshold=0.9, nbits=8, bands=4).collect()
+    }
+    assert approx <= exact  # precision 1 (verified)
+    assert len(approx) / max(1, len(exact)) >= 0.8  # banding recall
+
+
 def test_token_counts(docs):
     rows = {r.doc_id: r for r in token_counts(docs).collect()}
     assert rows[5].n_ws_tokens == 0 and rows[5].n_bpe_tokens == 0

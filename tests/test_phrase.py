@@ -104,9 +104,32 @@ def test_absent_term_phrase_empty(searcher):
     assert _ids(searcher, '"quick zebra"') == []
 
 
-def test_slop_not_implemented(searcher):
-    with pytest.raises(NotImplementedError):
-        searcher.search('"quick brown"~2', k=5).collect()
+def test_sloppy_phrase_matches_across_hole(searcher):
+    # 'quick the fox': shifted positions quick@0, fox@1 → span 1 ≤ slop 1
+    docs = {r.doc_id: r for r in searcher.index.docmap.collect()}
+    hits = _ids(searcher, '"quick fox"~1')
+    assert {(docs[d].conv_id, docs[d].turn_idx) for d in hits} >= {("c1", 0)}
+    # exact phrase still excludes it
+    assert _ids(searcher, '"quick fox"') == []
+
+
+def test_sloppy_phrase_reversed_order_within_slop(searcher):
+    # 'brown quick': shifted brown@0, quick@0... reversed pair has span 2
+    docs = {r.doc_id: r for r in searcher.index.docmap.collect()}
+    hits = _ids(searcher, '"quick brown"~2')
+    assert {(docs[d].conv_id, docs[d].turn_idx) for d in hits} >= {
+        ("c0", 0),
+        ("c0", 1),
+        ("c1", 1),  # reversed 'brown quick' within slop 2
+    }
+
+
+def test_sloppy_freq_counts_anchors(searcher):
+    # 'quick brown shoes and a quick brown hat' → two anchors in slop 0..2
+    docs = {(r.conv_id, r.turn_idx): r.doc_id for r in searcher.index.docmap.collect()}
+    hits = {r.doc_id: r.score for r in searcher.search('"quick brown"~2', k=10).collect()}
+    # freq=2 doc must outscore a freq=1 doc of similar length
+    assert hits[docs[("c0", 1)]] > hits[docs[("c1", 1)]]
 
 
 def test_phrase_requires_positions(spark):
