@@ -114,6 +114,18 @@ def run_bench() -> dict:
     )
     turns.unpersist()
 
+    # compressed block-postings layer (delta+FOR/VByte + impacts) — timed
+    # separately; enables the WAND query path below
+    from dataclasses import replace
+
+    from lucene_spark.index.blocks import build_block_postings
+
+    t0 = time.perf_counter()
+    blocks = build_block_postings(idx.postings, idx.doclens).persist()
+    n_blocks = blocks.count()
+    blocks_sec = time.perf_counter() - t0
+    idx = replace(idx, blocks=blocks)
+
     searcher = IndexSearcher(idx)
     searcher.search("warm", k=10).collect()  # JVM/Arrow warmup
 
@@ -126,8 +138,15 @@ def run_bench() -> dict:
     q_times: dict[str, float] = {}
     for name, (qtext, k) in queries.items():
         t1 = time.perf_counter()
-        searcher.search(qtext, k=k).collect()
+        searcher.search(qtext, k=k, strategy="flat").collect()
         q_times[name] = round(time.perf_counter() - t1, 4)
+    # block-max WAND path on the same queries where the shape allows
+    for name, (qtext, k) in queries.items():
+        if " NOT " in qtext or "*" in qtext or "(" in qtext:
+            continue
+        t1 = time.perf_counter()
+        searcher.search(qtext, k=k, strategy="wand").collect()
+        q_times["wand_" + name] = round(time.perf_counter() - t1, 4)
 
     lat = sorted(q_times.values())
     p50 = statistics.median(lat)
@@ -144,6 +163,8 @@ def run_bench() -> dict:
         "turns": n_turns,
         "postings_rows": n_postings,
         "index_build_sec": round(build_sec, 3),
+        "blocks_build_sec": round(blocks_sec, 3),
+        "n_blocks": n_blocks,
         "turns_per_sec": round(n_turns / build_sec, 1),
         "query_p50_sec": round(p50, 4),
         "query_p99_sec": round(p99, 4),
