@@ -275,6 +275,39 @@ def _q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf([s.score_all("merge"), s.score_all("join")], k=60, top_n=15)
 
 
+def _q_bm25_params_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 with non-default k1=0.9, b=0.4 (parameterized similarity)."""
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(_searcher(spark, sf_dir).index, k1=0.9, b=0.4)
+    return _as_gate_schema(s.search("merge", k=10))
+
+
+def _q_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search: registered queries matched against the doc batch."""
+    from lucene_spark.streaming.percolator import Monitor
+
+    mon = Monitor(
+        spark,
+        {1: "merge", 2: "data AND row", 3: "scan OR batch", 4: "merge AND NOT window"},
+        analyzer=GATE_ANALYZER,
+        key_cols=("doc_id",),
+    )
+    out = mon.match_batch(_docs(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long"), F.col("query_id").cast("int")).orderBy(
+        "doc_id", "query_id"
+    )
+
+
+def _q_check_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheckIndex integrity report over the gate index (rows-only check)."""
+    from lucene_spark.index.segments import check_index
+
+    report = check_index(_searcher(spark, sf_dir).index)
+    rows = [(k, str(report[k])) for k in sorted(report)]
+    return spark.createDataFrame(rows, "invariant string, value string")
+
+
 # -------------------------------------------------------- features gate
 
 
@@ -462,6 +495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_merge_join": _q_rrf,
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
+        "bm25_params_topk": _q_bm25_params_topk,
+        "percolator_matches": _q_percolator,
+        "check_index_report": _q_check_index,
         "hybrid_range_topk": _q_hybrid_range,
         "suggest_terms": _q_suggest,
         "term_vectors": _q_term_vectors,
@@ -514,6 +550,10 @@ def oracle_sql() -> dict[str, str]:
         "function_score_topk": osql.function_score_sql(
             "(n_chars % 97) * 0.5 + (doc_id % 7)", 10
         ),
+        "bm25_params_topk": osql.term_topk_params_sql("merge", 0.9, 0.4, 10),
+        "percolator_matches": osql.percolator_matches_sql(),
+        # check_index_report intentionally has NO oracle: integrity
+        # invariants are engine-internal (rows-only gate check)
         "hybrid_range_topk": osql.hybrid_range_topk_sql("merge", "n_chars", 200, 350, 10),
         "suggest_terms": osql.suggest_terms_sql("merg", 2, 5),
         "term_vectors": osql.term_vectors_sql([1, 2, 3]),

@@ -109,6 +109,50 @@ combined AS (
 """
 
 
+def term_topk_params_sql(term: str, k1: float, b: float, k: int) -> str:
+    """Single-term BM25 with non-default (k1, b) — parameterized similarity."""
+    k1s = f"CAST({k1} AS FLOAT)"
+    bs = f"CAST({b} AS FLOAT)"
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+w_a AS (
+    SELECT CAST(ln(1 + (fs.n - st.df + 0.5) / (st.df + 0.5)) AS FLOAT) AS w,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs, (SELECT count(*)::BIGINT AS df FROM tf_a) st
+),
+sc_a AS (
+    SELECT tf.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(tf.freq AS FLOAT) *
+                ({F1} / ({k1s} * (({F1} - {bs}) +
+                     {bs} * CAST(n.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id) CROSS JOIN w_a w
+)
+{_topk('sc_a', k)}
+"""
+
+
+def percolator_matches_sql() -> str:
+    """The registered-query set of the percolator gate, as doc sets."""
+    return f"""
+WITH {BASE_CTES},
+d AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT doc_id, 1 AS query_id FROM d WHERE term = 'merge'
+UNION
+SELECT a.doc_id, 2 FROM d a JOIN d b USING (doc_id)
+WHERE a.term = 'data' AND b.term = 'row'
+UNION
+SELECT doc_id, 3 FROM d WHERE term IN ('scan', 'batch')
+UNION
+SELECT doc_id, 4 FROM d m
+WHERE m.term = 'merge'
+  AND NOT EXISTS (SELECT 1 FROM d w WHERE w.doc_id = m.doc_id AND w.term = 'window')
+ORDER BY doc_id, query_id
+"""
+
+
 def multi_or_topk_sql(terms: list[str], k: int) -> str:
     """OR of N terms: per-doc sum of float32 leaf scores (double acc)."""
     names = [f"t{i}" for i in range(len(terms))]
