@@ -283,6 +283,13 @@ def _q_bm25_params_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_gate_schema(s.search("merge", k=10))
 
 
+def _q_lmdirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lucene_spark.search.searcher import IndexSearcher
+
+    s = IndexSearcher(_searcher(spark, sf_dir).index, similarity="lmdirichlet")
+    return _as_gate_schema(s.search("merge", k=10))
+
+
 def _q_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse search: registered queries matched against the doc batch."""
     from lucene_spark.streaming.percolator import Monitor
@@ -496,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_by_field_topk": _q_sort_by_field,
         "function_score_topk": _q_function_score,
         "bm25_params_topk": _q_bm25_params_topk,
+        "lmdirichlet_topk": _q_lmdirichlet_topk,
         "percolator_matches": _q_percolator,
         "check_index_report": _q_check_index,
         "hybrid_range_topk": _q_hybrid_range,
@@ -551,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
             "(n_chars % 97) * 0.5 + (doc_id % 7)", 10
         ),
         "bm25_params_topk": osql.term_topk_params_sql("merge", 0.9, 0.4, 10),
+        "lmdirichlet_topk": osql.lmdirichlet_term_topk_sql("merge", 2000.0, 10),
         "percolator_matches": osql.percolator_matches_sql(),
         # check_index_report intentionally has NO oracle: integrity
         # invariants are engine-internal (rows-only gate check)

@@ -134,6 +134,33 @@ sc_a AS (
 """
 
 
+def lmdirichlet_term_topk_sql(term: str, mu: float, k: int) -> str:
+    """LMDirichletSimilarity (LMDirichletSimilarity.java:76-82): score =
+    (float) max(0, boost·(ln(1 + freq/(mu·p)) + ln(mu/(dl + mu)))) with
+    p = (ttf+1)/(sumTtf+1) in double; dl = quantized length."""
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+st AS (SELECT count(*)::BIGINT AS ttf FROM toks WHERE term = '{term}'),
+sc AS (
+    SELECT tf.doc_id,
+        CAST(
+            CASE WHEN ln(1 + CAST(tf.freq AS DOUBLE) /
+                         ({mu} * ((st.ttf + 1.0) / (fs.sttf + 1.0))))
+                     + ln({mu} / (CAST(n.qlen AS DOUBLE) + {mu})) > 0
+                 THEN ln(1 + CAST(tf.freq AS DOUBLE) /
+                         ({mu} * ((st.ttf + 1.0) / (fs.sttf + 1.0))))
+                     + ln({mu} / (CAST(n.qlen AS DOUBLE) + {mu}))
+                 ELSE 0.0 END
+        AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id), st, fs
+)
+{_topk('sc', k)}
+"""
+
+
 def percolator_matches_sql() -> str:
     """The registered-query set of the percolator gate, as doc sets."""
     return f"""

@@ -520,9 +520,11 @@ class IndexSearcher:
         st = stats.get((field, term))
         if st is None:
             return self._empty_scored()
-        doc_freq, _ttf = st
+        doc_freq, ttf = st
         doc_count, sttf = self._fieldstats()[field]
-        leaf = self.similarity.leaf_scorer(boost, doc_freq, doc_count, sttf)
+        leaf = self.similarity.leaf_scorer(
+            boost, doc_freq, doc_count, sttf, total_term_freq=ttf
+        )
         score_udf = _make_leaf_udf(leaf)
         matched = self.index.postings.filter(
             (F.col("field") == field) & (F.col("term") == term)
@@ -541,8 +543,11 @@ class IndexSearcher:
         if not present:
             return self._empty_scored()
         doc_freq = max(stats[(q.field, t)][0] for t in present)
+        ttf = sum(stats[(q.field, t)][1] for t in present)
         doc_count, sttf = self._fieldstats()[q.field]
-        leaf = self.similarity.leaf_scorer(boost, doc_freq, doc_count, sttf)
+        leaf = self.similarity.leaf_scorer(
+            boost, doc_freq, doc_count, sttf, total_term_freq=ttf
+        )
         score_udf = _make_leaf_udf(leaf)
         merged = (
             self.index.postings.filter(

@@ -12,10 +12,14 @@ and a vectorized numpy kernel usable inside Arrow UDFs:
   ``tf = (float) sqrt(freq)``, ``lengthNorm = (float)(1/sqrt(dl))`` via the
   shared SmallFloat length quantization; ``score = weight · tf · norm`` with
   per-operation float32 rounding,
-* :class:`BooleanSimilarity` — ``BooleanSimilarity.java``: score = boost.
+* :class:`BooleanSimilarity` — ``BooleanSimilarity.java``: score = boost,
+* :class:`LMDirichletSimilarity` — ``LMDirichletSimilarity.java:76-82``:
+  Dirichlet-smoothed language model with p(t|C) from
+  ``LMSimilarity.DefaultCollectionModel``.
 
-Others (DFR, IB, LM-Dirichlet, …) plug in through the same
-``leaf_scorer(boost, doc_freq, doc_count, sum_ttf)`` contract.
+Others (DFR, IB, …) plug in through the same
+``leaf_scorer(boost, doc_freq, doc_count, sum_ttf, total_term_freq)``
+contract.
 """
 
 from __future__ import annotations
@@ -75,7 +79,8 @@ class Similarity:
         raise NotImplementedError
 
     def leaf_scorer(
-        self, boost: float, doc_freq: int, doc_count: int, sum_ttf: int
+        self, boost: float, doc_freq: int, doc_count: int, sum_ttf: int,
+        total_term_freq: int | None = None,
     ) -> LeafScorer:
         raise NotImplementedError
 
@@ -98,7 +103,7 @@ class BM25Similarity(Similarity):
     def idf(self, doc_freq, doc_count):
         return bm25.idf(doc_freq, doc_count)
 
-    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf):
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
         sc = bm25.BM25Scorer(doc_freq, doc_count, sum_ttf, boost=boost, k1=self.k1, b=self.b)
         return _BM25Leaf(sc.weight, sc.cache)
 
@@ -121,12 +126,59 @@ class ClassicSimilarity(Similarity):
         table[dl == 0] = np.float32(0.0)
         return table
 
-    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf):
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
         weight = np.float32(boost) * self.idf(doc_freq, doc_count)
         return _TableLeaf(weight, self._table())
 
     def leaf_scorer_from_weight(self, weight, doc_count, sum_ttf):
         return _TableLeaf(np.float32(weight), self._table())
+
+
+@dataclass
+class _LMDirichletLeaf(LeafScorer):
+    """score = (float) max(0, boost·(ln(1 + freq/(mu·p)) + ln(mu/(dl+mu))))
+    — ``LMDirichletSimilarity.java:76-82`` with
+    p = (ttf+1)/(sumTtf+1) (``LMSimilarity.DefaultCollectionModel:151-153``)
+    and dl = float LENGTH_TABLE[norm] (``SimilarityBase.java:183-189``).
+
+    All logs use scalar libm ``math.log`` (np.log drifts in the last double
+    ULP vs libm ~30% of the time — see bm25.idf); the norm-log is a 256-
+    entry table and freq-logs are memoized over the few distinct freqs.
+    """
+
+    boost: float
+    mu: float
+    p: float
+    norm_log: np.ndarray  # float64[256] = ln(mu / (dl + mu))
+
+    def score(self, freq, norm_bytes):
+        f = np.asarray(freq, dtype=np.float64)
+        uniq = np.unique(f)
+        lf = {v: math.log(1.0 + v / (self.mu * self.p)) for v in uniq.tolist()}
+        freq_log = np.array([lf[v] for v in f.tolist()], dtype=np.float64)
+        nl = self.norm_log[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        s = self.boost * (freq_log + nl)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+
+class LMDirichletSimilarity(Similarity):
+    name = "lmdirichlet"
+
+    def __init__(self, mu: float = 2000.0):
+        self.mu = float(np.float32(mu))
+
+    def idf(self, doc_freq, doc_count):  # not idf-based; unused by phrase path
+        raise NotImplementedError("LMDirichlet has no idf; phrase path unsupported")
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        if total_term_freq is None:
+            total_term_freq = doc_freq  # lower bound; callers should pass ttf
+        p = (total_term_freq + 1.0) / (sum_ttf + 1.0)
+        dl = LENGTH_TABLE.astype(np.float32).astype(np.float64)
+        norm_log = np.array(
+            [math.log(self.mu / (d + self.mu)) for d in dl.tolist()], dtype=np.float64
+        )
+        return _LMDirichletLeaf(float(boost), self.mu, p, norm_log)
 
 
 class BooleanSimilarity(Similarity):
@@ -135,7 +187,7 @@ class BooleanSimilarity(Similarity):
     def idf(self, doc_freq, doc_count):
         return np.float32(1.0)
 
-    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf):
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
         return _ConstLeaf(np.float32(boost))
 
     def leaf_scorer_from_weight(self, weight, doc_count, sum_ttf):
@@ -149,4 +201,5 @@ def resolve(similarity) -> Similarity:
         "bm25": BM25Similarity,
         "classic": ClassicSimilarity,
         "boolean": BooleanSimilarity,
+        "lmdirichlet": LMDirichletSimilarity,
     }[similarity]()

@@ -80,6 +80,28 @@ def test_boolean_end_to_end(idx):
     assert hits[0].doc_id < hits[1].doc_id  # constant score → docID order
 
 
+def test_lmdirichlet_end_to_end(idx):
+    s = IndexSearcher(idx, similarity="lmdirichlet")
+    hits = s.search("banana", k=5).collect()
+    assert len(hits) == 2
+    # hand-check top score: LMDirichletSimilarity.java:76-82
+    st = {
+        (r.field, r.term): (r.doc_freq, r.total_term_freq)
+        for r in idx.termstats.collect()
+    }
+    df_, ttf = st[("text", "banana")]
+    doc_count, sttf = (
+        idx.fieldstats.collect()[0]["doc_count"],
+        idx.fieldstats.collect()[0]["sum_total_term_freq"],
+    )
+    mu, p = 2000.0, (ttf + 1.0) / (sttf + 1.0)
+    # top doc: freq=3, len=8
+    want = np.float32(math.log(1 + 3.0 / (mu * p)) + math.log(mu / (8.0 + mu)))
+    assert np.float32(hits[0].score) == want
+    # scores are non-negative by the clamp
+    assert all(h.score >= 0 for h in hits)
+
+
 def test_bm25_default_unchanged(idx):
     a = [(r.doc_id, r.score) for r in IndexSearcher(idx).search("apple", k=5).collect()]
     b = [
