@@ -386,6 +386,100 @@ def _q_drill_sideways(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union.orderBy("dim", "label")
 
 
+# ------------------------------------------------------- lifecycle/disk gate
+
+_DISK_CACHE: dict[str, DataFrame] = {}
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents re-keyed as (conv_id, turn_idx): zero-padded doc_id keeps
+    lexicographic == numeric order, so the segment build assigns
+    docID == doc_id (dense rank under the stable key)."""
+    return _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        "text",
+    )
+
+
+def _q_ondisk_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term top-k served from the *on-disk* bucketed block layout: the block
+    scan is pruned to the query term's (segment, tbucket) partitions
+    (terms-dictionary role — see IndexTables.blocks_for_terms)."""
+    import tempfile
+
+    from lucene_spark.index.segments import build_segments, read_index
+
+    key = f"ondisk:{sf_dir}"
+    if key not in _DISK_CACHE:
+        from lucene_spark.session import ship_package
+
+        ship_package(spark)
+        d = tempfile.mkdtemp(prefix="lucene_spark_gate_ondisk_")
+        build_segments(
+            _docs_as_transcripts(spark, sf_dir), d, num_segments=8,
+            analyzer=GATE_ANALYZER,
+        )
+        _DISK_CACHE[key] = IndexSearcher(read_index(spark, d))
+    return _as_gate_schema(_DISK_CACHE[key].search("scan", k=10))
+
+
+def _q_lifecycle_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deleteDocuments(Term('window')) + merge (physical compaction with
+    delete-aware stats refresh) + term query — rank-identity preserved."""
+    import tempfile
+
+    from lucene_spark.index.segments import (
+        build_segments,
+        delete_documents,
+        merge_segments,
+        read_index,
+    )
+
+    key = f"merge:{sf_dir}"
+    if key not in _DISK_CACHE:
+        from lucene_spark.session import ship_package
+
+        ship_package(spark)
+        d = tempfile.mkdtemp(prefix="lucene_spark_gate_merge_")
+        build_segments(
+            _docs_as_transcripts(spark, sf_dir), d, num_segments=8,
+            analyzer=GATE_ANALYZER,
+        )
+        delete_documents(spark, d, term="window")
+        merge_segments(spark, d, group_size=4)
+        _DISK_CACHE[key] = IndexSearcher(read_index(spark, d))
+    return _as_gate_schema(_DISK_CACHE[key].search("merge", k=10))
+
+
+def _q_lifecycle_update_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updateDocument lifecycle: every 50th doc is replaced (text + one extra
+    token) and re-appended with a fresh docID; buffered-delete semantics keep
+    the tombstoned versions in the stats until compaction (Lucene behavior),
+    but out of the hit set."""
+    import tempfile
+
+    from lucene_spark.index.segments import read_index
+    from lucene_spark.streaming.ingest import append_batch, update_documents
+
+    key = f"update:{sf_dir}"
+    if key not in _DISK_CACHE:
+        from lucene_spark.session import ship_package
+
+        ship_package(spark)
+        d = tempfile.mkdtemp(prefix="lucene_spark_gate_update_")
+        base = _docs_as_transcripts(spark, sf_dir)
+        append_batch(base, d, analyzer=GATE_ANALYZER, epoch_id=0)
+        upd = _docs(spark, sf_dir).filter(F.col("doc_id") % 50 == 0).select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            F.concat(F.col("text"), F.lit(" lifecycle")).alias("text"),
+        )
+        update_documents(upd, d, analyzer=GATE_ANALYZER, epoch_id=1)
+        _DISK_CACHE[key] = IndexSearcher(read_index(spark, d))
+    return _as_gate_schema(_DISK_CACHE[key].search("merge", k=10))
+
+
 # ------------------------------------------------- training-data extras gate
 
 
@@ -506,6 +600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lmdirichlet_topk": _q_lmdirichlet_topk,
         "percolator_matches": _q_percolator,
         "check_index_report": _q_check_index,
+        "ondisk_term_topk": _q_ondisk_term_topk,
+        "lifecycle_merge_topk": _q_lifecycle_merge_topk,
+        "lifecycle_update_topk": _q_lifecycle_update_topk,
         "hybrid_range_topk": _q_hybrid_range,
         "suggest_terms": _q_suggest,
         "term_vectors": _q_term_vectors,
@@ -563,6 +660,13 @@ def oracle_sql() -> dict[str, str]:
         "percolator_matches": osql.percolator_matches_sql(),
         # check_index_report intentionally has NO oracle: integrity
         # invariants are engine-internal (rows-only gate check)
+        "ondisk_term_topk": osql.term_topk_sql("scan", 10),
+        "lifecycle_merge_topk": osql.term_topk_after_delete_merge_sql(
+            "merge", "window", 10
+        ),
+        "lifecycle_update_topk": osql.term_topk_after_update_sql(
+            "merge", 50, "lifecycle", 10
+        ),
         "hybrid_range_topk": osql.hybrid_range_topk_sql("merge", "n_chars", 200, 350, 10),
         "suggest_terms": osql.suggest_terms_sql("merg", 2, 5),
         "term_vectors": osql.term_vectors_sql([1, 2, 3]),

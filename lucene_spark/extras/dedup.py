@@ -187,8 +187,38 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, text_col, n, threshold)
-    return exact.join(cand, ["doc_a", "doc_b"], "left_semi")
+    # Candidate-only exact-Jaccard verification: candidates drive the work,
+    # never the corpus.  Intersection counts come from joining the candidate
+    # pairs to per-doc shingle rows — O(candidates × shingles/doc) — so the
+    # full quadratic shingle self-join of :func:`ngram_jaccard_pairs` is
+    # never built here (the banding's sub-quadratic promise holds at 100 TB).
+    sh = shingles_df(df, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 # -------------------------------------------------------------------- simhash

@@ -99,9 +99,10 @@ def lsh_near_dup_pairs(
     :func:`~lucene_spark.extras.dedup.embedding_near_dup_pairs`."""
     from lucene_spark.extras.dedup import cosine_expr
 
+    # one driver-side dim probe for ALL bands (one Spark job, not one per band)
+    dim = len(emb.select(vec_col).first()[0])
     cand = None
     for b in range(bands):
-        dim = len(emb.select(vec_col).first()[0])
         planes = hyperplanes(dim, nbits, seed + 1000 * b)
         coded = hyperplane_codes(emb, planes, id_col, vec_col).withColumn(
             "band", F.lit(b)

@@ -35,6 +35,28 @@ from pyspark.sql import types as T
 
 from lucene_spark.index.codec import BLOCK_SIZE, encode_posting_list
 
+# On-disk term pruning: block files are partitioned by (segment, tbucket)
+# where tbucket = hash(term) % NUM_TERM_BUCKETS — the lake-layout analog of
+# the block-tree terms dictionary's job (a query resolves its terms to
+# buckets and scans only those files, O(query terms), never the whole
+# postings directory — Lucene103BlockTreeTermsWriter.java:211-272).  At
+# 100 TB raise the bucket count (it is recorded in the index manifest).
+DEFAULT_TERM_BUCKETS = 16
+
+
+def term_bucket_py(term: str, num_buckets: int) -> int:
+    """Driver-side term→bucket (MUST match :func:`term_bucket_col`)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % num_buckets
+
+
+def term_bucket_col(col, num_buckets: int):
+    """JVM-side term→bucket: md5-prefix hash mod num_buckets."""
+    h = F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+    return (h % num_buckets).cast("int")
+
+
 BLOCKS_SCHEMA = T.StructType(
     [
         T.StructField("field", T.StringType(), False),

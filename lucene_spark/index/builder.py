@@ -73,6 +73,35 @@ class IndexTables:
     positions: DataFrame | None = None  # field, term, doc_id, segment, positions
     inverted: DataFrame | None = None  # internal: cached analysis output
     deletes: DataFrame | None = None  # doc_id — buffered deletes (live-docs filter)
+    term_buckets: int | None = None  # on-disk layout: blocks bucketed by hash(term)%B
+    disk_backed: bool = False  # True when read via segments.read_index
+
+    def blocks_for_terms(self, field: str, terms) -> DataFrame | None:
+        """The query terms' blocks only.  On a bucketed on-disk layout the
+        tbucket partition filter prunes the file scan to O(query terms)
+        buckets — the terms-dictionary lookup, Catalyst-partition-pruning
+        edition (the fix for 'a query reads every segment's every file')."""
+        if self.blocks is None:
+            return None
+        b = self.blocks.filter(
+            (F.col("field") == field) & F.col("term").isin(list(terms))
+        )
+        if self.term_buckets:
+            from lucene_spark.index.blocks import term_bucket_py
+
+            buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
+            b = b.filter(F.col("tbucket").isin(buckets))
+        return b
+
+    def postings_for_terms(self, field: str, terms) -> DataFrame:
+        """Flat postings restricted to ``terms``.  Disk-backed indexes decode
+        only the matching (bucket-pruned) blocks instead of the whole
+        postings set; in-memory indexes return the cached flat table."""
+        if not self.disk_backed or self.blocks is None:
+            return self.postings
+        from lucene_spark.index.segments import decode_blocks_to_postings
+
+        return decode_blocks_to_postings(self.blocks_for_terms(field, terms))
 
     def _tables(self):
         out = [self.docmap, self.doclens, self.postings, self.termstats, self.fieldstats]

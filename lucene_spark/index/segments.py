@@ -53,7 +53,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.analysis.analyzer import StandardAnalyzer
-from lucene_spark.index.blocks import build_block_postings
+from lucene_spark.index.blocks import (
+    DEFAULT_TERM_BUCKETS,
+    build_block_postings,
+    term_bucket_col,
+)
 from lucene_spark.index.builder import (
     IndexTables,
     _norm_byte_udf,
@@ -208,6 +212,7 @@ def build_segments(
     text_col: str = "text",
     field: str = DEFAULT_FIELD,
     analyzer: StandardAnalyzer | None = None,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
 ) -> dict:
     """Checkpointed segment build; safe to kill and re-run (idempotent).
 
@@ -219,6 +224,9 @@ def build_segments(
     num_segments = num_segments or max(2, spark.sparkContext.defaultParallelism)
     plan = plan_build(source, index_dir, num_segments, key_cols)
     num_segments = plan["num_segments"]
+    if plan.get("term_buckets") is None:
+        plan["term_buckets"] = int(term_buckets)
+        _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
     analyzer = analyzer or StandardAnalyzer()
     states = segment_states(index_dir, num_segments)
 
@@ -325,13 +333,20 @@ def _build_batch(
         "segment",
         F.col("tf.freq").alias("freq"),
     )
-    blocks = build_block_postings(postings, doclens)
+    nb = int(plan.get("term_buckets") or DEFAULT_TERM_BUCKETS)
+    blocks = build_block_postings(postings, doclens).withColumn(
+        "tbucket", term_bucket_col(F.col("term"), nb)
+    )
 
-    # dynamic partition overwrite: each write touches only segment={lo..hi}
-    for df, name in ((docmap, "docmap"), (doclens, "doclens"), (blocks, "blocks")):
+    # dynamic partition overwrite: each write touches only segment={lo..hi};
+    # blocks additionally partition by tbucket (term-pruned reads)
+    for df, name in ((docmap, "docmap"), (doclens, "doclens")):
         df.write.mode("overwrite").partitionBy("segment").parquet(
             os.path.join(index_dir, name)
         )
+    blocks.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
+        os.path.join(index_dir, "blocks")
+    )
     inverted.unpersist()
     return sum(plan["counts"][seg_lo:seg_hi])
 
@@ -413,6 +428,10 @@ def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
         "left",
     )
     postings = decode_blocks_to_postings(blocks)
+    plan = load_plan(index_dir) or {}
+    term_buckets = plan.get("term_buckets")
+    if term_buckets is None and "tbucket" in blocks.columns:
+        term_buckets = DEFAULT_TERM_BUCKETS  # streaming-only index (no plan)
     return IndexTables(
         docmap=docmap,
         doclens=doclens,
@@ -421,6 +440,8 @@ def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
         fieldstats=fieldstats,
         blocks=blocks,
         deletes=_load_deletes(spark, index_dir),
+        term_buckets=term_buckets,
+        disk_backed=True,
     )
 
 
@@ -495,11 +516,21 @@ def merge_segments(
         deletes.count()
         remapped = remapped.join(deletes, "doc_id", "left_anti")
         doclens = doclens.join(deletes, "doc_id", "left_anti")
-    merged_blocks = build_block_postings(remapped, doclens)
+    nb = int(plan.get("term_buckets") or DEFAULT_TERM_BUCKETS)
+    merged_blocks = build_block_postings(remapped, doclens).withColumn(
+        "tbucket", term_bucket_col(F.col("term"), nb)
+    )
 
-    merged_blocks.write.mode("overwrite").partitionBy("segment").parquet(
+    merged_blocks.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
         os.path.join(index_dir, "blocks_merged")
     )
+    # merge-in-progress marker: the three table swaps below are not jointly
+    # atomic; a crash in between leaves merged blocks with pre-merge doclens/
+    # docmap.  The marker lets readers/check_index detect the torn state and
+    # a re-run of merge_segments recover (the remap is idempotent).  On a
+    # real lake this whole section is ONE Iceberg snapshot commit.
+    marker = os.path.join(_manifest_dir(index_dir), "merge.inprogress")
+    _write_json_atomic(marker, {"group_size": group_size, "ts": time.time()})
     # atomic-ish swap (directory rename; snapshot commit on a real lake)
     old, new = os.path.join(index_dir, "blocks"), os.path.join(index_dir, "blocks_merged")
     bak = os.path.join(index_dir, "blocks_premerge")
@@ -538,9 +569,21 @@ def merge_segments(
     plan["merge_history"] = plan.get("merge_history", []) + [
         {"group_size": group_size, "ts": time.time()}
     ]
+    plan["term_buckets"] = nb
     plan["num_segments_live"] = len(set(mapping.values()))
     _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
     _refresh_global_stats(spark, index_dir, field)
+    os.remove(marker)  # merge fully committed (incl. fresh stats)
+
+
+def merge_in_progress(index_dir: str) -> dict | None:
+    """Torn-merge detector: non-None means a merge started but did not reach
+    its stats refresh — re-run :func:`merge_segments` to recover."""
+    p = os.path.join(_manifest_dir(index_dir), "merge.inprogress")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 # ------------------------------------------------------------------ integrity
@@ -568,13 +611,17 @@ def check_index(idx: IndexTables) -> dict:
     assert bad_freq == 0, f"{bad_freq} postings with freq < 1"
     report["freqs_positive"] = True
 
-    # 3. docFreq == posting count per term
+    # 3. docFreq == posting count per term.  Null-safe inequality: a full
+    # outer join makes orphan rows (term on one side only) carry NULLs, and
+    # a plain != would evaluate to NULL and silently drop exactly the
+    # inconsistency this invariant exists to catch.
     mism = (
         idx.postings.groupBy("field", "term")
         .agg(F.count("*").alias("n"), F.sum("freq").alias("ttf"))
         .join(idx.termstats, ["field", "term"], "full")
         .filter(
-            (F.col("n") != F.col("doc_freq")) | (F.col("ttf") != F.col("total_term_freq"))
+            ~F.col("n").eqNullSafe(F.col("doc_freq"))
+            | ~F.col("ttf").eqNullSafe(F.col("total_term_freq"))
         )
         .count()
     )

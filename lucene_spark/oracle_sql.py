@@ -25,10 +25,15 @@ _STOPS = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
 # Shared CTEs: token stream, doc lengths, field stats, quantized lengths.
 # qlen = byte4ToInt(intToByte4(len)): identity below 32 (24 free values + 8
 # subnormals), else keep top-4-bits of (len - 24) via bin() bit-width.
-BASE_CTES = f"""
+
+
+def base_ctes(source: str = "documents") -> str:
+    """The shared CTE block over an arbitrary corpus relation (lifecycle
+    oracles swap in a mutated corpus CTE instead of ``documents``)."""
+    return f"""
 toks AS (
     SELECT doc_id, t.term AS term
-    FROM documents, unnest(string_split(text, ' ')) AS t(term)
+    FROM {source}, unnest(string_split(text, ' ')) AS t(term)
     WHERE t.term <> '' AND t.term NOT IN ({_STOPS})
 ),
 dl AS (SELECT doc_id, count(*)::BIGINT AS len FROM toks GROUP BY doc_id),
@@ -42,6 +47,9 @@ norm AS (
     FROM dl
 )
 """
+
+
+BASE_CTES = base_ctes()
 
 
 def _term_cte(name: str, term: str) -> str:
@@ -715,4 +723,47 @@ ts AS (
 )
 SELECT term, doc_freq, total_term_freq
 FROM ts ORDER BY doc_freq DESC, term ASC LIMIT {n}
+"""
+
+
+def term_topk_after_delete_merge_sql(term: str, deleted_term: str, k: int) -> str:
+    """Lifecycle oracle: deleteDocuments(Term(deleted_term)) + merge (physical
+    compaction, delete-aware stats refresh) + BM25 term top-k.  The corpus is
+    exactly the documents NOT containing ``deleted_term``; stats (docFreq,
+    avgdl, docCount) shrink accordingly — this is what distinguishes a real
+    compaction from a query-time MUST_NOT."""
+    corpus = f"""
+docs2 AS (
+    SELECT d.doc_id, d.text FROM documents d
+    WHERE NOT EXISTS (
+        SELECT 1 FROM (
+            SELECT doc_id, t.term AS term
+            FROM documents, unnest(string_split(text, ' ')) AS t(term)
+        ) t0 WHERE t0.doc_id = d.doc_id AND t0.term = '{deleted_term}'
+    )
+)"""
+    return f"WITH {corpus}, {base_ctes('docs2')}, {_term_cte('a', term)} {_topk('sc_a', k)}"
+
+
+def term_topk_after_update_sql(term: str, every: int, suffix_word: str, k: int) -> str:
+    """Lifecycle oracle: updateDocument of every ``every``-th doc (text gets
+    ``suffix_word`` appended; the new version is appended with a fresh docID
+    = N + old_id/every in old-id order).  Buffered-delete semantics: stats
+    (docFreq/avgdl/docCount) still include the tombstoned old versions until
+    compaction (Lucene's documented behavior); only the final hit set
+    excludes them."""
+    corpus = f"""
+docs_all AS (
+    SELECT doc_id, text, (doc_id % {every} = 0) AS victim FROM documents
+    UNION ALL
+    SELECT (SELECT count(*) FROM documents) + doc_id // {every},
+           text || ' {suffix_word}', false
+    FROM documents WHERE doc_id % {every} = 0
+)"""
+    return f"""
+WITH {corpus}, {base_ctes('docs_all')}, {_term_cte('a', term)},
+live AS (
+    SELECT sc_a.* FROM sc_a JOIN docs_all USING (doc_id) WHERE NOT victim
+)
+{_topk('live', k)}
 """

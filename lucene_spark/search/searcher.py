@@ -116,11 +116,17 @@ class IndexSearcher:
         from lucene_spark.search.similarities import BM25Similarity, resolve
 
         self.index = index
-        self.k1 = k1
-        self.b = b
         self.similarity = (
             BM25Similarity(k1, b) if similarity == "bm25" else resolve(similarity)
         )
+        # WAND scorers are built from self.k1/self.b — keep them in sync with
+        # an *instance*-passed parameterized BM25Similarity, or strategy=auto
+        # would silently rank with default k1/b while flat uses the custom
+        # values (WAND≡flat parity break)
+        if isinstance(self.similarity, BM25Similarity):
+            self.k1, self.b = self.similarity.k1, self.similarity.b
+        else:
+            self.k1, self.b = k1, b
         self._spark = index.postings.sparkSession
         self._fieldstats_cache: dict[str, tuple[int, int]] | None = None
         # TermStates cache (index/TermStates.java): stats are immutable per
@@ -354,7 +360,11 @@ class IndexSearcher:
             scorers.append(TermScorer(tq.term, sc.weight, sc.cache))
         if not scorers:
             return self._empty_scored().withColumn("rank", F.lit(0).cast("int")).limit(0)
-        topk = wand_topk(self.index.blocks, scorers, k, mode=mode, field=field)
+        # term-pruned block scan: on a bucketed on-disk layout this filter
+        # becomes a tbucket partition filter — only the query terms' buckets
+        # are read (terms-dictionary role; see IndexTables.blocks_for_terms)
+        q_blocks = self.index.blocks_for_terms(field, [s.term for s in scorers])
+        topk = wand_topk(q_blocks, scorers, k, mode=mode, field=field)
         w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
         return topk.withColumn("rank", w.cast("int"))
 
@@ -437,9 +447,8 @@ class IndexSearcher:
             return self._score_synonym(q, stats, boost)
         if isinstance(q, TermInSetQuery):
             docs = (
-                self.index.postings.filter(
-                    (F.col("field") == q.field) & F.col("term").isin(list(q.terms))
-                )
+                self.index.postings_for_terms(q.field, list(q.terms))
+                .filter((F.col("field") == q.field) & F.col("term").isin(list(q.terms)))
                 .select("doc_id")
                 .distinct()
             )
@@ -526,7 +535,7 @@ class IndexSearcher:
             boost, doc_freq, doc_count, sttf, total_term_freq=ttf
         )
         score_udf = _make_leaf_udf(leaf)
-        matched = self.index.postings.filter(
+        matched = self.index.postings_for_terms(field, [term]).filter(
             (F.col("field") == field) & (F.col("term") == term)
         ).select("doc_id", "freq")
         norms = self.index.doclens.filter(F.col("field") == field).select(
@@ -550,7 +559,7 @@ class IndexSearcher:
         )
         score_udf = _make_leaf_udf(leaf)
         merged = (
-            self.index.postings.filter(
+            self.index.postings_for_terms(q.field, present).filter(
                 (F.col("field") == q.field) & F.col("term").isin(present)
             )
             .groupBy("doc_id")

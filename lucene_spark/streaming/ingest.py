@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.analysis.analyzer import StandardAnalyzer
-from lucene_spark.index.blocks import build_block_postings
+from lucene_spark.index.blocks import (
+    DEFAULT_TERM_BUCKETS,
+    build_block_postings,
+    term_bucket_col,
+)
 from lucene_spark.index.builder import _norm_byte_udf, make_invert_udf
 from lucene_spark.index.segments import (
     DEFAULT_FIELD,
@@ -115,13 +119,18 @@ def append_batch(
         "segment",
         F.col("tf.freq").alias("freq"),
     )
-    blocks = build_block_postings(postings, doclens)
+    blocks = build_block_postings(postings, doclens).withColumn(
+        "tbucket", term_bucket_col(F.col("term"), DEFAULT_TERM_BUCKETS)
+    )
 
     n_rows = 0
-    for df, name in ((docmap, "docmap"), (doclens, "doclens"), (blocks, "blocks")):
+    for df, name in ((docmap, "docmap"), (doclens, "doclens")):
         df.write.mode("overwrite").partitionBy("segment").parquet(
             os.path.join(index_dir, name)
         )
+    blocks.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
+        os.path.join(index_dir, "blocks")
+    )
     n_rows = spark.read.parquet(os.path.join(index_dir, "docmap")).filter(
         F.col("segment") == seg
     ).count()
@@ -148,6 +157,16 @@ def update_documents(
     as a new segment.  The new docs win every query from this commit on.
     """
     spark = batch.sparkSession
+    # exactly-once guard BEFORE writing delete victims: on an at-least-once
+    # foreachBatch replay of an already-committed epoch, the victims join
+    # would match the replacement docs appended by the first attempt and
+    # soft-delete them while the re-append is skipped — the updated docs
+    # would vanish.  Check the committed-epoch state first.
+    epoch_id = kwargs.get("epoch_id")
+    if epoch_id is not None:
+        state = _load_stream_state(index_dir)
+        if any(e["epoch"] == epoch_id for e in state["epochs"]):
+            return {"skipped": True, "epoch": epoch_id, "deleted": 0}
     docmap_path = os.path.join(index_dir, "docmap")
     if os.path.isdir(docmap_path):
         docmap = spark.read.parquet(docmap_path)

@@ -111,3 +111,52 @@ def test_merge_preserves_results(spark, source, tmp_path_factory):
     live = {r.segment for r in idx.blocks.select("segment").distinct().collect()}
     assert len(live) <= 2
     seg.check_index(idx)
+
+
+def test_term_bucket_parity_and_pruned_scan(spark, source, tmp_path_factory):
+    """The on-disk blocks layout is bucketed by hash(term)%B; a query's block
+    scan must resolve to a tbucket partition filter (terms-dictionary role)
+    and read only the query terms' buckets."""
+    from lucene_spark.index.blocks import (
+        DEFAULT_TERM_BUCKETS,
+        term_bucket_col,
+        term_bucket_py,
+    )
+    from pyspark.sql import functions as F
+
+    # Python and JVM bucket functions agree (driver computes partition filter)
+    terms_df = spark.createDataFrame(
+        [(t,) for t in ("the", "index", "query", "Σ", "naïve", "merge")], "term string"
+    )
+    got = {
+        r.term: r.b
+        for r in terms_df.select(
+            "term", term_bucket_col(F.col("term"), DEFAULT_TERM_BUCKETS).alias("b")
+        ).collect()
+    }
+    for t, b in got.items():
+        assert b == term_bucket_py(t, DEFAULT_TERM_BUCKETS)
+
+    d = str(tmp_path_factory.mktemp("idx_bucketed"))
+    seg.build_segments(source, d, num_segments=4, batch_size=4)
+    idx = seg.read_index(spark, d)
+    assert idx.term_buckets == DEFAULT_TERM_BUCKETS and idx.disk_backed
+
+    qb = idx.blocks_for_terms("text", ["index", "query"])
+    plan_str = qb._jdf.queryExecution().executedPlan().toString()
+    assert "tbucket" in plan_str  # partition filter reached the scan
+    # pruned scan decodes to exactly the two terms' postings
+    terms_seen = {r.term for r in qb.select("term").distinct().collect()}
+    assert terms_seen == {"index", "query"}
+
+    # and the pruned WAND search equals the unpruned in-memory result
+    from lucene_spark.index.builder import build_index
+
+    mem = build_index(source, num_segments=4, build_blocks=True).persist()
+    want = [
+        (r.doc_id, r.score, r.rank)
+        for r in IndexSearcher(mem).search("index AND query", k=10).collect()
+    ]
+    got2 = _search(spark, d, "index AND query", k=10)
+    mem.unpersist()
+    assert got2 == want

@@ -135,3 +135,23 @@ def test_update_documents(spark, tmp_path):
     assert s.count("spark") == 1  # only the untouched turn remains
     # docmap still has the tombstoned row until compaction; deletes table set
     assert idx.deletes is not None and idx.deletes.count() == 1
+
+
+def test_update_documents_replay_is_noop(spark, tmp_path):
+    """At-least-once foreachBatch replay of a committed update epoch must not
+    soft-delete the replacement docs written by the first attempt."""
+    d = str(tmp_path / "idx_upd_replay")
+    append_batch(
+        _batch(spark, [("a", 0, "old spark text"), ("a", 1, "keep me spark")]),
+        d,
+        epoch_id=0,
+    )
+    update_documents(_batch(spark, [("a", 0, "new replacement words")]), d, epoch_id=1)
+    # replay of the SAME epoch: must skip before computing victims
+    rec = update_documents(
+        _batch(spark, [("a", 0, "new replacement words")]), d, epoch_id=1
+    )
+    assert rec.get("skipped") is True and rec["deleted"] == 0
+    s = IndexSearcher(read_index(spark, d))
+    assert s.count("replacement") == 1  # replacement still visible
+    assert s.count("old") == 0

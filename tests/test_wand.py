@@ -153,3 +153,20 @@ def test_kernel_fuzz_vs_brute(seed, mode):
         want_d, want_s = _brute(truth, scorers, k, mode)
         assert got_d.tolist() == want_d, f"k={k}"
         assert [np.float32(x) for x in got_s] == want_s, f"k={k}"
+
+
+def test_wand_equals_flat_with_instance_similarity(searcher):
+    """A BM25Similarity *instance* with custom k1/b must flow into the WAND
+    scorers too (not just the k1=/b= constructor route) — otherwise
+    strategy='auto' silently ranks with defaults while flat uses the
+    custom parameters."""
+    from lucene_spark.search.similarities import BM25Similarity
+
+    s = IndexSearcher(searcher.index, similarity=BM25Similarity(1.5, 0.6))
+    assert (s.k1, s.b) == (1.5, 0.6)
+    for qtext in ("the", "index AND query", "spark OR vector OR posting"):
+        wand = s.search(qtext, k=10, strategy="wand").collect()
+        flat = s.search(qtext, k=10, strategy="flat").collect()
+        assert [(r.doc_id, r.score, r.rank) for r in wand] == [
+            (r.doc_id, r.score, r.rank) for r in flat
+        ]
