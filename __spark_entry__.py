@@ -181,6 +181,37 @@ def _q_synonym_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=12))
 
 
+def _q_bool_mixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUST + SHOULD×2 + MUST_NOT, answered by the Boolean WAND kernel
+    (strategy='wand' asserts the kernel accepts the shape)."""
+    from lucene_spark.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.MUST, TermQuery("merge")),
+            BooleanClause(Occur.SHOULD, TermQuery("data")),
+            BooleanClause(Occur.SHOULD, TermQuery("row")),
+            BooleanClause(Occur.MUST_NOT, TermQuery("window")),
+        )
+    )
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=12, strategy="wand"))
+
+
+def _q_nested_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge AND (data OR row) — nested disjunction inside a conjunction,
+    served by the Boolean WAND kernel (the q_bool_nested query class)."""
+    return _as_gate_schema(
+        _searcher(spark, sf_dir).search(
+            "merge AND (data OR row)", k=12, strategy="wand"
+        )
+    )
+
+
 def _q_msm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.search.query import (
         BooleanClause,
@@ -580,6 +611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_dismax_topk": _q_dismax_topk,
         "bm25_synonym_topk": _q_synonym_topk,
         "bm25_msm_topk": _q_msm_topk,
+        "bm25_bool_mixed_topk": _q_bool_mixed_topk,
+        "bm25_nested_bool_topk": _q_nested_bool_topk,
         "classic_tfidf_topk": _q_classic_topk,
         "boolean_sim_topk": _q_boolean_sim_topk,
         "prefix_topk": _q_prefix_topk,
@@ -637,6 +670,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_dismax_topk": osql.dismax_topk_sql("data", "scan", 0.3, 12),
         "bm25_synonym_topk": osql.synonym_topk_sql(["fast", "slow"], 12),
         "bm25_msm_topk": osql.msm_topk_sql(["data", "row", "scan"], 2, 12),
+        "bm25_bool_mixed_topk": osql.bool_mixed_topk_sql(
+            "merge", ["data", "row"], "window", 12
+        ),
+        "bm25_nested_bool_topk": osql.nested_and_or_topk_sql(
+            "merge", ["data", "row"], 12
+        ),
         "classic_tfidf_topk": osql.classic_term_topk_sql("merge", 10),
         "boolean_sim_topk": osql.boolean_sim_term_topk_sql("merge", 400),
         "prefix_topk": osql.prefix_topk_sql("mer", 400),

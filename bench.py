@@ -140,9 +140,11 @@ def run_bench() -> dict:
         t1 = time.perf_counter()
         searcher.search(qtext, k=k, strategy="flat").collect()
         q_times[name] = round(time.perf_counter() - t1, 4)
-    # block-max WAND path on the same queries where the shape allows
+    # block-max WAND path on the same queries where the shape allows — since
+    # round 2 the Boolean kernel also serves MUST_NOT and nested
+    # (a OR b) AND c shapes; only multi-term rewrites (prefix) stay flat
     for name, (qtext, k) in queries.items():
-        if " NOT " in qtext or "*" in qtext or "(" in qtext:
+        if "*" in qtext:
             continue
         t1 = time.perf_counter()
         searcher.search(qtext, k=k, strategy="wand").collect()

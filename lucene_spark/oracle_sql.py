@@ -643,29 +643,72 @@ LIMIT {k}
 
 
 def sloppy_phrase_topk_sql(term_a: str, term_b: str, slop: int, k: int) -> str:
-    """Two-term sloppy phrase per the engine's documented window spec:
-    anchor on term-0 shifted positions, nearest term-1 shifted position,
-    freq = count of anchors with span <= slop (integer)."""
+    """Two-term sloppy phrase with Lucene ``SloppyPhraseMatcher`` semantics.
+
+    For two distinct terms the pq leapfrog reduces to a *leader chain*
+    (equivalence fuzz-verified against the matcher): the first leader is the
+    larger of the two first shifted positions; each leader L (from list X)
+    emits one match ``matchLength = L - max{other ≤ L}`` and hands off to
+    the next leader ``min{other > L}``, alternating lists until exhaustion.
+    ``sloppyFreq`` is the float32 *sequential* sum of ``1/(1+matchLength)``
+    over matches with matchLength <= slop in chain order
+    (``PhraseScorer.java:85-95`` accumulates freq in float), and BM25 is
+    scored with that fractional float freq."""
     return f"""
-WITH {BASE_CTES},
+WITH RECURSIVE {BASE_CTES},
 words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 tp AS (
     SELECT doc_id, ws[i] AS term, i - 1 AS pos
     FROM words, unnest(generate_series(1, len(ws))) AS t(i)
     WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
 ),
-p0 AS (SELECT doc_id, pos AS s FROM tp WHERE term = '{term_a}'),
-p1 AS (SELECT doc_id, pos - 1 AS s FROM tp WHERE term = '{term_b}'),
-near AS (
-    SELECT p0.doc_id, p0.s AS a, min(abs(p1.s - p0.s)) AS span
-    FROM p0 JOIN p1 USING (doc_id)
-    GROUP BY p0.doc_id, p0.s
+pa AS (SELECT doc_id, pos AS s FROM tp WHERE term = '{term_a}'),
+pb AS (SELECT doc_id, pos - 1 AS s FROM tp WHERE term = '{term_b}'),
+f0 AS (
+    SELECT a.doc_id, a.ma, b.mb
+    FROM (SELECT doc_id, min(s) AS ma FROM pa GROUP BY doc_id) a
+    JOIN (SELECT doc_id, min(s) AS mb FROM pb GROUP BY doc_id) b USING (doc_id)
 ),
-m AS (
-    SELECT doc_id, count(*) FILTER (WHERE span <= {slop})::INT AS freq
-    FROM near GROUP BY doc_id
+chain AS (
+    SELECT doc_id,
+           CASE WHEN ma > mb THEN ma ELSE mb END AS leader,
+           CASE WHEN ma > mb THEN 'a' ELSE 'b' END AS side,
+           0 AS step
+    FROM f0
+    UNION ALL
+    SELECT c.doc_id,
+           CASE WHEN c.side = 'a'
+                THEN (SELECT min(s) FROM pb WHERE pb.doc_id = c.doc_id AND pb.s > c.leader)
+                ELSE (SELECT min(s) FROM pa WHERE pa.doc_id = c.doc_id AND pa.s > c.leader)
+           END,
+           CASE WHEN c.side = 'a' THEN 'b' ELSE 'a' END,
+           c.step + 1
+    FROM chain c
+    WHERE (CASE WHEN c.side = 'a'
+                THEN (SELECT min(s) FROM pb WHERE pb.doc_id = c.doc_id AND pb.s > c.leader)
+                ELSE (SELECT min(s) FROM pa WHERE pa.doc_id = c.doc_id AND pa.s > c.leader)
+           END) IS NOT NULL
 ),
-mm AS (SELECT * FROM m WHERE freq > 0),
+mt AS (
+    SELECT c.doc_id, c.step,
+           c.leader - (CASE WHEN c.side = 'a'
+                THEN (SELECT max(s) FROM pb WHERE pb.doc_id = c.doc_id AND pb.s <= c.leader)
+                ELSE (SELECT max(s) FROM pa WHERE pa.doc_id = c.doc_id AND pa.s <= c.leader)
+           END) AS ml
+    FROM chain c
+),
+fr AS (
+    SELECT doc_id, list(CAST(ml AS INT) ORDER BY step) FILTER (WHERE ml <= {slop}) AS mls
+    FROM mt GROUP BY doc_id
+),
+mm AS (
+    SELECT doc_id,
+           list_reduce(
+               list_transform(mls, m -> CAST({F1} / ({F1} + CAST(m AS FLOAT)) AS FLOAT)),
+               (acc, x) -> CAST(acc + x AS FLOAT)
+           ) AS freq
+    FROM fr WHERE mls IS NOT NULL AND len(mls) > 0
+),
 w AS (
     SELECT CAST(
         CAST(CAST(ln(1 + (fs.n - (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_a}') + 0.5)
@@ -766,4 +809,52 @@ live AS (
     SELECT sc_a.* FROM sc_a JOIN docs_all USING (doc_id) WHERE NOT victim
 )
 {_topk('live', k)}
+"""
+
+
+def bool_mixed_topk_sql(
+    must_term: str, should_terms: list[str], not_term: str, k: int
+) -> str:
+    """ReqOptSum + exclusion (BooleanScorerSupplier WAND + ReqExclScorer):
+    docs must contain ``must_term`` and not ``not_term``; score = must score
+    + optional should scores if co-matching (double acc, cast float)."""
+    names = [f"s{i}" for i in range(len(should_terms))]
+    ctes = ", ".join(_term_cte(n, t) for n, t in zip(names, should_terms))
+    union = " UNION ALL ".join(f"SELECT doc_id, score FROM sc_{n}" for n in names)
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', must_term)}, {_term_cte('x', not_term)}, {ctes},
+opt AS (
+    SELECT doc_id, sum(CAST(score AS DOUBLE)) AS osum
+    FROM ({union}) GROUP BY doc_id
+),
+combined AS (
+    SELECT a.doc_id,
+           CAST(CAST(a.score AS DOUBLE) + COALESCE(o.osum, 0.0) AS FLOAT) AS score
+    FROM sc_a a
+    LEFT JOIN opt o ON a.doc_id = o.doc_id
+    ANTI JOIN sc_x x ON a.doc_id = x.doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def nested_and_or_topk_sql(must_term: str, or_terms: list[str], k: int) -> str:
+    """a AND (b OR c): the nested SHOULD group scores as ONE clause (its
+    double sum cast to float32) before the outer conjunction sums clauses in
+    double — mirrors the flat plan's per-sub-Boolean float cast."""
+    names = [f"g{i}" for i in range(len(or_terms))]
+    ctes = ", ".join(_term_cte(n, t) for n, t in zip(names, or_terms))
+    union = " UNION ALL ".join(f"SELECT doc_id, score FROM sc_{n}" for n in names)
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', must_term)}, {ctes},
+grp AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS gscore
+    FROM ({union}) GROUP BY doc_id
+),
+combined AS (
+    SELECT a.doc_id,
+           CAST(CAST(a.score AS DOUBLE) + CAST(g.gscore AS DOUBLE) AS FLOAT) AS score
+    FROM sc_a a JOIN grp g ON a.doc_id = g.doc_id
+)
+{_topk('combined', k)}
 """

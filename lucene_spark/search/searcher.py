@@ -93,6 +93,66 @@ def _make_leaf_udf(leaf):
     return score
 
 
+def sloppy_phrase_freq(plists: list[np.ndarray], slop: int) -> np.float32:
+    """Lucene ``SloppyPhraseMatcher.nextMatch`` (no-repeats case) +
+    ``PhraseScorer`` float32 freq accumulation, per document.
+
+    ``plists[i]`` = sorted offset-shifted positions of phrase term i
+    (``s = position - i``).  Returns the sloppy freq (0.0 if no match):
+    the float32 running sum of ``1f/(1f + matchLength)`` over matches in
+    emission order — ``SloppyPhraseMatcher.java:190-220`` (the pq leapfrog:
+    always advance the least stream; a match is emitted when it overtakes
+    the next-least or exhausts, with matchLength minimized on the way and
+    discarded when > slop).
+    """
+    import heapq
+
+    n = len(plists)
+    if any(len(p) == 0 for p in plists):
+        return np.float32(0.0)
+    ptr = [0] * n
+    heap: list[tuple[int, int]] = []
+    end = -(1 << 62)
+    for i, pl in enumerate(plists):
+        p0 = int(pl[0])
+        heapq.heappush(heap, (p0, i))  # tie-break = phrase offset (== ord)
+        if p0 > end:
+            end = p0
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+    matched = False
+    positioned = True
+    while positioned:
+        pos, i = heapq.heappop(heap)
+        match_len = end - pos
+        nxt = heap[0][0]
+        while True:
+            ptr[i] += 1
+            if ptr[i] >= len(plists[i]):  # stream exhausted: final match check
+                positioned = False
+                if match_len <= slop:
+                    freq = freq + one / (one + np.float32(match_len))
+                    matched = True
+                break
+            npos = int(plists[i][ptr[i]])
+            if npos > end:
+                end = npos
+            if npos > nxt:  # done minimizing the current match length
+                heapq.heappush(heap, (npos, i))
+                if match_len <= slop:
+                    freq = freq + one / (one + np.float32(match_len))
+                    matched = True
+                    break  # nextMatch() == true; outer loop pops again
+                pos, i = heapq.heappop(heap)
+                match_len = end - pos
+                nxt = heap[0][0]
+            else:
+                ml2 = end - npos
+                if ml2 < match_len:
+                    match_len = ml2
+    return freq if matched else np.float32(0.0)
+
+
 def wildcard_to_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -175,9 +235,13 @@ class IndexSearcher:
         """Top-k hits: (doc_id, score float32, rank 0-based).
 
         ``strategy``: ``"auto"`` uses the block-max WAND kernel when the index
-        has a blocks table and the query is a pure term / AND-of-terms /
-        OR-of-terms shape (the classic WAND cases); ``"flat"`` forces the
-        flat-postings DataFrame plan; ``"wand"`` requires the WAND path.
+        has a blocks table and the query is a flat Boolean over term groups —
+        any mix of MUST / SHOULD / MUST_NOT / FILTER clauses with
+        minimumNumberShouldMatch, where each clause is a term or a
+        SHOULD-of-terms sub-Boolean (the shapes BooleanScorerSupplier serves
+        with WAND + ReqExcl); buffered deletes ride along as a kernel
+        exclusion set.  ``"flat"`` forces the flat-postings DataFrame plan;
+        ``"wand"`` requires the WAND path.
         """
         if isinstance(query, str):
             from lucene_spark.search.parser import parse
@@ -187,24 +251,26 @@ class IndexSearcher:
         query = rewrite_to_fixpoint(self._expand_multiterm(query))
         stats = self._termstats(collect_terms(query))
 
-        # buffered deletes force the flat path: WAND's per-segment heaps
-        # would let deleted docs crowd out live hits (Lucene checks liveDocs
-        # inside the scorer; our delete set applies as a final anti-join)
         if (
             strategy != "flat"
             and self.index.blocks is not None
-            and self.index.deletes is None
             and self.similarity.supports_wand
         ):
-            shape = self._wand_shape(query)
-            if shape is not None:
-                return self._search_wand(shape[0], shape[1], stats, k)
+            plan = self._wand_plan(query)
+            # buffered deletes flow into the kernel as a per-query exclusion
+            # array (Lucene checks liveDocs inside the scorer); only a
+            # pathologically large delete set forces the flat anti-join path
+            exclude, deletes_ok = self._deletes_array()
+            if plan is not None and deletes_ok:
+                return self._search_wand_boolean(plan, stats, k, exclude)
             if strategy == "wand":
-                raise ValueError("query shape not supported by the WAND path")
+                raise ValueError(
+                    "query shape not supported by the WAND path"
+                    if deletes_ok
+                    else "delete set too large for the WAND exclusion path"
+                )
         elif strategy == "wand":
-            raise ValueError(
-                "index has no blocks table (build_blocks=True) or has deletes"
-            )
+            raise ValueError("index has no blocks table (build_blocks=True)")
 
         scored = self._apply_deletes(self._score(query, stats, boost=1.0))
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -240,20 +306,33 @@ class IndexSearcher:
         return scored.join(self.index.deletes, "doc_id", "left_anti")
 
     def _score_sloppy_phrase(self, q: PhraseQuery, stats, boost: float) -> DataFrame:
-        """Sloppy phrase (slop > 0) with documented *window* semantics.
+        """Sloppy phrase (slop > 0) with Lucene's ``SloppyPhraseMatcher``
+        semantics (``search/SloppyPhraseMatcher.java:190-220`` nextMatch,
+        ``search/PhraseScorer.java:85-95`` freq accumulation):
 
-        A doc matches when an offset-adjusted position choice
-        ``s_i = p_i - i`` exists per term with span ``max(s) - min(s) <=
-        slop``.  Phrase freq = the number of term-0 anchors whose greedy
-        alignment (each other term picks its nearest shifted position)
-        stays within slop — an integer, so the BM25 math remains exactly
-        reproducible.  NOTE: this is Lucene-inspired, NOT rank-identical to
-        ``SloppyPhraseMatcher`` (Lucene weights each match 1/(1+matchLength)
-        and uses a different match enumeration); the contract here is
-        exactness against this documented spec (oracle-gated).
+        * PhrasePositions = per-term offset-shifted position streams
+          ``s = position - phrase_offset``; a min-PQ ordered by
+          (position, offset) always advances the least stream,
+        * a *match* is emitted each time the advanced stream overtakes the
+          next-least one (or exhausts), with ``matchLength = end - popped
+          position`` minimized while the advanced stream stays behind;
+          matches with matchLength > slop are discarded,
+        * ``sloppyFreq`` = running float32 sum of ``1f/(1f + matchLength)``
+          in match order (PhraseScorer keeps ``freq`` in float), so BM25 is
+          scored with a *fractional* float32 freq,
+        * repeated phrase terms would need Lucene's repeat-group collision
+          machinery (``SloppyPhraseMatcher.java:initComplex/rptGroups``) —
+          unsupported here, documented.
         """
         if not q.terms:
             return self._empty_scored()
+        if len(q.terms) == 1:  # PhraseQuery.rewrite: 1-term phrase ≡ TermQuery
+            return self._score_term(q.field, q.terms[0], stats, boost)
+        if len(set(q.terms)) != len(q.terms):
+            raise NotImplementedError(
+                "sloppy phrases with repeated terms need Lucene's repeat-group "
+                "machinery (SloppyPhraseMatcher.initComplex) — not implemented"
+            )
         if any((q.field, t) not in stats for t in q.terms):
             return self._empty_scored()
 
@@ -280,35 +359,15 @@ class IndexSearcher:
         n_terms = len(q.terms)
         slop = int(q.slop)
 
-        @F.pandas_udf(T.IntegerType())
+        @F.pandas_udf(T.FloatType())
         def sloppy_freq(*cols: pd.Series) -> pd.Series:
-            out = np.zeros(len(cols[0]), dtype=np.int32)
+            out = np.zeros(len(cols[0]), dtype=np.float32)
             for r in range(len(cols[0])):
-                anchors = np.asarray(cols[0][r], dtype=np.int64)
-                others = [np.sort(np.asarray(cols[i][r], dtype=np.int64)) for i in range(1, n_terms)]
-                freq = 0
-                for a in anchors:
-                    lo = hi = a
-                    ok = True
-                    for s in others:
-                        j = np.searchsorted(s, a)
-                        best = None
-                        if j < len(s):
-                            best = s[j]
-                        if j > 0 and (best is None or a - s[j - 1] <= best - a):
-                            best = s[j - 1]
-                        if best is None:
-                            ok = False
-                            break
-                        lo = min(lo, best)
-                        hi = max(hi, best)
-                        if hi - lo > slop:
-                            ok = False
-                            break
-                    if ok:
-                        freq += 1
-                out[r] = freq
-            return pd.Series(out, dtype="int32")
+                plists = [
+                    np.asarray(cols[i][r], dtype=np.int64) for i in range(n_terms)
+                ]
+                out[r] = sloppy_phrase_freq(plists, slop)
+            return pd.Series(out, dtype="float32")
 
         matched = (
             joined.withColumn(
@@ -326,45 +385,127 @@ class IndexSearcher:
 
     # ------------------------------------------------------------- WAND path
 
-    def _wand_shape(self, q: Query):
-        """(term queries, mode) if the query is a classic WAND shape, else None."""
+    # Buffered deletes above this size fall back to the flat anti-join path
+    # (Lucene's BufferedUpdates are likewise RAM-bounded before being forced
+    # to disk; the exclusion set ships to every kernel task)
+    MAX_WAND_DELETES = 100_000
+
+    def _deletes_array(self):
+        """(exclusion ndarray | None, ok) — buffered deletes as a kernel
+        exclusion set; ok=False when the set is too large for shipping."""
+        if self.index.deletes is None:
+            return None, True
+        if not hasattr(self, "_deletes_np"):
+            rows = self.index.deletes.limit(self.MAX_WAND_DELETES + 1).collect()
+            if len(rows) > self.MAX_WAND_DELETES:
+                self._deletes_np = None
+            else:
+                self._deletes_np = np.array(
+                    sorted(r["doc_id"] for r in rows), dtype=np.int64
+                )
+        return self._deletes_np, self._deletes_np is not None
+
+    @staticmethod
+    def _term_group(q: Query) -> tuple | None:
+        """Flatten a clause into an OR-group of TermQuerys (the shape
+        BooleanScorerSupplier's WAND handles): a bare term, or a pure
+        SHOULD-of-terms sub-Boolean (msm <= 1 ≡ plain disjunction)."""
         if isinstance(q, TermQuery):
-            return [q], "or"
-        if isinstance(q, BooleanQuery):
-            tqs = [c.query for c in q.clauses]
-            if not tqs or not all(isinstance(t, TermQuery) for t in tqs):
-                return None
-            if len({t.field for t in tqs}) != 1:
-                return None
-            occurs = {c.occur for c in q.clauses}
-            if occurs == {Occur.MUST} and q.minimum_should_match == 0:
-                return tqs, "and"
-            if occurs == {Occur.SHOULD} and q.minimum_should_match <= 1:
-                return tqs, "or"
+            return (q,)
+        if (
+            isinstance(q, BooleanQuery)
+            and q.minimum_should_match <= 1
+            and q.clauses
+            and all(
+                c.occur == Occur.SHOULD and isinstance(c.query, TermQuery)
+                for c in q.clauses
+            )
+        ):
+            return tuple(c.query for c in q.clauses)
         return None
 
-    def _search_wand(self, tqs, mode: str, stats, k: int) -> DataFrame:
-        from lucene_spark.search.wand import TermScorer, wand_topk
+    def _wand_plan(self, q: Query):
+        """(field, clauses, msm) when the query is a flat Boolean over term
+        groups (incl. MUST_NOT / FILTER / minShouldMatch and one level of
+        SHOULD-of-terms nesting), else None — the shapes Lucene serves with
+        WANDScorer + ReqExclScorer (BooleanScorerSupplier.java:130-246)."""
+        if isinstance(q, TermQuery):
+            return q.field, [("should", (q,))], 0
+        if not isinstance(q, BooleanQuery) or not q.clauses:
+            return None
+        clauses, fields = [], set()
+        occ_map = {
+            Occur.MUST: "must",
+            Occur.FILTER: "filter",
+            Occur.SHOULD: "should",
+            Occur.MUST_NOT: "not",
+        }
+        for c in q.clauses:
+            group = self._term_group(c.query)
+            if group is None:
+                return None
+            clauses.append((occ_map[c.occur], group))
+            fields.update(t.field for t in group)
+        if len(fields) != 1:
+            return None
+        if not any(o in ("must", "filter", "should") for o, _ in clauses):
+            return None  # pure-negative (rewrite normally kills this anyway)
+        return fields.pop(), clauses, q.minimum_should_match
 
-        field = tqs[0].field
+    def _search_wand_boolean(self, plan, stats, k: int, exclude=None) -> DataFrame:
+        from lucene_spark.search.wand import TermScorer, wand_topk_boolean
+
+        field, cl, msm = plan
         doc_count, sttf = self._fieldstats()[field]
-        scorers = []
-        for tq in tqs:
-            st = stats.get((tq.field, tq.term))
-            if st is None:
-                if mode == "and":  # conjunction with an absent term: no hits
-                    empty = self._empty_scored()
-                    return empty.withColumn("rank", F.lit(0).cast("int")).limit(0)
+
+        def _empty_topk():
+            return self._empty_scored().withColumn(
+                "rank", F.lit(0).cast("int")
+            ).limit(0)
+
+        clauses = []
+        n_should = 0
+        for occ, group in cl:
+            if occ == "not":
+                members = [t.term for t in group if (t.field, t.term) in stats]
+                if members:
+                    clauses.append(("not", members))
                 continue
-            sc = bm25.BM25Scorer(st[0], doc_count, sttf, k1=self.k1, b=self.b)
-            scorers.append(TermScorer(tq.term, sc.weight, sc.cache))
-        if not scorers:
-            return self._empty_scored().withColumn("rank", F.lit(0).cast("int")).limit(0)
+            scorers = []
+            for tq in group:
+                st = stats.get((tq.field, tq.term))
+                if st is None:
+                    continue  # absent member of an OR-group contributes nothing
+                sc = bm25.BM25Scorer(st[0], doc_count, sttf, k1=self.k1, b=self.b)
+                # FILTER gates without scoring: weight 0 ⇒ leaf score exactly
+                # 0.0f, which adds nothing to the double accumulator
+                w = np.float32(0.0) if occ == "filter" else sc.weight
+                scorers.append(TermScorer(tq.term, w, sc.cache))
+            if occ in ("must", "filter"):
+                if not scorers:  # required clause entirely absent: no hits
+                    return _empty_topk()
+                clauses.append(("must", scorers))
+            elif scorers:
+                clauses.append(("should", scorers))
+                n_should += 1
+        has_req = any(o == "must" for o, _ in clauses)
+        need = msm if has_req else max(1, msm)
+        if n_should < need and not (has_req and msm == 0):
+            return _empty_topk()
+        if not has_req and n_should == 0:
+            return _empty_topk()
+
+        all_terms = sorted(
+            {s.term for occ, ms in clauses if occ != "not" for s in ms}
+            | {t for occ, ms in clauses if occ == "not" for t in ms}
+        )
         # term-pruned block scan: on a bucketed on-disk layout this filter
         # becomes a tbucket partition filter — only the query terms' buckets
         # are read (terms-dictionary role; see IndexTables.blocks_for_terms)
-        q_blocks = self.index.blocks_for_terms(field, [s.term for s in scorers])
-        topk = wand_topk(q_blocks, scorers, k, mode=mode, field=field)
+        q_blocks = self.index.blocks_for_terms(field, all_terms)
+        topk = wand_topk_boolean(
+            q_blocks, clauses, msm, k, field=field, exclude=exclude
+        )
         w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
         return topk.withColumn("rank", w.cast("int"))
 

@@ -2,7 +2,8 @@
 
 Distributed re-expression of the reference's dynamic-pruning search path
 (``search/WANDScorer.java:57-213``, ``search/ImpactsDISI.java:28``,
-``search/MaxScoreCache.java:72-93``):
+``search/MaxScoreCache.java:72-93``, ``search/BooleanScorerSupplier.java:
+130-246`` scorer selection, ``search/ReqExclScorer.java`` exclusion):
 
 * each *segment* (contiguous global docID range — one index partition) is
   scored independently by a vectorized numpy kernel inside
@@ -10,25 +11,38 @@ Distributed re-expression of the reference's dynamic-pruning search path
   (``IndexSearcher.java:341-430``), with Spark tasks as the slices,
 * only the **query terms' blocks** are shuffled — norms travel inside the
   blocks (``norm_blob``), so query cost is proportional to posting size,
-  never corpus size,
-* per segment the kernel runs *window-at-a-time* block-max WAND: docID space
-  is partitioned into windows at block boundaries; a window's score upper
-  bound is the sum (AND: sum, but only if every term overlaps) of the
-  overlapping blocks' impact-frontier maxima (exactly Lucene's
-  ``getMaxScore`` per block); windows are processed in descending
-  upper-bound order, so once the running k-th best score θ exceeds the next
-  window's bound the loop *terminates* — the remaining windows are provably
-  non-competitive (the WAND invariant: skip only when upper < θ strictly,
-  ties must still be checked for the docID-ascending tie-break,
-  ``TopScoreDocCollector.java:26-28``),
+  never corpus size (and on the bucketed on-disk layout the scan itself is
+  partition-pruned to the terms' buckets),
+* the kernel accepts the full flat Boolean shape Lucene's
+  ``BooleanScorerSupplier`` handles with WAND + ReqExcl: a list of
+  *clauses*, each an OR-group of scored terms, marked required
+  (MUST / FILTER — FILTER members carry weight 0 so they gate without
+  scoring), optional (SHOULD, with ``minimumNumberShouldMatch``), or
+  prohibited (MUST_NOT — pure doc-set exclusion, no score, no effect on
+  upper bounds, which keeps pruning safe: exclusions only shrink the
+  candidate set).  Buffered deletes enter the same way, as a per-query
+  exclusion array (Lucene checks liveDocs inside the scorer),
+* per segment the kernel runs *window-at-a-time* block-max WAND: docID
+  space is partitioned into windows at every block boundary of every
+  involved term; a window's score upper bound is the float32-rounded-up sum
+  of the overlapping blocks' impact-frontier maxima (Lucene's
+  ``getMaxScore``); windows are processed in descending bound order, so
+  once the running k-th best score θ exceeds the next bound the loop
+  terminates — remaining windows are provably non-competitive (skip only
+  when upper < θ strictly; ties still checked for the docID tie-break,
+  ``TopScoreDocCollector.java:26-28``).  Windows failing required-coverage
+  or optional-coverage < msm are dead a priori,
 * per-segment top-k rows are reduced by a global
   ``ORDER BY score DESC, doc_id ASC LIMIT k`` (``TopDocs.merge`` semantics,
   ``search/TopDocs.java:278-360``).
 
 Exactness: block upper bounds are computed with the *same* float32 BM25
-kernel as real scores over the impact frontier, so they are true maxima —
-the WAND path returns bit-identical results to the brute-force scorer
-(asserted by tests, the ``CheckHits`` pattern).
+kernel as real scores over the impact frontier; per-clause scores are
+float32 casts of double sums of member float32 leaf scores, and the final
+doc score is the float32 cast of the double sum of clause scores — exactly
+the flat DataFrame plan's arithmetic (ConjunctionScorer.java:57-63 /
+DisjunctionSumScorer), so the WAND path returns bit-identical results to
+the brute-force scorer (asserted by tests, the ``CheckHits`` pattern).
 """
 
 from __future__ import annotations
@@ -62,6 +76,12 @@ class TermScorer:
         return np.float32(self.score(fr, nm).max())
 
 
+# A clause is ("must" | "should", [TermScorer, ...]) — an OR-group that
+# matches a doc when ANY member matches and scores the float32 cast of the
+# double sum of member scores — or ("not", [term, ...]) for pure exclusion.
+Clause = tuple
+
+
 def _topk_update(
     scores: np.ndarray, docs: np.ndarray, new_s: np.ndarray, new_d: np.ndarray, k: int
 ):
@@ -79,10 +99,17 @@ def _theta(scores: np.ndarray, k: int) -> float:
     return float(scores.min()) if len(scores) >= k else -np.inf
 
 
-def segment_wand_topk(
-    pdf: pd.DataFrame, scorers: list[TermScorer], k: int, mode: str
+_EMPTY = (np.array([], dtype=np.int64), np.array([], dtype=np.float32))
+
+
+def segment_wand_topk_boolean(
+    pdf: pd.DataFrame,
+    clauses: list[Clause],
+    msm: int,
+    k: int,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact top-k of one segment's blocks for an OR/AND of scored terms.
+    """Exact top-k of one segment's blocks for a flat Boolean of term groups.
 
     ``pdf`` columns: term, block_id, first_doc, last_doc, num_docs,
     doc_blob, freq_blob, norm_blob, impacts.  Returns (doc_ids, scores_f32).
@@ -90,40 +117,88 @@ def segment_wand_topk(
     by_term: dict[str, pd.DataFrame] = {
         t: g.sort_values("block_id") for t, g in pdf.groupby("term")
     }
-    present = [s for s in scorers if s.term in by_term]
-    if not present or (mode == "and" and len(present) < len(scorers)):
-        return np.array([], dtype=np.int64), np.array([], dtype=np.float32)
-    scorers = present
-    nterms = len(scorers)
 
-    # per term: block ranges + impact-derived upper bounds
-    firsts, lasts, uppers, groups = [], [], [], []
-    for s in scorers:
-        g = by_term[s.term]
+    # Segment-local clause resolution: drop absent members; a required
+    # clause with no member present can match nothing in this segment.
+    req: list[list[TermScorer]] = []
+    opt: list[list[TermScorer]] = []
+    proh_terms: list[str] = []
+    for occ, members in clauses:
+        if occ == "not":
+            proh_terms.extend(t for t in members if t in by_term)
+            continue
+        present = [s for s in members if s.term in by_term]
+        if occ == "must":
+            if not present:
+                return _EMPTY
+            req.append(present)
+        elif present:
+            opt.append(present)
+    need_opt = msm if req else max(1, msm)
+    if not req and not opt:
+        return _EMPTY
+    if need_opt > len(opt):
+        return _EMPTY
+
+    # distinct involved terms → block ranges (+ member upper bounds)
+    term_list = sorted(
+        {s.term for c in req + opt for s in c} | set(proh_terms)
+    )
+    t_idx = {t: i for i, t in enumerate(term_list)}
+    firsts, lasts, groups = [], [], []
+    for t in term_list:
+        g = by_term[t]
         firsts.append(g["first_doc"].to_numpy(dtype=np.int64))
         lasts.append(g["last_doc"].to_numpy(dtype=np.int64))
-        uppers.append(
-            np.array([s.upper(imp) for imp in g["impacts"]], dtype=np.float64)
-        )
         groups.append(g)
 
-    # windows: docID space cut at every block boundary of every term
+    # windows: docID space cut at every block boundary of every term, so a
+    # window overlaps at most ONE block per term
     bounds = np.unique(np.concatenate(firsts + [arr + 1 for arr in lasts]))
     w_start = bounds[:-1]
     n_win = len(w_start)
     if n_win == 0:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.float32)
+        return _EMPTY
 
-    # per term, per window: index of the block overlapping the window (or -1)
-    w_upper = np.zeros(n_win, dtype=np.float64)
-    w_cover = np.zeros(n_win, dtype=np.int64)  # how many terms overlap
-    blk_of = np.full((nterms, n_win), -1, dtype=np.int64)
-    for ti in range(nterms):
+    # per term, per window: overlapping block index (or -1)
+    blk_of = np.full((len(term_list), n_win), -1, dtype=np.int64)
+    for ti in range(len(term_list)):
         idx = np.searchsorted(firsts[ti], w_start, side="right") - 1
         ok = (idx >= 0) & (w_start <= lasts[ti][np.clip(idx, 0, None)])
         blk_of[ti, ok] = idx[ok]
-        w_upper[ok] += uppers[ti][idx[ok]]
-        w_cover[ok] += 1
+
+    # per scoring member: per-block impact-frontier uppers
+    member_upper: dict[int, np.ndarray] = {}
+    scoring_members: list[tuple[int, TermScorer]] = []  # (term index, scorer)
+    for c in req + opt:
+        for s in c:
+            ti = t_idx[s.term]
+            mid = len(scoring_members)
+            scoring_members.append((ti, s))
+            member_upper[mid] = np.array(
+                [s.upper(imp) for imp in groups[ti]["impacts"]], dtype=np.float64
+            )
+
+    w_upper = np.zeros(n_win, dtype=np.float64)
+    for mid, (ti, _s) in enumerate(scoring_members):
+        cov = blk_of[ti] >= 0
+        w_upper[cov] += member_upper[mid][blk_of[ti, cov]]
+
+    # clause coverage per window: required all covered; optional count >= need
+    def _cov(members: list[TermScorer]) -> np.ndarray:
+        m = np.zeros(n_win, dtype=bool)
+        for s in members:
+            m |= blk_of[t_idx[s.term]] >= 0
+        return m
+
+    live = np.ones(n_win, dtype=bool)
+    for c in req:
+        live &= _cov(c)
+    if need_opt > 0 and opt:
+        opt_cover = np.zeros(n_win, dtype=np.int64)
+        for c in opt:
+            opt_cover += _cov(c)
+        live &= opt_cover >= need_opt
 
     # ULP-safe float32 view of the bound: the true doc score is a double sum
     # cast to float32 (round-nearest, may round *up*); rounding the bound
@@ -133,10 +208,6 @@ def segment_wand_topk(
     bump = w_bound.astype(np.float64) < w_upper
     w_bound[bump] = np.nextafter(w_bound[bump], np.float32(np.inf))
 
-    if mode == "and":
-        live = w_cover == nterms
-    else:
-        live = w_cover > 0
     order = np.argsort(-w_bound[live], kind="stable")
     w_ids = np.flatnonzero(live)[order]
 
@@ -144,54 +215,186 @@ def segment_wand_topk(
     top_d = np.array([], dtype=np.int64)
     decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
+    def _block(ti: int, bi: int):
+        key = (ti, bi)
+        if key not in decoded:
+            row = groups[ti].iloc[bi]
+            d, f = decode_block(
+                int(row["first_doc"]), int(row["num_docs"]),
+                row["doc_blob"], row["freq_blob"],
+            )
+            nm = decode_norms(row["norm_blob"])
+            decoded[key] = (d, f, nm)
+        return decoded[key]
+
+    def _clause_eval(members: list[TermScorer], wi: int, lo: int, hi: int):
+        """(sorted docs, float32 clause scores) within the window, or None."""
+        ds, ss = [], []
+        for s in members:
+            ti = t_idx[s.term]
+            bi = int(blk_of[ti, wi])
+            if bi < 0:
+                continue
+            d, f, nm = _block(ti, bi)
+            sel = (d >= lo) & (d <= hi)
+            if sel.any():
+                ds.append(d[sel])
+                ss.append(
+                    s.score(f[sel].astype(np.float32), nm[sel]).astype(np.float64)
+                )
+        if not ds:
+            return None
+        alld = np.concatenate(ds)
+        alls = np.concatenate(ss)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(sums, inv, alls)
+        # clause output = float32 (the flat plan casts every sub-Boolean's
+        # score column to float before the parent combines it)
+        return uniq, sums.astype(np.float32)
+
     for wi in w_ids:
         if w_bound[wi] < _theta(top_s, k):  # strict: ties still checked
             break  # windows sorted by bound desc ⇒ all remaining are pruned
-        lo, hi = w_start[wi], bounds[wi + 1] - 1
-        cand_d, cand_s = [], []
-        for ti, s in enumerate(scorers):
-            bi = blk_of[ti, wi]
-            if bi < 0:
-                if mode == "and":
-                    cand_d = []
-                    break
-                continue
-            key = (ti, int(bi))
-            if key not in decoded:
-                row = groups[ti].iloc[int(bi)]
-                d, f = decode_block(
-                    int(row["first_doc"]), int(row["num_docs"]),
-                    row["doc_blob"], row["freq_blob"],
-                )
-                nm = decode_norms(row["norm_blob"])
-                decoded[key] = (d, f, nm)
-            d, f, nm = decoded[key]
-            sel = (d >= lo) & (d <= hi)
-            if sel.any():
-                cand_d.append(d[sel])
-                cand_s.append(
-                    s.score(f[sel].astype(np.float32), nm[sel]).astype(np.float64)
-                )
-            elif mode == "and":
-                cand_d = []
+        lo, hi = int(w_start[wi]), int(bounds[wi + 1] - 1)
+
+        # required clauses: intersect doc sets, sum clause scores in double
+        base_d = base_s = None
+        dead = False
+        for c in req:
+            out = _clause_eval(c, wi, lo, hi)
+            if out is None:
+                dead = True
                 break
-        if not cand_d:
+            cd, cs = out
+            if base_d is None:
+                base_d, base_s = cd, cs.astype(np.float64)
+            else:
+                idx = np.searchsorted(cd, base_d)
+                idx_c = np.clip(idx, 0, len(cd) - 1)
+                ok = (idx < len(cd)) & (cd[idx_c] == base_d)
+                base_d = base_d[ok]
+                base_s = base_s[ok] + cs[idx_c[ok]].astype(np.float64)
+            if len(base_d) == 0:
+                dead = True
+                break
+        if dead:
             continue
-        alld = np.concatenate(cand_d)
-        alls = np.concatenate(cand_s)
-        uniq, inv, counts = np.unique(alld, return_inverse=True, return_counts=True)
-        sums = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(sums, inv, alls)
-        if mode == "and":
-            keep = counts == nterms
-            uniq, sums = uniq[keep], sums[keep]
-        if len(uniq) == 0:
+
+        # optional clauses: per-doc sum + matched-clause count
+        opt_d = opt_s = opt_c = None
+        if opt:
+            ds, ss = [], []
+            for c in opt:
+                out = _clause_eval(c, wi, lo, hi)
+                if out is None:
+                    continue
+                cd, cs = out
+                ds.append(cd)
+                ss.append(cs.astype(np.float64))
+            if ds:
+                alld = np.concatenate(ds)
+                alls = np.concatenate(ss)
+                opt_d, inv, opt_c = np.unique(
+                    alld, return_inverse=True, return_counts=True
+                )
+                opt_s = np.zeros(len(opt_d), dtype=np.float64)
+                np.add.at(opt_s, inv, alls)
+
+        if req:
+            if opt_d is not None:
+                idx = np.searchsorted(opt_d, base_d)
+                idx_c = np.clip(idx, 0, len(opt_d) - 1)
+                ok = (idx < len(opt_d)) & (opt_d[idx_c] == base_d)
+                add = np.zeros(len(base_d), dtype=np.float64)
+                add[ok] = opt_s[idx_c[ok]]
+                cnt = np.zeros(len(base_d), dtype=np.int64)
+                cnt[ok] = opt_c[idx_c[ok]]
+            else:
+                add = np.zeros(len(base_d), dtype=np.float64)
+                cnt = np.zeros(len(base_d), dtype=np.int64)
+            if msm > 0:
+                keep = cnt >= msm
+                base_d = base_d[keep]
+                final_s = (base_s[keep] + add[keep])
+            else:
+                final_s = base_s + add
+            final_d = base_d
+        else:
+            if opt_d is None:
+                continue
+            keep = opt_c >= need_opt
+            final_d = opt_d[keep]
+            final_s = opt_s[keep]
+        if len(final_d) == 0:
             continue
-        # per-doc: float32 leaf scores summed in double, cast to float32
-        # (ConjunctionScorer.java:57-63 / DisjunctionSumScorer)
-        top_s, top_d = _topk_update(top_s, top_d, sums.astype(np.float32), uniq, k)
+
+        # exclusions: prohibited clauses + buffered deletes (ReqExclScorer /
+        # liveDocs) — applied after scoring, before the heap; they only
+        # shrink the candidate set so pruning bounds stay safe
+        for t in proh_terms:
+            ti = t_idx[t]
+            bi = int(blk_of[ti, wi])
+            if bi < 0:
+                continue
+            d, _f, _nm = _block(ti, bi)
+            sel = d[(d >= lo) & (d <= hi)]
+            if len(sel):
+                keep = ~np.isin(final_d, sel)
+                final_d, final_s = final_d[keep], final_s[keep]
+        if exclude is not None and len(exclude) and len(final_d):
+            keep = ~np.isin(final_d, exclude)
+            final_d, final_s = final_d[keep], final_s[keep]
+        if len(final_d) == 0:
+            continue
+
+        # per-doc: clause float32 scores summed in double, cast to float32
+        top_s, top_d = _topk_update(
+            top_s, top_d, final_s.astype(np.float32), final_d, k
+        )
 
     return top_d, top_s
+
+
+def segment_wand_topk(
+    pdf: pd.DataFrame, scorers: list[TermScorer], k: int, mode: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Classic shapes: pure AND-of-terms / OR-of-terms (kept for the simple
+    entry points and kernel fuzz tests; delegates to the Boolean kernel)."""
+    if mode == "and":
+        clauses = [("must", [s]) for s in scorers]
+    else:
+        clauses = [("should", [s]) for s in scorers]
+    return segment_wand_topk_boolean(pdf, clauses, 0, k)
+
+
+def wand_topk_boolean(
+    blocks: DataFrame,
+    clauses: list[Clause],
+    msm: int,
+    k: int,
+    field: str = "text",
+    exclude: np.ndarray | None = None,
+) -> DataFrame:
+    """Distributed Boolean block-max WAND: per-segment kernel + TopDocs-merge
+    reduce.  Returns (doc_id long, score float) — un-ranked; caller applies
+    the final ``ORDER BY score DESC, doc_id ASC LIMIT k``."""
+    terms = sorted(
+        {s.term for occ, ms in clauses if occ != "not" for s in ms}
+        | {t for occ, ms in clauses if occ == "not" for t in ms}
+    )
+    q_blocks = blocks.filter((F.col("field") == field) & F.col("term").isin(terms))
+
+    out_schema = "doc_id long, score float"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        d, s = segment_wand_topk_boolean(pdf, clauses, msm, k, exclude)
+        return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
+
+    per_seg = q_blocks.groupBy("segment").applyInPandas(
+        lambda key, pdf: run(pdf), schema=out_schema
+    )
+    return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def wand_topk(
@@ -201,21 +404,9 @@ def wand_topk(
     mode: str = "or",
     field: str = "text",
 ) -> DataFrame:
-    """Distributed block-max WAND: per-segment kernel + TopDocs-merge reduce.
-
-    Returns (doc_id long, score float) — un-ranked; caller applies the final
-    ``ORDER BY score DESC, doc_id ASC LIMIT k``.
-    """
-    terms = [s.term for s in scorers]
-    q_blocks = blocks.filter((F.col("field") == field) & F.col("term").isin(terms))
-
-    out_schema = "doc_id long, score float"
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        d, s = segment_wand_topk(pdf, scorers, k, mode)
-        return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
-
-    per_seg = q_blocks.groupBy("segment").applyInPandas(
-        lambda key, pdf: run(pdf), schema=out_schema
-    )
-    return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    """Classic AND/OR entry point (see :func:`wand_topk_boolean`)."""
+    if mode == "and":
+        clauses = [("must", [s]) for s in scorers]
+    else:
+        clauses = [("should", [s]) for s in scorers]
+    return wand_topk_boolean(blocks, clauses, 0, k, field=field)

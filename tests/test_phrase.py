@@ -139,3 +139,39 @@ def test_phrase_requires_positions(spark):
     s = IndexSearcher(idx)
     with pytest.raises(ValueError):
         s.search('"a b"', k=5).collect()
+
+
+def test_sloppy_freq_lucene_javadoc_example():
+    """SloppyPhraseMatcher javadoc: doc 'x a b a y', query "a b"~2 matches
+    twice — 'a b' (distance 0) and 'b a' (distance 2) — so sloppyFreq =
+    1/(1+0) + 1/(1+2) accumulated in float32."""
+    import numpy as np
+
+    from lucene_spark.search.searcher import sloppy_phrase_freq
+
+    # positions: a@{1,3}, b@{2}; shifted: A = {1,3}, B = {2-1} = {1}
+    got = sloppy_phrase_freq([np.array([1, 3]), np.array([1])], slop=2)
+    want = np.float32(np.float32(1.0) + np.float32(1.0) / np.float32(3.0))
+    assert got == want
+    # slop 0: only the exact match contributes
+    assert sloppy_phrase_freq([np.array([1, 3]), np.array([1])], 0) == np.float32(1.0)
+    # no match within slop
+    assert sloppy_phrase_freq([np.array([10]), np.array([0])], 2) == np.float32(0.0)
+
+
+def test_sloppy_fractional_freq_scores(searcher):
+    """A reversed-order match (distance 2) contributes 1/3 of an exact match
+    — scores must reflect the fractional float32 freq, not an integer."""
+    import numpy as np
+
+    hits = {r.doc_id: r.score for r in searcher.search('"quick brown"~2', k=20).collect()}
+    flat = {r.doc_id: r.score for r in searcher.search('"quick brown"~2', k=20, strategy="flat").collect()}
+    assert hits == flat
+    assert hits  # non-empty
+
+
+def test_sloppy_repeated_terms_unsupported(searcher):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        searcher.search('"quick quick"~1', k=5).collect()

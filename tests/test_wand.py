@@ -55,8 +55,10 @@ def test_wand_path_is_actually_used(searcher):
     # shape accepted → strategy="wand" must not raise
     searcher.search("index", k=5, strategy="wand").collect()
     searcher.search("index AND query", k=5, strategy="wand").collect()
+    searcher.search("index AND NOT query", k=5, strategy="wand").collect()
     with pytest.raises(ValueError):
-        searcher.search("merge AND NOT window", k=5, strategy="wand")
+        # positional queries stay outside the kernel
+        searcher.search('"index query"', k=5, strategy="wand")
 
 
 def test_blocks_roundtrip_to_flat_postings(searcher):
@@ -170,3 +172,85 @@ def test_wand_equals_flat_with_instance_similarity(searcher):
         assert [(r.doc_id, r.score, r.rank) for r in wand] == [
             (r.doc_id, r.score, r.rank) for r in flat
         ]
+
+
+# ----------------------------------------- mixed-Boolean kernel (WAND ≡ flat)
+
+
+def _mixed_queries():
+    from lucene_spark.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        Occur,
+        TermQuery,
+    )
+
+    def bq(parts, msm=0):
+        return BooleanQuery(
+            tuple(BooleanClause(occ, q) for occ, q in parts),
+            minimum_should_match=msm,
+        )
+
+    t = TermQuery
+    sub_or = bq([(Occur.SHOULD, t("query")), (Occur.SHOULD, t("vector"))])
+    return {
+        "must_not": bq([(Occur.MUST, t("index")), (Occur.MUST_NOT, t("query"))]),
+        "reqopt": bq([(Occur.MUST, t("index")), (Occur.SHOULD, t("query"))]),
+        "filter": bq([(Occur.MUST, t("index")), (Occur.FILTER, t("the"))]),
+        "filter_only": bq([(Occur.FILTER, t("index")), (Occur.FILTER, t("query"))]),
+        "msm2_of_3": bq(
+            [(Occur.SHOULD, t("index")), (Occur.SHOULD, t("query")), (Occur.SHOULD, t("the"))],
+            msm=2,
+        ),
+        "must_msm": bq(
+            [(Occur.MUST, t("index")), (Occur.SHOULD, t("query")), (Occur.SHOULD, t("the"))],
+            msm=1,
+        ),
+        "nested_or_in_must": bq([(Occur.MUST, t("index")), (Occur.MUST, sub_or)]),
+        "nested_or_not": bq([(Occur.MUST, t("the")), (Occur.MUST_NOT, sub_or)]),
+        "kitchen_sink": bq(
+            [
+                (Occur.MUST, t("the")),
+                (Occur.SHOULD, t("index")),
+                (Occur.SHOULD, sub_or),
+                (Occur.MUST_NOT, t("partition")),
+                (Occur.FILTER, t("of")),
+            ],
+            msm=1,
+        ),
+        "absent_must_not": bq(
+            [(Occur.MUST, t("index")), (Occur.MUST_NOT, t("nosuchterm"))]
+        ),
+        "absent_should": bq(
+            [(Occur.MUST, t("index")), (Occur.SHOULD, t("nosuchterm"))]
+        ),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_mixed_queries().keys()))
+@pytest.mark.parametrize("k", [1, 10, 100])
+def test_wand_boolean_equals_flat(searcher, name, k):
+    q = _mixed_queries()[name]
+    wand = searcher.search(q, k=k, strategy="wand").collect()
+    flat = searcher.search(q, k=k, strategy="flat").collect()
+    assert [(r.doc_id, r.score, r.rank) for r in wand] == [
+        (r.doc_id, r.score, r.rank) for r in flat
+    ]
+
+
+def test_wand_with_deletes_equals_flat_antijoin(searcher):
+    """Buffered deletes enter the kernel as an exclusion set; results must
+    equal the flat path's anti-join bit-for-bit."""
+    from lucene_spark.index.builder import delete_by_ids
+
+    spark = searcher.index.postings.sparkSession
+    victims = [r.doc_id for r in searcher.search("the", k=7).collect()]
+    dels = spark.createDataFrame([(int(d),) for d in victims], "doc_id long")
+    s2 = IndexSearcher(delete_by_ids(searcher.index, dels))
+    for qtext in ("the", "the AND of", "index OR query"):
+        wand = s2.search(qtext, k=20, strategy="wand").collect()
+        flat = s2.search(qtext, k=20, strategy="flat").collect()
+        assert [(r.doc_id, r.score, r.rank) for r in wand] == [
+            (r.doc_id, r.score, r.rank) for r in flat
+        ]
+        assert not {r.doc_id for r in wand} & set(victims)
