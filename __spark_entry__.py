@@ -49,6 +49,11 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             build_blocks=True,  # term/AND/OR gate queries run block-max WAND
             with_positions=True,  # phrase gate query
         ).persist()
+        # per-doc KNN vectors (vec_id == doc_id in the gate corpus) — the
+        # KnnFloatVectorQuery composable-vector-search path
+        idx.vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
         _CACHE[sf_dir] = IndexSearcher(idx)
     return _CACHE[sf_dir]
 
@@ -162,6 +167,25 @@ def _q_fuzzy_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_gate_schema(_searcher(spark, sf_dir).search("merge~1", k=400))
 
 
+def _q_fuzzy_blended_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzyQuery with Lucene's scoring default (TOP_TERMS_BLENDED_FREQ):
+    expanded terms score with similarity boosts + blended stats instead of
+    constant 1.0."""
+    from lucene_spark.search.query import FuzzyQuery
+
+    q = FuzzyQuery("merge", max_edits=1, rewrite_method="top_terms_blended")
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=10))
+
+
+def _q_prefix_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrefixQuery with SCORING_BOOLEAN_REWRITE: ranked hits, each expanded
+    term contributing its own BM25 score."""
+    from lucene_spark.search.query import PrefixQuery
+
+    q = PrefixQuery("mer", rewrite_method="scoring_boolean")
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=10))
+
+
 def _q_sloppy_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sloppy phrase (window semantics, see searcher._score_sloppy_phrase)."""
     return _as_gate_schema(_searcher(spark, sf_dir).search('"table value"~3', k=10))
@@ -237,6 +261,16 @@ def _q_facet_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _searcher(spark, sf_dir)
     return facet_counts(s.score_all("merge"), _docs(spark, sf_dir), "source")
+
+
+def _q_facet_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical facets: counts at every source/lang path prefix."""
+    from lucene_spark.search.collectors import taxonomy_facet_counts
+
+    s = _searcher(spark, sf_dir)
+    return taxonomy_facet_counts(
+        s.score_all("merge"), _docs(spark, sf_dir), ["source", "lang"]
+    )
 
 
 _NCHAR_RANGES = (("small", 0, 200), ("mid", 200, 350), ("big", 350, 10_000))
@@ -321,6 +355,16 @@ def _q_lmdirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_gate_schema(s.search("merge", k=10))
 
 
+def _q_similarity_topk(similarity: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from lucene_spark.search.searcher import IndexSearcher
+
+        s = IndexSearcher(_searcher(spark, sf_dir).index, similarity=similarity)
+        return _as_gate_schema(s.search("merge", k=10))
+
+    return q
+
+
 def _q_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse search: registered queries matched against the doc batch."""
     from lucene_spark.streaming.percolator import Monitor
@@ -361,6 +405,54 @@ def _q_hybrid_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select(
         "doc_id", F.col("score").cast("double").alias("score")
     ).withColumn("rank", w.cast("int"))
+
+
+def _knn_query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return tuple(
+        float(x)
+        for x in emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0][0]
+    )
+
+
+def _q_knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-filtered KNN as a Query: k nearest among docs matching 'merge'."""
+    from lucene_spark.search.query import KnnFloatVectorQuery, TermQuery
+
+    qv = _knn_query_vec(spark, sf_dir)
+    q = KnnFloatVectorQuery(qv, k=10, filter=TermQuery("merge"))
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=10))
+
+
+def _q_knn_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid: MUST bm25('merge') + SHOULD knn-top-50 similarity bonus."""
+    from lucene_spark.search.query import (
+        BooleanClause,
+        BooleanQuery,
+        KnnFloatVectorQuery,
+        Occur,
+        TermQuery,
+    )
+
+    qv = _knn_query_vec(spark, sf_dir)
+    q = BooleanQuery(
+        (
+            BooleanClause(Occur.MUST, TermQuery("merge")),
+            BooleanClause(Occur.SHOULD, KnnFloatVectorQuery(qv, k=50)),
+        )
+    )
+    return _as_gate_schema(_searcher(spark, sf_dir).search(q, k=10))
+
+
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best passage per hit doc (UnifiedHighlighter analog), terms wrapped."""
+    from lucene_spark.search.features import unified_highlight
+
+    s = _searcher(spark, sf_dir)
+    out = unified_highlight(
+        s.score_all("merge"), _docs(spark, sf_dir), ["merge"]
+    )
+    return out.withColumn("pscore", F.col("pscore").cast("double"))
 
 
 def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,11 +710,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_topk": _q_prefix_topk,
         "wildcard_topk": _q_wildcard_topk,
         "fuzzy_topk": _q_fuzzy_topk,
+        "fuzzy_blended_topk": _q_fuzzy_blended_topk,
+        "prefix_scoring_topk": _q_prefix_scoring_topk,
         "term_count": _q_term_count,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
         "facet_source_counts": _q_facet_source,
         "facet_nchars_ranges": _q_range_facet,
+        "facet_path_counts": _q_facet_paths,
         "grouped_topk_source": _q_grouped_topk,
         "block_join_source_max": _q_block_join,
         "search_after_page2": _q_search_after,
@@ -631,12 +726,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "function_score_topk": _q_function_score,
         "bm25_params_topk": _q_bm25_params_topk,
         "lmdirichlet_topk": _q_lmdirichlet_topk,
+        "dfr_topk": _q_similarity_topk("dfr"),
+        "lmjm_topk": _q_similarity_topk("lmjm"),
+        "ib_topk": _q_similarity_topk("ib"),
         "percolator_matches": _q_percolator,
         "check_index_report": _q_check_index,
         "ondisk_term_topk": _q_ondisk_term_topk,
         "lifecycle_merge_topk": _q_lifecycle_merge_topk,
         "lifecycle_update_topk": _q_lifecycle_update_topk,
         "hybrid_range_topk": _q_hybrid_range,
+        "highlight_passages": _q_highlight,
+        "knn_filtered_topk": _q_knn_filtered_topk,
+        "knn_hybrid_topk": _q_knn_hybrid_topk,
         "suggest_terms": _q_suggest,
         "term_vectors": _q_term_vectors,
         "more_like_this_topk": _q_mlt,
@@ -681,11 +782,14 @@ def oracle_sql() -> dict[str, str]:
         "prefix_topk": osql.prefix_topk_sql("mer", 400),
         "wildcard_topk": osql.wildcard_topk_sql("s_an", 400),
         "fuzzy_topk": osql.fuzzy_topk_sql("merge", 1, 400),
+        "fuzzy_blended_topk": osql.fuzzy_blended_topk_sql("merge", 1, 50, 10),
+        "prefix_scoring_topk": osql.prefix_scoring_topk_sql("mer", 10),
         "term_count": osql.term_count_sql("merge"),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),
         "facet_source_counts": osql.facet_counts_sql("merge", "source"),
         "facet_nchars_ranges": osql.range_facet_sql("merge", "n_chars", _NCHAR_RANGES),
+        "facet_path_counts": osql.taxonomy_facet_sql("merge", "source", "lang"),
         "grouped_topk_source": osql.grouped_topk_sql("merge", "source", 2),
         "block_join_source_max": osql.block_join_sql("merge", "source", "max"),
         "search_after_page2": osql.search_after_sql("merge", 10),
@@ -696,6 +800,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_params_topk": osql.term_topk_params_sql("merge", 0.9, 0.4, 10),
         "lmdirichlet_topk": osql.lmdirichlet_term_topk_sql("merge", 2000.0, 10),
+        "dfr_topk": osql.dfr_term_topk_sql("merge", 10),
+        "lmjm_topk": osql.lmjm_term_topk_sql("merge", 0.7, 10),
+        "ib_topk": osql.ib_term_topk_sql("merge", 10),
         "percolator_matches": osql.percolator_matches_sql(),
         # check_index_report intentionally has NO oracle: integrity
         # invariants are engine-internal (rows-only gate check)
@@ -707,6 +814,9 @@ def oracle_sql() -> dict[str, str]:
             "merge", 50, "lifecycle", 10
         ),
         "hybrid_range_topk": osql.hybrid_range_topk_sql("merge", "n_chars", 200, 350, 10),
+        "highlight_passages": osql.highlight_passages_sql("merge", 10),
+        "knn_filtered_topk": osql.knn_filtered_topk_sql("merge", 0, 10),
+        "knn_hybrid_topk": osql.knn_hybrid_topk_sql("merge", 0, 50, 10),
         "suggest_terms": osql.suggest_terms_sql("merg", 2, 5),
         "term_vectors": osql.term_vectors_sql([1, 2, 3]),
         "more_like_this_topk": osql.mlt_topk_sql(0, 3, 10),

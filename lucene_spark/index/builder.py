@@ -75,6 +75,7 @@ class IndexTables:
     deletes: DataFrame | None = None  # doc_id — buffered deletes (live-docs filter)
     term_buckets: int | None = None  # on-disk layout: blocks bucketed by hash(term)%B
     disk_backed: bool = False  # True when read via segments.read_index
+    vectors: DataFrame | None = None  # doc_id, <vector col> — per-doc KNN vectors
 
     def blocks_for_terms(self, field: str, terms) -> DataFrame | None:
         """The query terms' blocks only.  On a bucketed on-disk layout the

@@ -858,3 +858,299 @@ combined AS (
 )
 {_topk('combined', k)}
 """
+
+
+def fuzzy_blended_topk_sql(term: str, max_edits: int, max_expansions: int, k: int) -> str:
+    """TopTermsBlendedFreqScoringRewrite (FuzzyQuery's scoring default):
+    candidates within edit distance, boost = 1f - ed/minTermLength
+    (FuzzyTermsEnum.java:251-257, transpositions=false variant), top-N by
+    (boost DESC, term ASC) (TopTermsRewrite.java:104-120), scored with
+    BLENDED stats df=max/ttf=sum (BlendedTermQuery.java:281-291) as a
+    SHOULD disjunction of boosted term queries."""
+    qlen = len(term)
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+    FROM toks GROUP BY term
+),
+cand AS (
+    SELECT term, levenshtein(term, '{term}') AS ed FROM ts
+    WHERE length(term) BETWEEN {qlen - max_edits} AND {qlen + max_edits}
+      AND levenshtein(term, '{term}') <= {max_edits}
+),
+boosted AS (
+    SELECT term,
+        CASE WHEN ed = 0 THEN CAST(1 AS FLOAT)
+             ELSE CAST(CAST(1 AS FLOAT) -
+                  CAST(ed AS FLOAT) / CAST(least(length(term), {qlen}) AS FLOAT)
+                  AS FLOAT) END AS boost
+    FROM cand
+    ORDER BY boost DESC, term ASC
+    LIMIT {max_expansions}
+),
+blend AS (
+    SELECT max(ts.df)::BIGINT AS df, sum(ts.ttf)::BIGINT AS ttf
+    FROM ts JOIN boosted USING (term)
+),
+w AS (
+    SELECT CAST(ln(1 + (fs.n - blend.df + 0.5) / (blend.df + 0.5)) AS FLOAT) AS idf,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs, blend
+),
+tf AS (
+    SELECT doc_id, term, count(*)::INT AS freq FROM toks
+    WHERE term IN (SELECT term FROM boosted) GROUP BY doc_id, term
+),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(CAST(b.boost * w.idf AS FLOAT) -
+                CAST(b.boost * w.idf AS FLOAT) / ({F1} + CAST(tf.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(n.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM tf JOIN boosted b USING (term) JOIN norm n USING (doc_id) CROSS JOIN w
+),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM sc GROUP BY doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def prefix_scoring_topk_sql(prefix: str, k: int) -> str:
+    """SCORING_BOOLEAN_REWRITE for a prefix: disjunction of real term
+    queries — each expanded term scores with its OWN stats (ScoringRewrite),
+    per-doc float32 leaf scores summed in double, cast float."""
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+),
+cand AS (SELECT term FROM ts WHERE term LIKE '{prefix}%'),
+tf AS (
+    SELECT doc_id, term, count(*)::INT AS freq FROM toks
+    WHERE term IN (SELECT term FROM cand) GROUP BY doc_id, term
+),
+w AS (
+    SELECT ts.term,
+           CAST(ln(1 + (fs.n - ts.df + 0.5) / (ts.df + 0.5)) AS FLOAT) AS w,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM ts, fs WHERE ts.term IN (SELECT term FROM cand)
+),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(tf.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(n.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM tf JOIN w USING (term) JOIN norm n USING (doc_id)
+),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM sc GROUP BY doc_id
+)
+{_topk('combined', k)}
+"""
+
+
+def dfr_term_topk_sql(term: str, k: int) -> str:
+    """DFR G·B·H2 (DFRSimilarity.java:127-131, BasicModelG.java:36-51,
+    AfterEffectB.java:32-36, NormalizationH2.java:57-59): all-double score
+    cast to float32 at the end (SimilarityBase.BasicSimScorer)."""
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+st AS (
+    SELECT count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+    FROM toks WHERE term = '{term}'
+),
+sc AS (
+    SELECT tf.doc_id,
+        CAST(
+            (ln((1 + (st.ttf + 1.0) / (fs.n + st.ttf + 1.0)) / ((st.ttf + 1.0) / (fs.n + st.ttf + 1.0))) / ln(2)
+             - (ln((1 + (st.ttf + 1.0) / (fs.n + st.ttf + 1.0)) / ((st.ttf + 1.0) / (fs.n + st.ttf + 1.0))) / ln(2)
+                - ln((st.ttf + 1.0) / (fs.n + st.ttf + 1.0) + 1.0) / ln(2))
+               / (1 + CAST(tf.freq AS DOUBLE) *
+                  (ln(1 + (fs.sttf / CAST(fs.n AS DOUBLE)) / CAST(n.qlen AS DOUBLE)) / ln(2))))
+            * ((st.ttf + 2.0) / (st.df + 1.0))
+        AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id), st, fs
+)
+{_topk('sc', k)}
+"""
+
+
+def lmjm_term_topk_sql(term: str, lam: float, k: int) -> str:
+    """LMJelinekMercerSimilarity (LMJelinekMercerSimilarity.java:68-74):
+    score = (float)(ln(1 + ((1-λ)·freq/dl)/(λ·p))), λ float32-widened,
+    p = (ttf+1)/(sumTtf+1)."""
+    lam_sql = f"CAST(CAST({lam} AS FLOAT) AS DOUBLE)"
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+st AS (SELECT count(*)::BIGINT AS ttf FROM toks WHERE term = '{term}'),
+sc AS (
+    SELECT tf.doc_id,
+        CAST(ln(1 + ((1 - {lam_sql}) * CAST(tf.freq AS DOUBLE) / CAST(n.qlen AS DOUBLE))
+                    / ({lam_sql} * ((st.ttf + 1.0) / (fs.sttf + 1.0)))) AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id), st, fs
+)
+{_topk('sc', k)}
+"""
+
+
+def ib_term_topk_sql(term: str, k: int) -> str:
+    """IB LL·DF·H2 (IBSimilarity.java:114-119, DistributionLL.java:33-35,
+    LambdaDF.java:31-38 incl. nextDown(1f), NormalizationH2.java:57-59):
+    λ = (float)((df+1)/(N+1)); score = (float)(−ln(λ/(tfn+λ)))."""
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+st AS (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM toks WHERE term = '{term}'),
+lamt AS (
+    SELECT CAST(CASE WHEN CAST((st.df + 1.0) / (fs.n + 1.0) AS FLOAT) = CAST(1 AS FLOAT)
+                     THEN CAST(0.99999994 AS FLOAT)
+                     ELSE CAST((st.df + 1.0) / (fs.n + 1.0) AS FLOAT) END AS DOUBLE) AS lam
+    FROM st, fs
+),
+sc AS (
+    SELECT tf.doc_id,
+        CAST(-ln(lamt.lam /
+                 (CAST(tf.freq AS DOUBLE) *
+                  (ln(1 + (fs.sttf / CAST(fs.n AS DOUBLE)) / CAST(n.qlen AS DOUBLE)) / ln(2))
+                  + lamt.lam)) AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id), lamt, fs
+)
+{_topk('sc', k)}
+"""
+
+
+def taxonomy_facet_sql(term: str, col1: str, col2: str) -> str:
+    """Hierarchical facet counts: every path prefix (dim and dim/sub) of the
+    hit set gets a count (FastTaxonomyFacetCounts rollup semantics)."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+paths AS (
+    SELECT CAST(d.{col1} AS VARCHAR) AS p1,
+           CAST(d.{col1} AS VARCHAR) || '/' || CAST(d.{col2} AS VARCHAR) AS p2
+    FROM sc_a JOIN documents d USING (doc_id)
+),
+u AS (SELECT p1 AS path FROM paths UNION ALL SELECT p2 AS path FROM paths)
+SELECT path,
+       CAST(len(string_split(path, '/')) AS INT) AS depth,
+       count(*)::BIGINT AS n
+FROM u GROUP BY path ORDER BY path
+"""
+
+
+def highlight_passages_sql(term: str, window: int = 10) -> str:
+    """Unified-highlighter oracle (PassageScorer.java:80-139 component math,
+    float32 ops + libm ln; fixed word-window passages, maxPassages=1): best
+    passage per hit doc of a single-term query, terms wrapped in <b> tags."""
+    F32_1 = "CAST(1 AS FLOAT)"
+    PIV = "CAST(87 AS FLOAT)"
+    K1 = "CAST(1.2 AS FLOAT)"
+    Bp = "CAST(0.75 AS FLOAT)"
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+base AS (
+    SELECT d.doc_id, string_split(d.text, ' ') AS ws, length(d.text) AS clen
+    FROM sc_a JOIN documents d USING (doc_id)
+),
+p AS (
+    SELECT doc_id, ws, clen, gs.p AS passage_idx,
+           ws[gs.p*{window}+1 : least((gs.p+1)*{window}, len(ws))] AS pw
+    FROM base,
+         unnest(generate_series(0, CAST(ceil(len(ws)/CAST({window} AS DOUBLE)) AS INT) - 1)) AS gs(p)
+),
+feat AS (
+    SELECT doc_id, passage_idx, clen,
+           CASE WHEN passage_idx = 0 THEN 0
+                ELSE length(array_to_string(ws[1:passage_idx*{window}], ' ')) + 1 END AS pstart,
+           length(array_to_string(pw, ' ')) AS plen,
+           len(list_filter(pw, w -> w = '{term}')) AS freq,
+           len(list_filter(ws, w -> w = '{term}')) AS tfdoc,
+           array_to_string(list_transform(pw, w ->
+               CASE WHEN w = '{term}' THEN '<b>' || w || '</b>' ELSE w END), ' ') AS snippet
+    FROM p
+),
+scored AS (
+    SELECT doc_id, passage_idx, snippet,
+        CAST(
+            CAST(
+                CAST(
+                    (CAST(freq AS FLOAT) /
+                     (CAST(freq AS FLOAT) + {K1} * (({F32_1} - {Bp}) +
+                         {Bp} * (CAST(plen AS FLOAT) / {PIV}))))
+                    * (({K1} + {F32_1}) *
+                       CAST(ln(1 + (CAST({F32_1} + CAST(clen AS FLOAT) / {PIV} AS DOUBLE) + 0.5)
+                               / (tfdoc + 0.5)) AS FLOAT))
+                AS FLOAT)
+            AS DOUBLE)
+            * CAST({F32_1} + {F32_1} /
+                   CAST(ln(CAST({PIV} + CAST(pstart AS FLOAT) AS DOUBLE)) AS FLOAT) AS DOUBLE)
+        AS FLOAT) AS pscore
+    FROM feat WHERE freq > 0
+)
+SELECT doc_id, passage_idx, CAST(pscore AS DOUBLE) AS pscore, snippet
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY pscore DESC, passage_idx ASC) AS rn
+    FROM scored
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def knn_filtered_topk_sql(term: str, query_vec_id: int, k: int) -> str:
+    """Pre-filtered KNN (KnnFloatVectorQuery.java:49): k nearest (cosine,
+    rounded 6dp, scaled (1+cos)/2 per VectorSimilarityFunction.COSINE) among
+    docs matching the filter term; vec_id == doc_id in the gate corpus."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {query_vec_id}),
+e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+allowed AS (SELECT DISTINCT doc_id FROM sc_a),
+scored AS (
+    SELECT e.doc_id,
+        CAST((1 + round(list_dot_product(e.v, q.v) /
+              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),
+              6)) / 2 AS FLOAT) AS score
+    FROM e JOIN allowed USING (doc_id), q
+)
+{_topk('scored', k)}
+"""
+
+
+def knn_hybrid_topk_sql(term: str, query_vec_id: int, knn_k: int, k: int) -> str:
+    """Hybrid retrieval: MUST bm25(term) + SHOULD knn (ReqOptSum) — docs in
+    the global knn top-``knn_k`` get the similarity added to their BM25
+    score (double acc, cast float), exactly the Boolean composition Lucene
+    gets from a SHOULD KnnFloatVectorQuery clause."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+q AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = {query_vec_id}),
+e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+knn AS (
+    SELECT doc_id, kscore FROM (
+        SELECT e.doc_id,
+            CAST((1 + round(list_dot_product(e.v, q.v) /
+                  (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.v, q.v))),
+                  6)) / 2 AS FLOAT) AS kscore
+        FROM e, q
+    ) ORDER BY kscore DESC, doc_id ASC LIMIT {knn_k}
+),
+combined AS (
+    SELECT a.doc_id,
+        CAST(CAST(a.score AS DOUBLE) + COALESCE(CAST(kn.kscore AS DOUBLE), 0.0) AS FLOAT) AS score
+    FROM sc_a a LEFT JOIN knn kn USING (doc_id)
+)
+{_topk('combined', k)}
+"""

@@ -42,6 +42,39 @@ def facet_counts(scored: DataFrame, docmeta: DataFrame, facet_col: str) -> DataF
     )
 
 
+def taxonomy_facet_counts(
+    scored: DataFrame,
+    docmeta: DataFrame,
+    path_cols: Sequence[str],
+    sep: str = "/",
+) -> DataFrame:
+    """Hierarchical (taxonomy) facet counts: every path *prefix* gets a
+    count, so drilling down a level is a lookup, not a re-aggregation
+    (``facet/taxonomy/TaxonomyReader.java:59`` ordinal tree +
+    ``FastTaxonomyFacetCounts`` rollup, re-expressed as a prefix explode).
+
+    ``path_cols`` are the dimension components in order (e.g. ``["source",
+    "lang"]`` ⇒ paths like ``src1`` and ``src1/en``).  Returns (path,
+    depth, n) ordered by path.  The 100 TB shape: one explode (× depth,
+    small constant) + one map-side-combined groupBy — no joins per level.
+    """
+    cols = [F.col(c).cast("string") for c in path_cols]
+    prefixes = F.array(
+        *[F.concat_ws(sep, *cols[: i + 1]) for i in range(len(path_cols))]
+    )
+    joined = scored.join(docmeta.select("doc_id", *path_cols), "doc_id")
+    return (
+        joined.select(F.explode(prefixes).alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "depth", (F.size(F.split(F.col("path"), sep)) ).cast("int")
+        )
+        .select("path", "depth", "n")
+        .orderBy("path")
+    )
+
+
 def range_facet_counts(
     scored: DataFrame,
     docmeta: DataFrame,

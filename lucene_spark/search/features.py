@@ -23,6 +23,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -119,6 +121,132 @@ def highlight(
     return hits_with_text.withColumn(
         "highlighted",
         F.regexp_replace(F.col(text_col), pattern, pre + r"$1" + post),
+    )
+
+
+def unified_highlight(
+    hits: DataFrame,
+    source: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    window: int = 10,
+    pre: str = "<b>",
+    post: str = "</b>",
+    k1: float = 1.2,
+    b: float = 0.75,
+    pivot: float = 87.0,
+) -> DataFrame:
+    """Unified-highlighter analog with passage selection + passage ranking
+    (``uhighlight/UnifiedHighlighter.java:97``, ``FieldHighlighter.java``,
+    ``PassageScorer.java:80-139``):
+
+    * passages = consecutive ``window``-word slices of the raw text
+      (documented divergence: fixed word windows instead of the sentence
+      ``BreakIterator`` — the passage *scoring* is the faithful part),
+    * passage score = (float)(norm(start) · Σ_unique-matching-terms
+      tf(freqInPassage, passageLenChars) · weight(contentLenChars,
+      freqInDoc)) with PassageScorer's float32 component math:
+      ``weight = (k1+1)·(float)ln(1 + (1 + clen/pivot + 0.5)/(tfDoc+0.5))``,
+      ``tf = freq/(freq + k1·((1−b) + b·plen/pivot))``,
+      ``norm = 1 + 1/(float)ln(pivot + start)``,
+    * the best passage per document (score DESC, position ASC) is returned
+      with query terms wrapped — top-1 is FieldHighlighter's default
+      maxPassages=1.
+
+    Returns (doc_id, passage_idx, pscore float, snippet) per hit doc.  All
+    passage/snippet construction is JVM column work; only the float32 score
+    kernel is an Arrow UDF (libm log parity with the DuckDB oracle).
+    """
+    import re as _re
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    for t in terms:
+        if not _re.fullmatch(r"[\w][\w.-]*", t):
+            raise ValueError(f"unsupported highlight term: {t!r}")
+
+    k1f = np.float32(k1)
+    bf = np.float32(b)
+    pivf = np.float32(pivot)
+    k1p1 = k1f + np.float32(1.0)
+    omb = np.float32(1.0) - bf
+
+    @F.pandas_udf(T.FloatType())
+    def pscore(
+        clen: pd.Series, plen: pd.Series, start: pd.Series,
+        freqs: pd.Series, tfdocs: pd.Series,
+    ) -> pd.Series:
+        import math
+
+        one = np.float32(1.0)
+        out = np.zeros(len(clen), dtype=np.float32)
+        for i in range(len(clen)):
+            fs = np.asarray(freqs[i], dtype=np.int64)
+            tds = np.asarray(tfdocs[i], dtype=np.int64)
+            num_docs = one + np.float32(clen[i]) / pivf
+            norm_len = k1f * (omb + bf * (np.float32(plen[i]) / pivf))
+            acc = 0.0
+            for f_, td in zip(fs, tds):
+                if f_ == 0:
+                    continue
+                w = k1p1 * np.float32(
+                    math.log(1.0 + (float(num_docs) + 0.5) / (td + 0.5))
+                )
+                tf_ = np.float32(f_) / (np.float32(f_) + norm_len)
+                acc += float(tf_ * w)
+            nrm = one + one / np.float32(math.log(float(pivf + np.float32(start[i]))))
+            out[i] = np.float32(acc * float(nrm))
+        return pd.Series(out, dtype="float32")
+
+    df = hits.select("doc_id").join(source.select("doc_id", text_col), "doc_id")
+    df = (
+        df.withColumn("_ws", F.split(F.col(text_col), " "))
+        .withColumn("_clen", F.length(text_col))
+        .withColumn(
+            "_np",
+            F.greatest(F.lit(1), F.ceil(F.size("_ws") / window)).cast("int"),
+        )
+        .withColumn("passage_idx", F.explode(F.sequence(F.lit(0), F.col("_np") - 1)))
+        .withColumn("_pw", F.expr(f"slice(_ws, passage_idx*{window}+1, {window})"))
+        .withColumn(
+            "_start",
+            F.when(F.col("passage_idx") == 0, F.lit(0)).otherwise(
+                F.length(F.expr(f"array_join(slice(_ws, 1, passage_idx*{window}), ' ')")) + 1
+            ),
+        )
+        .withColumn("_plen", F.length(F.expr("array_join(_pw, ' ')")))
+    )
+    freq_arr = F.array(
+        *[F.expr(f"size(filter(_pw, w -> w = '{t}'))") for t in terms]
+    )
+    tfdoc_arr = F.array(
+        *[F.expr(f"size(filter(_ws, w -> w = '{t}'))") for t in terms]
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    snippet = F.expr(
+        f"array_join(transform(_pw, w -> CASE WHEN w IN ({in_list}) "
+        f"THEN '{pre}' || w || '{post}' ELSE w END), ' ')"
+    )
+    scored = (
+        df.withColumn("_freqs", freq_arr)
+        .withColumn("_tfdocs", tfdoc_arr)
+        .filter(F.aggregate("_freqs", F.lit(0), lambda a, x: a + x) > 0)
+        .withColumn(
+            "pscore",
+            pscore(F.col("_clen"), F.col("_plen"), F.col("_start"),
+                   F.col("_freqs"), F.col("_tfdocs")),
+        )
+        .withColumn("snippet", snippet)
+    )
+    best = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("pscore"), F.asc("passage_idx"))
+    )
+    return (
+        scored.withColumn("_rn", best)
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "passage_idx", "pscore", "snippet")
+        .orderBy("doc_id")
     )
 
 

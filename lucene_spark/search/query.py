@@ -75,16 +75,27 @@ class SynonymQuery(Query):
     field: str = "text"
 
 
+# Multi-term rewrite methods (MultiTermQuery.java:80-128):
+#   constant_score    — CONSTANT_SCORE_REWRITE: every match scores 1.0
+#   scoring_boolean   — SCORING_BOOLEAN_REWRITE: SHOULD-of-TermQuery, each
+#                       term scored with its own stats, per-doc sum
+#   top_terms_blended — TopTermsBlendedFreqScoringRewrite (FuzzyQuery's
+#                       Lucene default): top-N terms by (boost DESC, term
+#                       ASC), scored via BlendedTermQuery
+
+
 @dataclass(frozen=True)
 class PrefixQuery(Query):
     prefix: str
     field: str = "text"
+    rewrite_method: str = "constant_score"
 
 
 @dataclass(frozen=True)
 class WildcardQuery(Query):
     pattern: str  # Lucene syntax: * (any run) and ? (one char)
     field: str = "text"
+    rewrite_method: str = "constant_score"
 
 
 @dataclass(frozen=True)
@@ -97,6 +108,21 @@ class RegexpQuery(Query):
 class FuzzyQuery(Query):
     term: str
     max_edits: int = 2
+    field: str = "text"
+    rewrite_method: str = "constant_score"
+    max_expansions: int = 50  # FuzzyQuery.defaultMaxExpansions
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery(Query):
+    """(term, boost) disjunction with BLENDED statistics: every member term
+    scores with docFreq = max(df) and totalTermFreq = sum(ttf) over the
+    members (``BlendedTermQuery.java:281-291`` adjustFrequencies), combined
+    as SHOULD (``BlendedTermQuery.BOOLEAN_REWRITE``, scores summed).  Fuzzy
+    boosts are ``1f - editDistance/minTermLength``
+    (``FuzzyTermsEnum.java:251-257``)."""
+
+    terms: tuple[tuple[str, float], ...]
     field: str = "text"
 
 
@@ -120,6 +146,23 @@ class PhraseQuery(Query):
     terms: tuple[str, ...]
     slop: int = 0
     field: str = "text"
+
+
+@dataclass(frozen=True)
+class KnnFloatVectorQuery(Query):
+    """k-nearest-neighbor vector query, composable with Boolean/filter
+    clauses (``search/KnnFloatVectorQuery.java:49``): matches exactly the k
+    docs nearest to ``vector`` among docs accepted by ``filter`` (Lucene's
+    pre-filtered KNN — the filter restricts the candidate set BEFORE the
+    top-k, it does not post-filter the neighbors), scored with
+    ``VectorSimilarityFunction.COSINE`` scaling ``(1 + cos) / 2``.  Cosines
+    are rounded to 6 decimals before scaling for cross-engine determinism
+    (documented divergence)."""
+
+    vector: tuple[float, ...]
+    k: int = 10
+    filter: "Query | None" = None
+    field: str = "embedding"
 
 
 @dataclass(frozen=True)
@@ -217,6 +260,11 @@ def collect_terms(q: Query) -> set[tuple[str, str]]:
         out.update((q.field, t) for t in q.terms)
     elif isinstance(q, TermInSetQuery):
         out.update((q.field, t) for t in q.terms)
+    elif isinstance(q, BlendedTermQuery):
+        out.update((q.field, t) for t, _b in q.terms)
+    elif isinstance(q, KnnFloatVectorQuery):
+        if q.filter is not None:
+            out |= collect_terms(q.filter)
     elif isinstance(q, (BoostQuery, ConstantScoreQuery)):
         out |= collect_terms(q.query)
     elif isinstance(q, BooleanQuery):

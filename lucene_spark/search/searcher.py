@@ -41,11 +41,14 @@ from pyspark.sql import types as T
 from lucene_spark.index.builder import IndexTables
 from lucene_spark.search import bm25
 from lucene_spark.search.query import (
+    BlendedTermQuery,
+    BooleanClause,
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
+    KnnFloatVectorQuery,
     MatchAllDocsQuery,
     MatchNoDocsQuery,
     Occur,
@@ -91,6 +94,21 @@ def _make_leaf_udf(leaf):
         return pd.Series(s, dtype="float32")
 
     return score
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic Levenshtein (matches Spark's and DuckDB's ``levenshtein``;
+    the transpositions=false FuzzyQuery variant — documented divergence from
+    Lucene's default Damerau automaton)."""
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def sloppy_phrase_freq(plists: list[np.ndarray], slop: int) -> np.float32:
@@ -543,6 +561,38 @@ class IndexSearcher:
                 raise ValueError(f"multi-term query expands to > {MAX_CLAUSE_COUNT} terms")
             if not matched:
                 return MatchNoDocsQuery()
+            method = getattr(q, "rewrite_method", "constant_score")
+            if method == "scoring_boolean":
+                # SCORING_BOOLEAN_REWRITE (ScoringRewrite.java): disjunction
+                # of real TermQuerys — each term keeps its own stats, per-doc
+                # scores summed.  Users get ranked prefix/wildcard hits
+                # instead of constant 1.0.
+                return BooleanQuery(
+                    tuple(
+                        BooleanClause(Occur.SHOULD, TermQuery(t, q.field))
+                        for t in sorted(matched)
+                    )
+                )
+            if method == "top_terms_blended":
+                # TopTermsBlendedFreqScoringRewrite (TopTermsRewrite.java:
+                # 104-120 queue, FuzzyTermsEnum.java:251-257 boost): keep the
+                # top max_expansions terms by (boost DESC, term ASC), score
+                # through BlendedTermQuery
+                assert isinstance(q, FuzzyQuery)
+                qlen = len(q.term)
+                pairs = []
+                for t in matched:
+                    ed = _levenshtein(t, q.term)
+                    if ed == 0:
+                        b = np.float32(1.0)
+                    else:
+                        b = np.float32(1.0) - np.float32(ed) / np.float32(
+                            min(len(t), qlen)
+                        )
+                    pairs.append((t, float(b)))
+                pairs.sort(key=lambda p: (-p[1], p[0]))
+                pairs = pairs[: q.max_expansions]
+                return BlendedTermQuery(tuple(pairs), q.field)
             return ConstantScoreQuery(TermInSetQuery(tuple(sorted(matched)), q.field), 1.0)
         if isinstance(q, BoostQuery):
             return BoostQuery(self._expand_multiterm(q.query), q.boost)
@@ -586,6 +636,8 @@ class IndexSearcher:
             return self._score_term(q.field, q.term, stats, boost)
         if isinstance(q, SynonymQuery):
             return self._score_synonym(q, stats, boost)
+        if isinstance(q, BlendedTermQuery):
+            return self._score_blended(q, stats, boost)
         if isinstance(q, TermInSetQuery):
             docs = (
                 self.index.postings_for_terms(q.field, list(q.terms))
@@ -602,7 +654,42 @@ class IndexSearcher:
             return self._score_dismax(q, stats, boost)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, stats, boost)
+        if isinstance(q, KnnFloatVectorQuery):
+            return self._score_knn(q, stats, boost)
         raise TypeError(f"unsupported query type: {type(q).__name__}")
+
+    def _score_knn(self, q: KnnFloatVectorQuery, stats, boost: float) -> DataFrame:
+        """Pre-filtered KNN (KnnFloatVectorQuery.java:49): top-k by cosine
+        among docs accepted by the filter, scored (1+cos)/2
+        (VectorSimilarityFunction.COSINE).  The result is a doc-set query —
+        composable as a Boolean clause exactly like Lucene's rewritten
+        DocAndScoreQuery.  Cosine math is JVM-side (zip_with/aggregate);
+        the scan is one pass over the vector column, TakeOrderedAndProject
+        does the distributed top-k."""
+        if self.index.vectors is None:
+            raise ValueError(
+                "KNN queries need per-doc vectors: IndexTables.vectors"
+            )
+        from lucene_spark.extras.dedup import cosine_expr
+
+        vecs = self.index.vectors.select(
+            "doc_id", F.col(q.field).cast("array<double>").alias("_v")
+        )
+        if q.filter is not None:
+            allowed = self._score(q.filter, stats, 1.0).select("doc_id")
+            vecs = vecs.join(allowed, "doc_id", "left_semi")
+        qv = F.array(*[F.lit(float(x)) for x in q.vector]).cast("array<double>")
+        scored = vecs.select(
+            "doc_id",
+            (
+                (F.lit(1.0) + F.round(cosine_expr(F.col("_v"), qv), 6)) / F.lit(2.0)
+            ).alias("_sim"),
+        )
+        topk = scored.orderBy(F.desc("_sim"), F.asc("doc_id")).limit(q.k)
+        b32 = float(np.float32(boost))
+        return topk.select(
+            "doc_id", (F.lit(b32) * F.col("_sim")).cast("float").alias("score")
+        )
 
     def _score_phrase(self, q: PhraseQuery, stats, boost: float) -> DataFrame:
         """Exact phrase (slop=0) over the positional postings table.
@@ -711,6 +798,61 @@ class IndexSearcher:
         )
         return merged.join(norms, "doc_id").select(
             "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
+        )
+
+    def _score_blended(self, q: BlendedTermQuery, stats, boost: float) -> DataFrame:
+        """BlendedTermQuery (BOOLEAN_REWRITE): one postings scan over the
+        member terms; every member scores with the blended stats (df = max,
+        ttf = sum — BlendedTermQuery.java:281-291) and its own boost; the
+        disjunction sums per-doc scores (double acc → float32).
+
+        Plan shape: a single ``term isin`` scan (bucket-pruned on disk) with
+        a per-term vectorized leaf dispatch inside one Arrow UDF — no
+        50-branch union for a 50-term fuzzy expansion.
+        """
+        present = [(t, b) for t, b in q.terms if (q.field, t) in stats]
+        if not present:
+            return self._empty_scored()
+        df_blend = max(stats[(q.field, t)][0] for t, _b in present)
+        ttf_blend = sum(stats[(q.field, t)][1] for t, _b in present)
+        doc_count, sttf = self._fieldstats()[q.field]
+        leafs = {
+            t: self.similarity.leaf_scorer(
+                float(np.float32(boost) * np.float32(b)),
+                df_blend,
+                doc_count,
+                sttf,
+                total_term_freq=ttf_blend,
+            )
+            for t, b in present
+        }
+
+        @F.pandas_udf(T.FloatType())
+        def score(term: pd.Series, freq: pd.Series, norm_byte: pd.Series) -> pd.Series:
+            tv = term.to_numpy()
+            f = freq.to_numpy(dtype=np.float32)
+            nb = norm_byte.to_numpy(dtype=np.int64)
+            out = np.zeros(len(tv), dtype=np.float32)
+            for t, leaf in leafs.items():
+                m = tv == t
+                if m.any():
+                    out[m] = leaf.score(f[m], nb[m])
+            return pd.Series(out, dtype="float32")
+
+        terms = [t for t, _b in present]
+        matched = self.index.postings_for_terms(q.field, terms).filter(
+            (F.col("field") == q.field) & F.col("term").isin(terms)
+        ).select("term", "doc_id", "freq")
+        norms = self.index.doclens.filter(F.col("field") == q.field).select(
+            "doc_id", "norm_byte"
+        )
+        leaf_scores = matched.join(norms, "doc_id").select(
+            "doc_id", score(F.col("term"), F.col("freq"), F.col("norm_byte")).alias("score")
+        )
+        return (
+            leaf_scores.groupBy("doc_id")
+            .agg(F.sum(F.col("score").cast("double")).alias("_s"))
+            .select("doc_id", F.col("_s").cast("float").alias("score"))
         )
 
     def _score_boolean(self, q: BooleanQuery, stats, boost: float) -> DataFrame:

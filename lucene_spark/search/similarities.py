@@ -181,6 +181,130 @@ class LMDirichletSimilarity(Similarity):
         return _LMDirichletLeaf(float(boost), self.mu, p, norm_log)
 
 
+_LOG2 = math.log(2.0)
+
+
+@dataclass
+class _PairMemoLeaf(LeafScorer):
+    """SimilarityBase.BasicSimScorer: double-precision ``score(stats, freq,
+    dl)`` cast to float32 at the end (``SimilarityBase.java:176-191``).
+    Scores are memoized over distinct (freq, norm) pairs — scalar libm
+    ``math.log`` everywhere, so the DuckDB ``ln`` oracle is bit-identical
+    (vectorized np.log drifts in the last double ULP)."""
+
+    fn: object  # scalar (freq: float, dl: float) -> float, double math
+
+    def score(self, freq, norm_bytes):
+        f = np.asarray(freq, dtype=np.float64)
+        nb = np.asarray(norm_bytes, dtype=np.int64) & 0xFF
+        dl = LENGTH_TABLE.astype(np.float64)
+        memo: dict[tuple[float, int], float] = {}
+        out = np.empty(len(f), dtype=np.float64)
+        fn = self.fn
+        for i in range(len(f)):
+            key = (f[i], int(nb[i]))
+            v = memo.get(key)
+            if v is None:
+                v = fn(f[i], dl[nb[i]])
+                memo[key] = v
+            out[i] = v
+        return out.astype(np.float32)
+
+
+class DFRSimilarity(Similarity):
+    """DFR G·B·H2 (``DFRSimilarity.java:127-131`` with ``BasicModelG.java:
+    36-51``, ``AfterEffectB.java:32-36``, ``NormalizationH2.java:57-59``):
+
+        tfn  = freq · log2(1 + c·avgdl/dl)
+        ae1p = (ttf + 2) / (df + 1)
+        λ    = (ttf + 1) / (N + ttf + 1)
+        A, B = log2(λ + 1), log2((1 + λ)/λ)
+        score = (float)(boost · (B − (B − A)/(1 + tfn)) · ae1p)
+    """
+
+    name = "dfr"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(np.float32(c))
+
+    def idf(self, doc_freq, doc_count):
+        raise NotImplementedError("DFR has no idf; phrase path unsupported")
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        if total_term_freq is None:
+            total_term_freq = doc_freq
+        avgdl = sum_ttf / float(doc_count)  # double (SimilarityBase.java:88)
+        F = total_term_freq + 1.0
+        ae1p = (F + 1.0) / (doc_freq + 1.0)
+        lam = F / (doc_count + F)
+        A = math.log(lam + 1.0) / _LOG2
+        B = math.log((1.0 + lam) / lam) / _LOG2
+        c = self.c
+        bst = float(boost)
+
+        def fn(freq: float, dl: float) -> float:
+            tfn = freq * (math.log(1.0 + c * avgdl / dl) / _LOG2)
+            return bst * (B - (B - A) / (1.0 + tfn)) * ae1p
+
+        return _PairMemoLeaf(fn)
+
+
+class LMJelinekMercerSimilarity(Similarity):
+    """``LMJelinekMercerSimilarity.java:68-74``: score = (float)(boost ·
+    ln(1 + ((1−λ)·freq/dl) / (λ·p))) with λ a float32 parameter and
+    p = (ttf+1)/(sumTtf+1) (``LMSimilarity.DefaultCollectionModel``)."""
+
+    name = "lmjm"
+
+    def __init__(self, lam: float = 0.7):
+        self.lam = float(np.float32(lam))  # float field widened into double math
+
+    def idf(self, doc_freq, doc_count):
+        raise NotImplementedError("LMJM has no idf; phrase path unsupported")
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        if total_term_freq is None:
+            total_term_freq = doc_freq
+        p = (total_term_freq + 1.0) / (sum_ttf + 1.0)
+        lam = self.lam
+        bst = float(boost)
+
+        def fn(freq: float, dl: float) -> float:
+            return bst * math.log(1.0 + ((1.0 - lam) * freq / dl) / (lam * p))
+
+        return _PairMemoLeaf(fn)
+
+
+class IBSimilarity(Similarity):
+    """IB LL·DF·H2 (``IBSimilarity.java:114-119`` with ``DistributionLL.java:
+    33-35``, ``LambdaDF.java:31-38`` incl. the nextDown(1f) guard,
+    ``NormalizationH2.java:57-59``): score = (float)(boost ·
+    −ln(λ/(tfn + λ))), λ = (float)((df+1)/(N+1))."""
+
+    name = "ib"
+
+    def __init__(self, c: float = 1.0):
+        self.c = float(np.float32(c))
+
+    def idf(self, doc_freq, doc_count):
+        raise NotImplementedError("IB has no idf; phrase path unsupported")
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        avgdl = sum_ttf / float(doc_count)
+        lam32 = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+        if lam32 == np.float32(1.0):  # LambdaDF.java:33-36
+            lam32 = np.nextafter(lam32, np.float32(0.0))
+        lam = float(lam32)
+        c = self.c
+        bst = float(boost)
+
+        def fn(freq: float, dl: float) -> float:
+            tfn = freq * (math.log(1.0 + c * avgdl / dl) / _LOG2)
+            return bst * -math.log(lam / (tfn + lam))
+
+        return _PairMemoLeaf(fn)
+
+
 class BooleanSimilarity(Similarity):
     name = "boolean"
 
@@ -202,4 +326,7 @@ def resolve(similarity) -> Similarity:
         "classic": ClassicSimilarity,
         "boolean": BooleanSimilarity,
         "lmdirichlet": LMDirichletSimilarity,
+        "dfr": DFRSimilarity,
+        "lmjm": LMJelinekMercerSimilarity,
+        "ib": IBSimilarity,
     }[similarity]()
