@@ -187,7 +187,8 @@ def _q_prefix_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sloppy_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sloppy phrase (window semantics, see searcher._score_sloppy_phrase)."""
+    """Sloppy phrase with SloppyPhraseMatcher semantics (fractional float32
+    sloppyFreq = Σ 1/(1+matchLength); see searcher._score_sloppy_phrase)."""
     return _as_gate_schema(_searcher(spark, sf_dir).search('"table value"~3', k=10))
 
 
@@ -365,6 +366,20 @@ def _q_similarity_topk(similarity: str):
     return q
 
 
+def _q_multi_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MultiSimilarity(BM25 + Classic): sub-scores summed."""
+    from lucene_spark.search.searcher import IndexSearcher
+    from lucene_spark.search.similarities import (
+        BM25Similarity,
+        ClassicSimilarity,
+        MultiSimilarity,
+    )
+
+    sim = MultiSimilarity([BM25Similarity(), ClassicSimilarity()])
+    s = IndexSearcher(_searcher(spark, sf_dir).index, similarity=sim)
+    return _as_gate_schema(s.search("merge", k=10))
+
+
 def _q_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reverse search: registered queries matched against the doc batch."""
     from lucene_spark.streaming.percolator import Monitor
@@ -459,6 +474,35 @@ def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.search.features import suggest_terms
 
     return suggest_terms(_searcher(spark, sf_dir).index, "merg", k=5, max_edits=2)
+
+
+def _q_suggest_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete: corpus-vocabulary completions of 'mer' by docFreq."""
+    from lucene_spark.search.features import AnalyzingSuggester
+
+    sug = AnalyzingSuggester.from_index_terms(_searcher(spark, sf_dir).index)
+    return sug.lookup("mer", k=5)
+
+
+def _q_shingle_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle token-stream filter: top-20 stop-aware word bigrams."""
+    from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS, StandardAnalyzer
+    from lucene_spark.analysis.filters import make_shingle_filter
+    from lucene_spark.index.builder import make_analyze_udf
+
+    an = StandardAnalyzer(
+        stop_words=ENGLISH_STOP_WORDS,
+        stream_filters=(make_shingle_filter(output_unigrams=False),),
+    )
+    analyze = make_analyze_udf(an)
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(analyze(F.col("text"))).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("shingle"))
+        .limit(20)
+    )
 
 
 def _q_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,6 +773,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dfr_topk": _q_similarity_topk("dfr"),
         "lmjm_topk": _q_similarity_topk("lmjm"),
         "ib_topk": _q_similarity_topk("ib"),
+        "dfi_topk": _q_similarity_topk("dfi"),
+        "f2exp_topk": _q_similarity_topk("f2exp"),
+        "multi_sim_topk": _q_multi_sim_topk,
         "percolator_matches": _q_percolator,
         "check_index_report": _q_check_index,
         "ondisk_term_topk": _q_ondisk_term_topk,
@@ -739,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_filtered_topk": _q_knn_filtered_topk,
         "knn_hybrid_topk": _q_knn_hybrid_topk,
         "suggest_terms": _q_suggest,
+        "suggest_complete": _q_suggest_complete,
+        "shingle_top20": _q_shingle_top,
         "term_vectors": _q_term_vectors,
         "more_like_this_topk": _q_mlt,
         "distinct_values": _q_distinct_values,
@@ -803,6 +852,9 @@ def oracle_sql() -> dict[str, str]:
         "dfr_topk": osql.dfr_term_topk_sql("merge", 10),
         "lmjm_topk": osql.lmjm_term_topk_sql("merge", 0.7, 10),
         "ib_topk": osql.ib_term_topk_sql("merge", 10),
+        "dfi_topk": osql.dfi_term_topk_sql("merge", 10),
+        "f2exp_topk": osql.f2exp_term_topk_sql("merge", 10),
+        "multi_sim_topk": osql.multi_sim_term_topk_sql("merge", 10),
         "percolator_matches": osql.percolator_matches_sql(),
         # check_index_report intentionally has NO oracle: integrity
         # invariants are engine-internal (rows-only gate check)
@@ -818,6 +870,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_filtered_topk": osql.knn_filtered_topk_sql("merge", 0, 10),
         "knn_hybrid_topk": osql.knn_hybrid_topk_sql("merge", 0, 50, 10),
         "suggest_terms": osql.suggest_terms_sql("merg", 2, 5),
+        "suggest_complete": osql.suggest_complete_sql("mer", 5),
+        "shingle_top20": osql.shingle_top_sql(20),
         "term_vectors": osql.term_vectors_sql([1, 2, 3]),
         "more_like_this_topk": osql.mlt_topk_sql(0, 3, 10),
         "distinct_values": osql.distinct_values_sql("merge", "source"),

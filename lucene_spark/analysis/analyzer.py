@@ -46,15 +46,34 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
-# UAX#29 word-break subset:
-#   token := \w+ ( MID \w+ )*   with MID guarded by side-type lookarounds.
-# \w covers letters, digits, marks and underscore (ExtendNumLet).
+# UAX#29 word-break subset.  Script classes mirror StandardTokenizer's token
+# types (StandardTokenizer.java:43-64, StandardTokenizerImpl.jflex):
+#   ALPHANUM   letter/digit runs with MidLetter/MidNum/MidNumLet joins,
+#   KATAKANA   katakana runs (WB13 Katakana × Katakana),
+#   HANGUL     hangul-syllable runs,
+#   HIRAGANA   ONE hiragana codepoint per token,
+#   IDEOGRAPHIC ONE CJK ideograph per token.
+# The CJK classes are excluded from \w so an ideograph run splits into
+# per-character tokens exactly as the JFlex grammar does.
+_HIRA = "ぁ-ゖゝ-ゟ"
+_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ"
+_HANGUL = "ᄀ-ᇿ㄰-㆏ꥠ-꥿가-힣ힰ-퟿"
+_IDEO = (
+    "々〇〡-〩〸-〻㐀-䶿一-鿿"
+    "豈-﫿\U00020000-\U0002fa1f"
+)
+_CJK = _HIRA + _KATA + _HANGUL + _IDEO
+_W = rf"(?:(?![{_CJK}])\w)"  # \w minus the CJK script classes
 _TOKEN_RE = re.compile(
-    r"\w+"
+    rf"{_W}+"
     r"(?:"
-    r"(?<=[^\W\d_])['’.·](?=[^\W\d_])\w+"  # ALetter MidLetter/MidNumLet ALetter
-    r"|(?<=\d)[,.;'’](?=\d)\w+"  # Numeric MidNum/MidNumLet Numeric
-    r")*",
+    rf"(?<=[^\W\d_])['’.·](?=[^\W\d_]){_W}+"  # ALetter MidLetter/MidNumLet ALetter
+    rf"|(?<=\d)[,.;'’](?=\d){_W}+"  # Numeric MidNum/MidNumLet Numeric
+    r")*"
+    rf"|[{_KATA}]+"  # KATAKANA runs
+    rf"|[{_HANGUL}]+"  # HANGUL runs
+    rf"|[{_HIRA}]"  # single HIRAGANA
+    rf"|[{_IDEO}]",  # single IDEOGRAPHIC
     re.UNICODE,
 )
 
@@ -92,6 +111,7 @@ class StandardAnalyzer:
         max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH,
         token_filters: tuple = (),
         post_stop_filters: tuple = (),
+        stream_filters: tuple = (),
     ):
         """``token_filters`` / ``post_stop_filters``: extra ``str -> str |
         None`` filters (the TokenFilter extension point,
@@ -100,10 +120,15 @@ class StandardAnalyzer:
         stop removal → post_stop_filters (stemming) — stemming must run
         after stops or "was" would stem to the non-stopword "wa".  See
         :mod:`lucene_spark.analysis.filters` for implementations."""
+        """``stream_filters``: whole-stream filters ``list[(token, pos)] ->
+        list[(token, pos)]`` applied last — the multi-token-emitting
+        TokenFilter shape (shingles, n-grams; see
+        :func:`lucene_spark.analysis.filters.make_shingle_filter`)."""
         self.stop_words = frozenset(stop_words) if stop_words else frozenset()
         self.max_token_length = max_token_length
         self.token_filters = tuple(token_filters)
         self.post_stop_filters = tuple(post_stop_filters)
+        self.stream_filters = tuple(stream_filters)
 
     def _post(self, token: str) -> str | None:
         t = java_lower(token)
@@ -120,6 +145,8 @@ class StandardAnalyzer:
         return t
 
     def analyze(self, text: str) -> list[str]:
+        if self.stream_filters:
+            return [t for t, _p in self.analyze_with_positions(text)]
         toks = tokenize(text, self.max_token_length)
         if not self.token_filters and not self.post_stop_filters and not self.stop_words:
             return [java_lower(x) for x in toks]
@@ -150,6 +177,8 @@ class StandardAnalyzer:
             if lt is None:
                 continue
             out.append((lt, pos))
+        for sf in self.stream_filters:
+            out = sf(out)
         return out
 
     def analyze_with_positions_series(self, texts: pd.Series) -> pd.Series:

@@ -174,3 +174,71 @@ def _step1b_fixup(w: str) -> str:
     if _measure(w) == 1 and _ends_cvc(w):
         return w + "e"
     return w
+
+
+# ------------------------------------------------------- multi-token emitters
+
+
+def make_shingle_filter(
+    size: int = 2,
+    sep: str = " ",
+    filler: str = "_",
+    output_unigrams: bool = True,
+):
+    """Word-shingle stream filter (``shingle/ShingleFilter.java`` behavior
+    spec): emits ``size``-grams over the position stream; stop/overlong
+    *holes* inside a shingle are filled with the ``filler`` token (Lucene's
+    filler-token insertion).  Shingles start at every real-token position
+    whose window fits before the last real token.  Ordering: at each start
+    position the unigram (if kept) precedes its shingle."""
+
+    def f(pairs: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        if not pairs:
+            return pairs
+        posmap = dict((p, t) for t, p in pairs)
+        maxp = max(posmap)
+        out: list[tuple[str, int]] = []
+        for t, p in pairs:
+            if output_unigrams:
+                out.append((t, p))
+            if p + size - 1 <= maxp:
+                window = [posmap.get(p + i, filler) for i in range(size)]
+                out.append((sep.join(window), p))
+        return out
+
+    return f
+
+
+def make_edge_ngram_filter(min_gram: int = 1, max_gram: int = 2):
+    """Edge n-gram stream filter (``ngram/EdgeNGramTokenFilter.java``):
+    each token emits its leading prefixes of length min..max (at the same
+    position) — the classic index-time autocomplete setup."""
+
+    def f(pairs: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        for t, p in pairs:
+            for n in range(min_gram, max_gram + 1):
+                if n > len(t):
+                    break
+                out.append((t[:n], p))
+        return out
+
+    return f
+
+
+def make_ngram_filter(min_gram: int = 1, max_gram: int = 2):
+    """N-gram stream filter (``ngram/NGramTokenFilter.java``): every
+    substring of length min..max of each token, in (start, length) order,
+    all at the token's position."""
+
+    def f(pairs: list[tuple[str, int]]) -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        for t, p in pairs:
+            for i in range(len(t)):
+                for n in range(min_gram, max_gram + 1):
+                    if i + n > len(t):
+                        break
+                    out.append((t[i : i + n], p))
+        return out
+
+    return f

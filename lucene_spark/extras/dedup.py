@@ -148,21 +148,17 @@ def minhash_signatures(
     return grouped.select("doc_id", sig("hs").alias("sig"))
 
 
-def minhash_lsh_pairs(
+def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 16,
-    threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH candidates (banded signatures) verified with exact Jaccard.
-
-    Returns (doc_a, doc_b, jaccard) for candidate pairs whose *exact*
-    jaccard ≥ threshold.  Probabilistic recall (banding may miss pairs);
-    precision is exact thanks to verification.
-    """
+    """LSH candidate pairs (doc_a, doc_b) from banded MinHash signatures —
+    the sub-quadratic band-bucket self-join; exposed separately so callers
+    (and the benchmark) can measure |candidates| ≪ n(n−1)/2."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, n, num_hashes, seed)
     banded = sigs.select(
@@ -178,7 +174,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    cand = (
+    return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
@@ -187,6 +183,24 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates (banded signatures) verified with exact Jaccard.
+
+    Returns (doc_a, doc_b, jaccard) for candidate pairs whose *exact*
+    jaccard ≥ threshold.  Probabilistic recall (banding may miss pairs);
+    precision is exact thanks to verification.
+    """
+    cand = minhash_candidate_pairs(df, text_col, n, num_hashes, bands, seed)
     # Candidate-only exact-Jaccard verification: candidates drive the work,
     # never the corpus.  Intersection counts come from joining the candidate
     # pairs to per-doc shingle rows — O(candidates × shingles/doc) — so the

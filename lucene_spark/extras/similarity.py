@@ -133,6 +133,93 @@ def lsh_near_dup_pairs(
     )
 
 
+def ivf_fit_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample: int = 4096,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means (Lloyd) on a bounded driver-side sample.
+
+    The sample is tiny and fixed-size regardless of corpus scale (the
+    centroid count × dim matrix is KBs); assignment of the full corpus is
+    the distributed part (:func:`ivf_assign`).  Deterministic: seeded
+    sample + seeded init + fixed iterations."""
+    rows = (
+        emb.select(vec_col)
+        .sample(False, 1.0, seed)  # stable pass-through order
+        .limit(sample)
+        .collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T  # cosine on normalized vectors
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id) — nearest-centroid assignment, one vectorized
+    matmul per Arrow batch (the inverted-list build; at scale, write this
+    partitioned by list_id so probes prune the file scan)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ centroids.T).argmax(axis=1).astype(np.int32))
+
+    return emb.select(F.col(id_col).alias("vec_id"), assign(F.col(vec_col)).alias("list_id"))
+
+
+def knn_ivf(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest inverted lists,
+    brute-force only their members (the FAISS IVF-flat shape).  With
+    ``nprobe == n_centroids`` this is exactly :func:`knn_brute`.  Pass
+    pre-computed ``centroids``/``assignments`` to amortize across queries."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+    if assignments is None:
+        assignments = ivf_assign(emb, centroids, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ q))
+    probes = [int(c) for c in order[:nprobe]]
+    cand_ids = assignments.filter(F.col("list_id").isin(probes)).select("vec_id")
+    cands = emb.join(
+        cand_ids.withColumnRenamed("vec_id", "_cand_id"),
+        emb[id_col] == F.col("_cand_id"),
+        "left_semi",
+    )
+    return knn_brute(cands, query_vec, k, id_col, vec_col)
+
+
 def knn_lsh(
     emb: DataFrame,
     query_vec,

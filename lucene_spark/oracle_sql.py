@@ -1154,3 +1154,119 @@ combined AS (
 )
 {_topk('combined', k)}
 """
+
+
+def dfi_term_topk_sql(term: str, k: int) -> str:
+    """DFISimilarity + ChiSquared (DFISimilarity.java:70-81,
+    IndependenceChiSquared.java:33-36): expected = (ttf+1)·dl/(sumTtf+1);
+    0 when freq <= expected, else (float) log2((freq-expected)²/expected+1)."""
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+st AS (SELECT count(*)::BIGINT AS ttf FROM toks WHERE term = '{term}'),
+sc AS (
+    SELECT tf.doc_id,
+        CAST(
+            CASE WHEN CAST(tf.freq AS DOUBLE) <=
+                      (st.ttf + 1) * CAST(n.qlen AS DOUBLE) / (fs.sttf + 1)
+                 THEN 0.0
+                 ELSE ln((CAST(tf.freq AS DOUBLE) - (st.ttf + 1) * CAST(n.qlen AS DOUBLE) / (fs.sttf + 1))
+                         * (CAST(tf.freq AS DOUBLE) - (st.ttf + 1) * CAST(n.qlen AS DOUBLE) / (fs.sttf + 1))
+                         / ((st.ttf + 1) * CAST(n.qlen AS DOUBLE) / (fs.sttf + 1)) + 1.0) / ln(2)
+            END
+        AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id), st, fs
+)
+{_topk('sc', k)}
+"""
+
+
+def f2exp_term_topk_sql(term: str, k: int) -> str:
+    """AxiomaticF2EXP (AxiomaticF2EXP.java:58-86, Axiomatic.java:106-116):
+    score = (float) max(0, freq/(freq + s + s·dl/avgdl) · ((N+1)/df)^k),
+    s=0.25f, k=0.35f widened to double."""
+    s = "CAST(CAST(0.25 AS FLOAT) AS DOUBLE)"
+    kk = "CAST(CAST(0.35 AS FLOAT) AS DOUBLE)"
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+st AS (SELECT count(DISTINCT doc_id)::BIGINT AS df FROM toks WHERE term = '{term}'),
+sc AS (
+    SELECT tf.doc_id,
+        CAST(greatest(0.0,
+            (CAST(tf.freq AS DOUBLE) /
+             (CAST(tf.freq AS DOUBLE) + {s} + {s} * CAST(n.qlen AS DOUBLE)
+              / (fs.sttf / CAST(fs.n AS DOUBLE))))
+            * pow((fs.n + 1.0) / st.df, {kk})
+        ) AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id), st, fs
+)
+{_topk('sc', k)}
+"""
+
+
+def multi_sim_term_topk_sql(term: str, k: int) -> str:
+    """MultiSimilarity(BM25, Classic) (MultiSimilarity.java:64-70): float32
+    sub-scores summed in double, cast float."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+w_c AS (
+    SELECT CAST(ln((fs.n + 1) / CAST(st.df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w
+    FROM fs, (SELECT count(*)::BIGINT AS df FROM tf_a) st
+),
+sc_c AS (
+    SELECT tf.doc_id,
+           CAST(CAST(w.w * CAST(sqrt(CAST(tf.freq AS DOUBLE)) AS FLOAT) AS FLOAT)
+                * CAST(1.0 / sqrt(CAST(n.qlen AS DOUBLE)) AS FLOAT) AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id) CROSS JOIN w_c w
+),
+combined AS (
+    SELECT a.doc_id,
+           CAST(CAST(a.score AS DOUBLE) + CAST(c.score AS DOUBLE) AS FLOAT) AS score
+    FROM sc_a a JOIN sc_c c USING (doc_id)
+)
+{_topk('combined', k)}
+"""
+
+
+def suggest_complete_sql(prefix: str, k: int) -> str:
+    """AnalyzingSuggester lookup over the corpus vocabulary: completions of
+    ``prefix`` ranked by (docFreq DESC, term ASC)."""
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS weight FROM toks GROUP BY term
+)
+SELECT term AS surface, weight
+FROM ts WHERE term LIKE '{prefix}%'
+ORDER BY weight DESC, surface ASC LIMIT {k}
+"""
+
+
+def shingle_top_sql(k: int) -> str:
+    """Top-k 2-word shingles over the stop-filtered position stream, holes
+    filled with '_' (ShingleFilter behavior spec: shingles start at real
+    tokens and fit before the last real token)."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+mx AS (SELECT doc_id, max(pos) AS mp FROM tp GROUP BY doc_id),
+sh AS (
+    SELECT a.doc_id, a.term || ' ' || COALESCE(b.term, '_') AS shingle
+    FROM tp a
+    JOIN mx USING (doc_id)
+    LEFT JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.pos + 1 <= mx.mp
+)
+SELECT shingle, count(*)::BIGINT AS n
+FROM sh GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT {k}
+"""

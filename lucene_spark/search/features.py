@@ -124,6 +124,62 @@ def highlight(
     )
 
 
+class AnalyzingSuggester:
+    """Autocomplete suggester (``suggest/.../analyzing/AnalyzingSuggester.
+    java:100``): entries are (surface, weight); both the stored key and the
+    lookup prefix pass through the analyzer (case folding, stops), and
+    completions rank by (weight DESC, surface ASC).
+
+    Lucene packs (analyzed-key → surface, weight) into an FST and walks the
+    prefix arc; the Spark-native shape is a small keyed DataFrame with a
+    ``startswith`` prefix scan + TakeOrderedAndProject — at 100 TB the
+    entries table is dictionary-sized (distinct suggestions), broadcastable,
+    and the prefix filter pushes down to its parquet.  An FST would only
+    help driver-side latency, not the distributed plan.
+    """
+
+    def __init__(self, entries: DataFrame, analyzer=None, surface_col: str = "surface",
+                 weight_col: str = "weight"):
+        from lucene_spark.analysis.analyzer import StandardAnalyzer
+        from lucene_spark.index.builder import make_analyze_udf
+
+        self.analyzer = analyzer or StandardAnalyzer()
+        analyze = make_analyze_udf(self.analyzer)
+        self.entries = entries.select(
+            F.array_join(analyze(F.col(surface_col)), " ").alias("key"),
+            F.col(surface_col).alias("surface"),
+            F.col(weight_col).cast("long").alias("weight"),
+        )
+
+    @classmethod
+    def from_index_terms(cls, idx: IndexTables, field: str = "text") -> "AnalyzingSuggester":
+        """Build from the index's terms dictionary, weight = docFreq — the
+        classic 'suggest from the corpus vocabulary' setup."""
+        entries = idx.termstats.filter(F.col("field") == field).select(
+            F.col("term").alias("surface"), F.col("doc_freq").alias("weight")
+        )
+        out = cls.__new__(cls)
+        from lucene_spark.analysis.analyzer import StandardAnalyzer
+
+        out.analyzer = StandardAnalyzer()
+        # index terms are already analyzed — key == surface
+        out.entries = entries.select(
+            F.col("surface").alias("key"), "surface",
+            F.col("weight").cast("long").alias("weight"),
+        )
+        return out
+
+    def lookup(self, prefix: str, k: int = 5) -> DataFrame:
+        """(surface, weight) completions of ``prefix``, best first."""
+        key = " ".join(self.analyzer.analyze(prefix))
+        return (
+            self.entries.filter(F.col("key").startswith(key))
+            .select("surface", "weight")
+            .orderBy(F.desc("weight"), F.asc("surface"))
+            .limit(k)
+        )
+
+
 def unified_highlight(
     hits: DataFrame,
     source: DataFrame,

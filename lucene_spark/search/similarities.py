@@ -305,6 +305,100 @@ class IBSimilarity(Similarity):
         return _PairMemoLeaf(fn)
 
 
+class DFISimilarity(Similarity):
+    """Divergence-from-independence with the ChiSquared measure
+    (``DFISimilarity.java:70-81``, ``IndependenceChiSquared.java:33-36``):
+
+        expected = (ttf + 1) · dl / (sumTtf + 1)
+        score    = 0                    if freq <= expected
+                 = (float)(boost · log2((freq − expected)²/expected + 1))
+    """
+
+    name = "dfi"
+
+    def idf(self, doc_freq, doc_count):
+        raise NotImplementedError("DFI has no idf; phrase path unsupported")
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        if total_term_freq is None:
+            total_term_freq = doc_freq
+        ttf1 = total_term_freq + 1
+        sttf1 = sum_ttf + 1
+        bst = float(boost)
+
+        def fn(freq: float, dl: float) -> float:
+            expected = ttf1 * dl / sttf1
+            if freq <= expected:
+                return 0.0
+            measure = (freq - expected) * (freq - expected) / expected
+            return bst * (math.log(measure + 1.0) / _LOG2)
+
+        return _PairMemoLeaf(fn)
+
+
+class AxiomaticF2EXP(Similarity):
+    """Axiomatic F2EXP (``AxiomaticF2EXP.java:58-86``, base combination
+    ``Axiomatic.java:106-116``): score = (float) max(0, boost ·
+    freq/(freq + s + s·dl/avgdl) · ((N+1)/df)^k) with float32 parameters
+    s=0.25, k=0.35 widened into the double math."""
+
+    name = "f2exp"
+
+    def __init__(self, s: float = 0.25, k: float = 0.35):
+        self.s = float(np.float32(s))
+        self.k = float(np.float32(k))
+
+    def idf(self, doc_freq, doc_count):
+        raise NotImplementedError("Axiomatic has no idf; phrase path unsupported")
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        avgdl = sum_ttf / float(doc_count)
+        idf = math.pow((doc_count + 1.0) / doc_freq, self.k)
+        s = self.s
+        bst = float(boost)
+
+        def fn(freq: float, dl: float) -> float:
+            tfln = freq / (freq + s + s * dl / avgdl)
+            return max(0.0, tfln * idf * bst)
+
+        return _PairMemoLeaf(fn)
+
+
+@dataclass
+class _MultiLeaf(LeafScorer):
+    """MultiSimilarity.MultiSimScorer: float32 sub-scores summed in double,
+    cast float (``MultiSimilarity.java:64-70``)."""
+
+    subs: list
+
+    def score(self, freq, norm_bytes):
+        acc = np.zeros(len(np.asarray(freq)), dtype=np.float64)
+        for leaf in self.subs:
+            acc += leaf.score(freq, norm_bytes).astype(np.float64)
+        return acc.astype(np.float32)
+
+
+class MultiSimilarity(Similarity):
+    """``MultiSimilarity.java``: sums the scores of its sub-similarities
+    (norms come from the first one — all ours share the SmallFloat norm)."""
+
+    name = "multi"
+
+    def __init__(self, sims):
+        self.sims = [resolve(s) for s in sims]
+
+    def idf(self, doc_freq, doc_count):
+        raise NotImplementedError("Multi has no single idf; phrase unsupported")
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        return _MultiLeaf(
+            [
+                s.leaf_scorer(boost, doc_freq, doc_count, sum_ttf, total_term_freq)
+                for s in self.sims
+            ]
+        )
+
+
 class BooleanSimilarity(Similarity):
     name = "boolean"
 
@@ -329,4 +423,6 @@ def resolve(similarity) -> Similarity:
         "dfr": DFRSimilarity,
         "lmjm": LMJelinekMercerSimilarity,
         "ib": IBSimilarity,
+        "dfi": DFISimilarity,
+        "f2exp": AxiomaticF2EXP,
     }[similarity]()

@@ -93,15 +93,34 @@ class Monitor:
         self.key_cols = list(key_cols)
         self.text_col = text_col
 
-        regs = [_decompose(qid, parse(qs)) for qid, qs in sorted(queries.items())]
-        self.query_terms = spark.createDataFrame(
+        self._regs: dict[int, _Registered] = {
+            qid: _decompose(qid, parse(qs)) for qid, qs in sorted(queries.items())
+        }
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        """Re-materialize the broadcast query tables (driver-resident KBs;
+        a rebuild is the atomic-swap analog of QueryIndex's commit)."""
+        regs = [self._regs[qid] for qid in sorted(self._regs)]
+        self.query_terms = self.spark.createDataFrame(
             [(r.query_id, t, cl) for r in regs for t, cl in r.terms],
             "query_id int, term string, clause string",
         )
-        self.query_reqs = spark.createDataFrame(
+        self.query_reqs = self.spark.createDataFrame(
             [(r.query_id, r.n_must, r.min_should) for r in regs],
             "query_id int, n_must int, min_should int",
         )
+
+    def register(self, query_id: int, query_str: str) -> None:
+        """Monitor.register (``monitor/Monitor.java``): add or replace a
+        query; takes effect for the next batch."""
+        self._regs[query_id] = _decompose(query_id, parse(query_str))
+        self._rebuild()
+
+    def unregister(self, query_id: int) -> None:
+        """Monitor.deleteById: remove a registered query."""
+        self._regs.pop(query_id, None)
+        self._rebuild()
 
     def match_batch(self, batch: DataFrame) -> DataFrame:
         """(key_cols..., query_id) pairs for documents matching each query."""

@@ -96,3 +96,22 @@ def test_series_vectorized_and_null_safe():
 
 def test_tokenize_no_case_fold():
     assert tokenize("Hello") == ["Hello"]
+
+
+def test_cjk_token_classes():
+    """TestStandardAnalyzer CJK cases (StandardTokenizerImpl.jflex classes):
+    ideographs and hiragana emit one token per codepoint, katakana and
+    hangul emit runs, and CJK never merges with adjacent Latin."""
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+
+    a = StandardAnalyzer()
+    assert a.analyze("仮名遣い カタカナ") == ["仮", "名", "遣", "い", "カタカナ"]
+    assert a.analyze("我是中国人。 １２３４ Ｔｅｓｔｓ") == [
+        "我", "是", "中", "国", "人", "１２３４", "ｔｅｓｔｓ",
+    ]
+    assert a.analyze("これは本ではない") == ["こ", "れ", "は", "本", "で", "は", "な", "い"]
+    assert a.analyze("훈민정음") == ["훈민정음"]
+    assert a.analyze("abc日本xyz") == ["abc", "日", "本", "xyz"]
+    # positions advance per emitted token (phrase queries over CJK work)
+    pos = a.analyze_with_positions("日本 abc")
+    assert pos == [("日", 0), ("本", 1), ("abc", 2)]

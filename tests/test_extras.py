@@ -201,3 +201,32 @@ def test_multimodal_plumbing(docs):
         mm.sample_frames(b"")
     summ = {r.doc_id: r for r in mm.media_summary(media).collect()}
     assert summ[0].n_bytes == len(docs.collect()[0].text.encode())
+
+
+def test_knn_ivf_recall(spark):
+    """IVF-flat ANN: ≥0.9 recall@10 vs brute force on the test embeddings;
+    nprobe == n_centroids degenerates to exact."""
+    from lucene_spark.extras.similarity import (
+        ivf_assign,
+        ivf_fit_centroids,
+        knn_brute,
+        knn_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding").collect()[0][0]
+    cent = ivf_fit_centroids(emb, n_centroids=16)
+    asg = ivf_assign(emb, cent).persist()
+    want = [r.vec_id for r in knn_brute(emb, qv, k=10).collect()]
+    got = [
+        r.vec_id
+        for r in knn_ivf(emb, qv, k=10, nprobe=8, centroids=cent, assignments=asg).collect()
+    ]
+    recall = len(set(got) & set(want)) / len(want)
+    assert recall >= 0.9, f"recall {recall}"
+    exact = [
+        r.vec_id
+        for r in knn_ivf(emb, qv, k=10, nprobe=16, centroids=cent, assignments=asg).collect()
+    ]
+    assert exact == want
+    asg.unpersist()

@@ -84,3 +84,20 @@ def test_join_query(idx, corpus):
         r.doc_id for r in join_query(hits, corpus, "source", corpus, "source").collect()
     )
     assert out == [0, 1]  # all docs in source s0
+
+
+def test_analyzing_suggester_lookup(spark):
+    """AnalyzingSuggester: lookup prefix is analyzed (case-folded) like the
+    stored keys; completions rank by (weight DESC, surface ASC)."""
+    from lucene_spark.search.features import AnalyzingSuggester
+
+    entries = spark.createDataFrame(
+        [("Merge Policy", 50), ("merge sort", 80), ("merchant", 10), ("query", 99)],
+        "surface string, weight long",
+    )
+    sug = AnalyzingSuggester(entries)
+    got = [(r.surface, r.weight) for r in sug.lookup("MER", k=3).collect()]
+    assert got == [("merge sort", 80), ("Merge Policy", 50), ("merchant", 10)]
+    # multi-token prefix completes within the analyzed key space
+    got2 = [r.surface for r in sug.lookup("merge s", k=2).collect()]
+    assert got2 == ["merge sort"]

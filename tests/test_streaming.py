@@ -155,3 +155,21 @@ def test_update_documents_replay_is_noop(spark, tmp_path):
     s = IndexSearcher(read_index(spark, d))
     assert s.count("replacement") == 1  # replacement still visible
     assert s.count("old") == 0
+
+
+def test_monitor_register_unregister(spark):
+    """Monitor.register / deleteById: query-set updates take effect for the
+    next batch (Monitor.java register/deleteById)."""
+    from lucene_spark.streaming.percolator import Monitor
+
+    mon = Monitor(spark, {1: "spark"}, key_cols=("doc_id",), text_col="text")
+    batch = spark.createDataFrame(
+        [(0, "spark rows"), (1, "only words here")], "doc_id long, text string"
+    )
+    assert {(r.doc_id, r.query_id) for r in mon.match_batch(batch).collect()} == {(0, 1)}
+    mon.register(2, "words AND here")
+    got = {(r.doc_id, r.query_id) for r in mon.match_batch(batch).collect()}
+    assert got == {(0, 1), (1, 2)}
+    mon.unregister(1)
+    got = {(r.doc_id, r.query_id) for r in mon.match_batch(batch).collect()}
+    assert got == {(1, 2)}
