@@ -396,6 +396,23 @@ def _q_percolator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_percolator_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positions-aware phrase percolation: exact-phrase queries verified
+    against batch token positions after term presearch."""
+    from lucene_spark.streaming.percolator import Monitor
+
+    mon = Monitor(
+        spark,
+        {1: '"table value"', 2: 'merge AND "table value"', 3: "batch"},
+        analyzer=GATE_ANALYZER,
+        key_cols=("doc_id",),
+    )
+    out = mon.match_batch(_docs(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long"), F.col("query_id").cast("int")).orderBy(
+        "doc_id", "query_id"
+    )
+
+
 def _q_check_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CheckIndex integrity report over the gate index (rows-only check)."""
     from lucene_spark.index.segments import check_index
@@ -651,6 +668,12 @@ def _q_lifecycle_update_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every gate path that runs package UDFs without building the searcher
+    # (percolator, dedup, textstats, …) still needs lucene_spark importable
+    # on executor workers regardless of the driver's cwd
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -777,6 +800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2exp_topk": _q_similarity_topk("f2exp"),
         "multi_sim_topk": _q_multi_sim_topk,
         "percolator_matches": _q_percolator,
+        "percolator_phrase_matches": _q_percolator_phrase,
         "check_index_report": _q_check_index,
         "ondisk_term_topk": _q_ondisk_term_topk,
         "lifecycle_merge_topk": _q_lifecycle_merge_topk,
@@ -856,6 +880,7 @@ def oracle_sql() -> dict[str, str]:
         "f2exp_topk": osql.f2exp_term_topk_sql("merge", 10),
         "multi_sim_topk": osql.multi_sim_term_topk_sql("merge", 10),
         "percolator_matches": osql.percolator_matches_sql(),
+        "percolator_phrase_matches": osql.percolator_phrase_matches_sql(),
         # check_index_report intentionally has NO oracle: integrity
         # invariants are engine-internal (rows-only gate check)
         "ondisk_term_topk": osql.term_topk_sql("scan", 10),

@@ -320,6 +320,7 @@ def run_scaling(levels=(4, 16), n_convs: int = 470_000, repeats: int = 3) -> dic
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
+        print(json.dumps(run_scaling(repeats=reps)))
     else:
         print(json.dumps(run_bench()))

@@ -1270,3 +1270,29 @@ sh AS (
 SELECT shingle, count(*)::BIGINT AS n
 FROM sh GROUP BY shingle ORDER BY n DESC, shingle ASC LIMIT {k}
 """
+
+
+def percolator_phrase_matches_sql() -> str:
+    """Phrase-percolator gate: query 1 = exact phrase "table value", query 2
+    = merge AND "table value" (MUST phrase clause), query 3 = term batch."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+ph AS (
+    SELECT DISTINCT a.doc_id
+    FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'value'
+),
+d AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT doc_id, 1 AS query_id FROM ph
+UNION
+SELECT ph.doc_id, 2 FROM ph JOIN d ON d.doc_id = ph.doc_id AND d.term = 'merge'
+UNION
+SELECT doc_id, 3 FROM d WHERE term = 'batch'
+ORDER BY doc_id, query_id
+"""

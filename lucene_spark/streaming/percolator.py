@@ -29,7 +29,7 @@ proportional to candidate pairs, never to corpus size.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from lucene_spark.analysis.analyzer import StandardAnalyzer
 from lucene_spark.index.builder import make_analyze_udf
 from lucene_spark.search.parser import parse
-from lucene_spark.search.query import BooleanQuery, Occur, TermQuery
+from lucene_spark.search.query import BooleanQuery, Occur, PhraseQuery, TermQuery
 
 
 @dataclass
@@ -47,19 +47,47 @@ class _Registered:
     n_must: int
     min_should: int
     pure_should: bool
+    # exact phrases to verify positionally: each is the term tuple in order
+    # (presearch approximates a phrase by MUST of its distinct terms — the
+    # Presearcher's term-based pruning — then positions verify the candidates)
+    phrases: list[tuple[str, ...]] = field(default_factory=list)
+
+
+def _phrase_parts(q: PhraseQuery, query_id: int):
+    if q.slop != 0:
+        raise ValueError(
+            f"query {query_id}: percolator phrases are exact-only (slop=0)"
+        )
+    if not q.terms:
+        raise ValueError(f"query {query_id}: empty phrase")
+    return [(t, "must") for t in sorted(set(q.terms))], tuple(q.terms)
 
 
 def _decompose(query_id: int, q) -> _Registered:
     if isinstance(q, TermQuery):
         return _Registered(query_id, [(q.term, "should")], 0, 1, True)
+    if isinstance(q, PhraseQuery):
+        terms, phrase = _phrase_parts(q, query_id)
+        return _Registered(query_id, terms, len(terms), 0, False, [phrase])
     if isinstance(q, BooleanQuery):
         terms: list[tuple[str, str]] = []
+        phrases: list[tuple[str, ...]] = []
         n_must = 0
         for c in q.clauses:
+            if isinstance(c.query, PhraseQuery) and c.occur in (
+                Occur.MUST,
+                Occur.FILTER,
+            ):
+                pterms, phrase = _phrase_parts(c.query, query_id)
+                terms.extend(pterms)
+                n_must += len(pterms)
+                phrases.append(phrase)
+                continue
             if not isinstance(c.query, TermQuery):
                 raise ValueError(
-                    f"query {query_id}: percolator supports terms and "
-                    f"one-level Booleans of terms, got {type(c.query).__name__}"
+                    f"query {query_id}: percolator supports terms, exact "
+                    f"phrases (MUST), and one-level Booleans of them, got "
+                    f"{type(c.query).__name__}"
                 )
             if c.occur in (Occur.MUST, Occur.FILTER):
                 terms.append((c.query.term, "must"))
@@ -73,7 +101,7 @@ def _decompose(query_id: int, q) -> _Registered:
         min_should = q.minimum_should_match
         if pure and min_should == 0:
             min_should = 1  # Lucene: no MUST ⇒ at least one SHOULD must hit
-        return _Registered(query_id, terms, n_must, min_should, pure)
+        return _Registered(query_id, terms, n_must, min_should, pure, phrases)
     raise ValueError(f"query {query_id}: unsupported percolator query {type(q).__name__}")
 
 
@@ -107,8 +135,22 @@ class Monitor:
             "query_id int, term string, clause string",
         )
         self.query_reqs = self.spark.createDataFrame(
-            [(r.query_id, r.n_must, r.min_should) for r in regs],
-            "query_id int, n_must int, min_should int",
+            [(r.query_id, r.n_must, r.min_should, len(r.phrases)) for r in regs],
+            "query_id int, n_must int, min_should int, n_phrases int",
+        )
+        phrase_rows = [
+            (r.query_id, pid, t, off, len(ph))
+            for r in regs
+            for pid, ph in enumerate(r.phrases)
+            for off, t in enumerate(ph)
+        ]
+        self.query_phrase_terms = (
+            self.spark.createDataFrame(
+                phrase_rows,
+                "query_id int, phrase_id int, term string, offset int, plen int",
+            )
+            if phrase_rows
+            else None
         )
 
     def register(self, query_id: int, query_str: str) -> None:
@@ -144,9 +186,45 @@ class Monitor:
                 & (F.col("should_hits") >= F.col("min_should"))
                 & (F.col("not_hits") == 0)
             )
+            .select(*self.key_cols, "query_id", "n_phrases")
+        )
+        if self.query_phrase_terms is None:
+            return verified.select(*self.key_cols, "query_id")
+
+        # positional verification of phrase candidates (the MemoryIndex
+        # verify step for phrase queries): a phrase matches a doc iff some
+        # start s has ALL its offsets present at s+offset — count distinct
+        # offsets at shifted position s == phrase length.  Work is
+        # proportional to candidate (doc, phrase-term) pairs.
+        from lucene_spark.index.builder import make_analyze_pos_udf
+
+        analyze_pos = make_analyze_pos_udf(self.analyzer)
+        tpos = batch.select(
+            *[F.col(c) for c in self.key_cols],
+            F.explode(analyze_pos(F.col(self.text_col))).alias("tp"),
+        ).select(*self.key_cols, F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+        ph = tpos.join(F.broadcast(self.query_phrase_terms), "term")
+        starts = ph.groupBy(
+            *self.key_cols,
+            "query_id",
+            "phrase_id",
+            "plen",
+            (F.col("pos") - F.col("offset")).alias("s"),
+        ).agg(F.countDistinct("offset").alias("n_off"))
+        phrase_hit = (
+            starts.filter(F.col("n_off") == F.col("plen"))
+            .select(*self.key_cols, "query_id", "phrase_id")
+            .distinct()
+        )
+        phrase_ok = phrase_hit.groupBy(*self.key_cols, "query_id").agg(
+            F.countDistinct("phrase_id").alias("n_ok")
+        )
+        out = (
+            verified.join(phrase_ok, [*self.key_cols, "query_id"], "left")
+            .filter(F.coalesce(F.col("n_ok"), F.lit(0)) >= F.col("n_phrases"))
             .select(*self.key_cols, "query_id")
         )
-        return verified
+        return out
 
     def run_stream(self, stream: DataFrame, checkpoint_dir: str, output_dir: str):
         """Wire a streaming source through the percolator via foreachBatch."""

@@ -56,8 +56,11 @@ def test_percolator_matches(spark, monitor):
 
 
 def test_percolator_rejects_unsupported(spark):
+    # exact phrases ARE supported since round 2; sloppy phrases are not
     with pytest.raises(ValueError):
-        Monitor(spark, {1: '"exact phrase"'})
+        Monitor(spark, {1: '"sloppy phrase"~2'})
+    with pytest.raises(ValueError):
+        Monitor(spark, {1: "fuzz~1"})
 
 
 def test_percolator_foreachbatch_stream(spark, monitor, tmp_path):
@@ -173,3 +176,27 @@ def test_monitor_register_unregister(spark):
     mon.unregister(1)
     got = {(r.doc_id, r.query_id) for r in mon.match_batch(batch).collect()}
     assert got == {(1, 2)}
+
+
+def test_percolator_phrase_positionally_verified(spark):
+    """Phrase percolation: term-presearch candidates are verified with
+    positions — both-terms-but-not-adjacent docs must NOT match."""
+    from lucene_spark.streaming.percolator import Monitor
+
+    mon = Monitor(
+        spark,
+        {1: '"quick fox"', 2: 'lazy AND "quick fox"', 3: "quick"},
+        key_cols=("doc_id",),
+        text_col="text",
+    )
+    batch = spark.createDataFrame(
+        [
+            (0, "the quick fox jumps"),        # phrase present
+            (1, "quick brown fox"),            # terms present, NOT adjacent
+            (2, "lazy dog quick fox naps"),    # phrase + lazy
+            (3, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.query_id) for r in mon.match_batch(batch).collect()}
+    assert got == {(0, 1), (2, 1), (2, 2), (0, 3), (1, 3), (2, 3)}
