@@ -366,6 +366,17 @@ def _q_similarity_topk(similarity: str):
     return q
 
 
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IndexSearcher.explain: score breakdown of the top 'merge' hit."""
+    s = _searcher(spark, sf_dir)
+    top = s.search("merge", k=1).collect()[0]
+    e = s.explain("merge", top.doc_id)
+    return spark.createDataFrame(
+        [(e["doc_id"], e["freq"], e["doc_len"], float(e["idf"]), float(e["score"]))],
+        "doc_id long, freq int, doc_len int, idf double, score double",
+    )
+
+
 def _q_multi_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiSimilarity(BM25 + Classic): sub-scores summed."""
     from lucene_spark.search.searcher import IndexSearcher
@@ -780,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_blended_topk": _q_fuzzy_blended_topk,
         "prefix_scoring_topk": _q_prefix_scoring_topk,
         "term_count": _q_term_count,
+        "explain_term_doc": _q_explain,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
         "facet_source_counts": _q_facet_source,
@@ -858,6 +870,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_blended_topk": osql.fuzzy_blended_topk_sql("merge", 1, 50, 10),
         "prefix_scoring_topk": osql.prefix_scoring_topk_sql("mer", 10),
         "term_count": osql.term_count_sql("merge"),
+        "explain_term_doc": osql.explain_term_doc_sql("merge"),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),
         "facet_source_counts": osql.facet_counts_sql("merge", "source"),

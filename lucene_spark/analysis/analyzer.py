@@ -64,6 +64,14 @@ _IDEO = (
 )
 _CJK = _HIRA + _KATA + _HANGUL + _IDEO
 _W = rf"(?:(?![{_CJK}])\w)"  # \w minus the CJK script classes
+# EMOJI token class (StandardTokenizer.java:43-64 EMOJI type): an emoji
+# base + optional skin-tone modifier / VS16, extended by ZWJ joins into one
+# token; regional-indicator PAIRS (flags) are one token.  (Envelope: the
+# common pictographic blocks; the full UTS#51 property set is out of scope.)
+_EMOJI_BASE = "[\U0001f000-\U0001faff☀-➿⬀-⯿①-⓿]"
+_EMOJI_MOD = "[\U0001f3fb-\U0001f3ff️]"
+_EMOJI_SEQ = rf"{_EMOJI_BASE}{_EMOJI_MOD}*(?:‍{_EMOJI_BASE}{_EMOJI_MOD}*)*"
+_REGIONAL = "[\U0001f1e6-\U0001f1ff]"
 _TOKEN_RE = re.compile(
     rf"{_W}+"
     r"(?:"
@@ -73,7 +81,9 @@ _TOKEN_RE = re.compile(
     rf"|[{_KATA}]+"  # KATAKANA runs
     rf"|[{_HANGUL}]+"  # HANGUL runs
     rf"|[{_HIRA}]"  # single HIRAGANA
-    rf"|[{_IDEO}]",  # single IDEOGRAPHIC
+    rf"|[{_IDEO}]"  # single IDEOGRAPHIC
+    rf"|{_REGIONAL}{_REGIONAL}"  # flag = regional-indicator pair
+    rf"|{_EMOJI_SEQ}",  # EMOJI (ZWJ sequences, modifiers)
     re.UNICODE,
 )
 

@@ -662,5 +662,15 @@ def check_index(idx: IndexTables) -> dict:
         assert bsum == 0, "block num_docs sum != doc_freq"
         report["blocks_consistent"] = True
 
+        # 7. bucketed layout: every block sits in hash(term) % B — a block in
+        # the wrong bucket would be invisible to the pruned query scan
+        # (silently missing hits, the worst failure mode of the layout)
+        if idx.term_buckets and "tbucket" in idx.blocks.columns:
+            misplaced = idx.blocks.filter(
+                F.col("tbucket") != term_bucket_col(F.col("term"), idx.term_buckets)
+            ).count()
+            assert misplaced == 0, f"{misplaced} blocks outside their term bucket"
+            report["term_buckets_consistent"] = True
+
     report["n_docs"] = n_docs
     return report

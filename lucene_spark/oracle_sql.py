@@ -1296,3 +1296,18 @@ UNION
 SELECT doc_id, 3 FROM d WHERE term = 'batch'
 ORDER BY doc_id, query_id
 """
+
+
+def explain_term_doc_sql(term: str) -> str:
+    """Explain twin: the BM25 score breakdown (freq, doc length, float32
+    idf, float32 score) of the TOP document for a term query."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+top1 AS (SELECT doc_id FROM sc_a ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT t.doc_id,
+       (SELECT count(*) FROM toks WHERE term = '{term}' AND toks.doc_id = t.doc_id)::INT AS freq,
+       (SELECT len FROM dl WHERE dl.doc_id = t.doc_id)::INT AS doc_len,
+       CAST((SELECT w FROM w_a) AS DOUBLE) AS idf,
+       CAST((SELECT score FROM sc_a WHERE sc_a.doc_id = t.doc_id) AS DOUBLE) AS score
+FROM top1 t
+"""

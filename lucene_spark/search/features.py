@@ -191,6 +191,7 @@ def unified_highlight(
     k1: float = 1.2,
     b: float = 0.75,
     pivot: float = 87.0,
+    max_passages: int = 1,
 ) -> DataFrame:
     """Unified-highlighter analog with passage selection + passage ranking
     (``uhighlight/UnifiedHighlighter.java:97``, ``FieldHighlighter.java``,
@@ -300,9 +301,9 @@ def unified_highlight(
     )
     return (
         scored.withColumn("_rn", best)
-        .filter(F.col("_rn") == 1)
+        .filter(F.col("_rn") <= max_passages)
         .select("doc_id", "passage_idx", "pscore", "snippet")
-        .orderBy("doc_id")
+        .orderBy("doc_id", "passage_idx")
     )
 
 

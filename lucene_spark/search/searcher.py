@@ -297,14 +297,87 @@ class IndexSearcher:
         return topk.withColumn("rank", w.cast("int"))
 
     def count(self, query: Query | str) -> int:
-        """IndexSearcher.count analog (exact — counting is cheap in Spark)."""
+        """IndexSearcher.count analog with Lucene's sub-linear shortcuts
+        (``IndexSearcher.java:495-517``): a pure term query with no deletes
+        is answered from the terms dictionary (docFreq) without touching
+        postings; everything else counts exactly (cheap in Spark)."""
         if isinstance(query, str):
             from lucene_spark.search.parser import parse
 
             query = parse(query)
         query = rewrite_to_fixpoint(self._expand_multiterm(rewrite_to_fixpoint(query)))
         stats = self._termstats(collect_terms(query))
+        if isinstance(query, TermQuery) and self.index.deletes is None:
+            st = stats.get((query.field, query.term))
+            return int(st[0]) if st is not None else 0
         return self._apply_deletes(self._score(query, stats, boost=1.0)).count()
+
+    def explain(self, query: Query | str, doc_id: int) -> dict:
+        """IndexSearcher.explain analog (``search/IndexSearcher.java`` /
+        ``Weight.explain``): the score breakdown of one document for a term
+        query — boost, idf(docFreq, docCount), tf components (freq,
+        quantized doc length, avgdl) and the final float32 score, straight
+        from the same stats/postings tables the scorer uses."""
+        if isinstance(query, str):
+            from lucene_spark.search.parser import parse
+
+            query = parse(query)
+        query = rewrite_to_fixpoint(query)
+        if not isinstance(query, TermQuery):
+            raise ValueError("explain supports term queries (Lucene explains "
+                             "per-leaf; compose clause explains client-side)")
+        stats = self._termstats({(query.field, query.term)})
+        st = stats.get((query.field, query.term))
+        doc_count, sttf = self._fieldstats()[query.field]
+        out = {
+            "doc_id": int(doc_id),
+            "term": query.term,
+            "field": query.field,
+            "doc_count": doc_count,
+            "sum_total_term_freq": sttf,
+            "matched": False,
+        }
+        if st is None:
+            return out
+        doc_freq, ttf = st
+        out.update(doc_freq=doc_freq, total_term_freq=ttf)
+        row = (
+            self.index.postings_for_terms(query.field, [query.term])
+            .filter(
+                (F.col("field") == query.field)
+                & (F.col("term") == query.term)
+                & (F.col("doc_id") == int(doc_id))
+            )
+            .select("freq")
+            .collect()
+        )
+        if not row:
+            return out
+        freq = int(row[0]["freq"])
+        nrow = self.index.doclens.filter(
+            (F.col("field") == query.field) & (F.col("doc_id") == int(doc_id))
+        ).select("norm_byte", "len").collect()
+        norm_byte = int(nrow[0]["norm_byte"])
+        leaf = self.similarity.leaf_scorer(
+            1.0, doc_freq, doc_count, sttf, total_term_freq=ttf
+        )
+        score = float(
+            leaf.score(np.array([freq], dtype=np.float32),
+                       np.array([norm_byte], dtype=np.int64))[0]
+        )
+        out.update(
+            matched=True,
+            freq=freq,
+            doc_len=int(nrow[0]["len"]),
+            norm_byte=norm_byte,
+            avgdl=float(bm25.avgdl(sttf, doc_count)),
+            score=score,
+        )
+        try:
+            out["idf"] = float(self.similarity.idf(doc_freq, doc_count))
+        except NotImplementedError:
+            pass  # idf-free similarity families (LM/DFR/IB/DFI/Axiomatic)
+        return out
 
     def score_all(self, query: Query | str, stats=None) -> DataFrame:
         """All matching docs with scores (the brute-force/oracle path)."""

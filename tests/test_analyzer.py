@@ -115,3 +115,22 @@ def test_cjk_token_classes():
     # positions advance per emitted token (phrase queries over CJK work)
     pos = a.analyze_with_positions("日本 abc")
     assert pos == [("日", 0), ("本", 1), ("abc", 2)]
+
+
+def test_emoji_token_class():
+    """EMOJI class (StandardTokenizer EMOJI type envelope): ZWJ sequences,
+    skin-tone modifiers, and regional-indicator flag pairs are ONE token."""
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+
+    a = StandardAnalyzer()
+    got = a.analyze(
+        "smile \U0001F600 family \U0001F468‍\U0001F469‍\U0001F467 "
+        "flag \U0001F1FA\U0001F1F8 thumbs \U0001F44D\U0001F3FD done"
+    )
+    assert got == [
+        "smile", "\U0001F600", "family",
+        "\U0001F468‍\U0001F469‍\U0001F467",
+        "flag", "\U0001F1FA\U0001F1F8",
+        "thumbs", "\U0001F44D\U0001F3FD", "done",
+    ]
+    assert a.analyze("mixed\U0001F600emoji") == ["mixed", "\U0001F600", "emoji"]

@@ -175,3 +175,63 @@ def test_sloppy_repeated_terms_unsupported(searcher):
 
     with _pytest.raises(NotImplementedError):
         searcher.search('"quick quick"~1', k=5).collect()
+
+
+def test_sloppy_freq_two_term_chain_model_fuzz():
+    """Independent 2-term formulation: the pq leapfrog reduces to a leader
+    chain (first leader = max of first shifted positions; each leader L
+    emits matchLength = L - max{other <= L} and hands off to min{other > L}).
+    Must agree with the matcher on random inputs — guards the kernel against
+    regressions (this equivalence also underpins the SQL oracle)."""
+    import numpy as np
+
+    from lucene_spark.search.searcher import sloppy_phrase_freq
+
+    def chain_freq(A, B, slop):
+        A, B = sorted(A), sorted(B)
+        ma, mb = A[0], B[0]
+        leader, side = (ma, "a") if ma > mb else (mb, "b")
+        one = np.float32(1.0)
+        freq = np.float32(0.0)
+        matched = False
+        while True:
+            other = B if side == "a" else A
+            ml = leader - max(s for s in other if s <= leader)
+            if ml <= slop:
+                freq = freq + one / (one + np.float32(ml))
+                matched = True
+            nxts = [s for s in other if s > leader]
+            if not nxts:
+                break
+            leader, side = min(nxts), ("b" if side == "a" else "a")
+        return freq if matched else np.float32(0.0)
+
+    rng = np.random.default_rng(1234)
+    for _ in range(3000):
+        na, nb = rng.integers(1, 8), rng.integers(1, 8)
+        A = sorted(rng.choice(30, size=na, replace=False).tolist())
+        B = sorted(rng.choice(30, size=nb, replace=False).tolist())
+        slop = int(rng.integers(0, 6))
+        got = sloppy_phrase_freq([np.array(A), np.array(B)], slop)
+        want = chain_freq(A, B, slop)
+        assert got == want, (A, B, slop, got, want)
+
+
+def test_sloppy_freq_three_terms_hand_traced():
+    """Hand-traced pq runs for 3-term phrases."""
+    import numpy as np
+
+    from lucene_spark.search.searcher import sloppy_phrase_freq
+
+    # doc "a b c", query "a b c"~1: one exact alignment, matchLength 0
+    assert sloppy_phrase_freq(
+        [np.array([0]), np.array([0]), np.array([0])], 1
+    ) == np.float32(1.0)
+    # doc "a x b c", query "a b c"~1: shifted A={0} B={1} C={1} → span 1
+    assert sloppy_phrase_freq(
+        [np.array([0]), np.array([1]), np.array([1])], 1
+    ) == np.float32(0.5)
+    # same doc, slop 0: no match
+    assert sloppy_phrase_freq(
+        [np.array([0]), np.array([1]), np.array([1])], 0
+    ) == np.float32(0.0)
