@@ -377,6 +377,45 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_term_range_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TermRangeQuery [mer TO mes] (lexicographic terms-dict range)."""
+    return _as_gate_schema(_searcher(spark, sf_dir).search("[mer TO mes]", k=400))
+
+
+def _q_rescore_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QueryRescorer: top-30 of 'merge' re-ranked with 0.5x 'join' scores."""
+    from lucene_spark.search.collectors import rescore
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    first = (
+        s.score_all("merge").orderBy(F.desc("score"), F.asc("doc_id")).limit(30)
+    )
+    out = rescore(first, s.score_all("join"), weight_first=1.0, weight_second=0.5)
+    topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return _as_gate_schema(topk.withColumn("rank", w.cast("int")))
+
+
+def _q_feature_score_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FeatureField: BM25('merge') + saturation(n_chars/1000) feature."""
+    from lucene_spark.search.features import feature_score
+    from pyspark.sql import Window
+
+    s = _searcher(spark, sf_dir)
+    out = feature_score(
+        s.score_all("merge"),
+        _docs(spark, sf_dir),
+        "n_chars / 1000.0",
+        function="saturation",
+        weight=2.0,
+        pivot=0.5,
+    )
+    topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return _as_gate_schema(topk.withColumn("rank", w.cast("int")))
+
+
 def _q_multi_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MultiSimilarity(BM25 + Classic): sub-scores summed."""
     from lucene_spark.search.searcher import IndexSearcher
@@ -792,6 +831,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_scoring_topk": _q_prefix_scoring_topk,
         "term_count": _q_term_count,
         "explain_term_doc": _q_explain,
+        "term_range_topk": _q_term_range_topk,
+        "rescore_topk": _q_rescore_topk,
+        "feature_score_topk": _q_feature_score_topk,
         "doclens_norms": _q_doclens_norms,
         "termstats_top50": _q_termstats_top50,
         "facet_source_counts": _q_facet_source,
@@ -871,6 +913,9 @@ def oracle_sql() -> dict[str, str]:
         "prefix_scoring_topk": osql.prefix_scoring_topk_sql("mer", 10),
         "term_count": osql.term_count_sql("merge"),
         "explain_term_doc": osql.explain_term_doc_sql("merge"),
+        "term_range_topk": osql.term_range_topk_sql("mer", "mes", 400),
+        "rescore_topk": osql.rescore_topk_sql("merge", "join", 30, 1.0, 0.5, 10),
+        "feature_score_topk": osql.feature_score_topk_sql("merge", "d.n_chars / 1000.0", "saturation", 2.0, 0.5, 10),
         "doclens_norms": osql.doclens_norms_sql(),
         "termstats_top50": osql.termstats_topn_sql(50),
         "facet_source_counts": osql.facet_counts_sql("merge", "source"),

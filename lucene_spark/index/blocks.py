@@ -86,12 +86,15 @@ BLOCKS_SCHEMA = T.StructType(
 )
 
 
-def _encode_group(field: str, term: str, segment: int, rows: list[pd.DataFrame]) -> pd.DataFrame:
+def _encode_group(
+    field: str, term: str, segment: int, rows: list[pd.DataFrame],
+    codec: str = "lucene_for",
+) -> pd.DataFrame:
     g = pd.concat(rows) if len(rows) > 1 else rows[0]
     docs = g["doc_id"].to_numpy(dtype=np.int64)
     freqs = g["freq"].to_numpy(dtype=np.int64)
     norms = g["norm_byte"].to_numpy(dtype=np.int64)
-    blocks = encode_posting_list(docs, freqs, norms)
+    blocks = encode_posting_list(docs, freqs, norms, codec=codec)
     return pd.DataFrame(
         {
             "field": field,
@@ -119,11 +122,16 @@ def _encode_group(field: str, term: str, segment: int, rows: list[pd.DataFrame])
 
 
 def build_block_postings(
-    postings: DataFrame, doclens: DataFrame, num_partitions: int | None = None
+    postings: DataFrame,
+    doclens: DataFrame,
+    num_partitions: int | None = None,
+    codec: str = "lucene_for",
 ) -> DataFrame:
     """Flat postings (field, term, doc_id, segment, freq) → encoded blocks.
 
-    ``doclens`` supplies per-doc norm bytes for the impact frontiers.
+    ``doclens`` supplies per-doc norm bytes for the impact frontiers;
+    ``codec`` names a registered postings format (codec.POSTINGS_FORMATS —
+    the ``codecs/PostingsFormat.java`` SPI shape).
     """
     parts = num_partitions or postings.sparkSession.sparkContext.defaultParallelism
     joined = postings.join(
@@ -150,11 +158,11 @@ def build_block_postings(
                 chunk = pdf.iloc[s:e]
                 key = tuple(chunk.iloc[0][["field", "term", "segment"]])
                 if carry_key is not None and key != carry_key:
-                    yield _encode_group(*carry_key, carry)
+                    yield _encode_group(*carry_key, carry, codec=codec)
                     carry = []
                 carry_key = key
                 carry.append(chunk)
         if carry_key is not None and carry:
-            yield _encode_group(*carry_key, carry)
+            yield _encode_group(*carry_key, carry, codec=codec)
 
     return arranged.mapInPandas(encode, schema=BLOCKS_SCHEMA)

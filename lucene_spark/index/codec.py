@@ -141,6 +141,29 @@ def _encode_values(vals: np.ndarray, full_block: bool) -> bytes:
     return bytes([TAG_VBYTE]) + vbyte_encode(vals)
 
 
+def _encode_values_plain(vals: np.ndarray, full_block: bool) -> bytes:
+    """The ``plain_vbyte`` postings format: every block VByte-coded (keeping
+    only the all-equal collapse).  The SimpleText-codec idea — trivially
+    decodable, no bit-packing — behind the same self-describing blob tags,
+    so the decoder needs no format knowledge."""
+    if len(vals) == 0:
+        return bytes([TAG_ALL_EQUAL]) + vbyte_encode(np.array([0], dtype=np.uint64))
+    if np.all(vals == vals[0]):
+        return bytes([TAG_ALL_EQUAL]) + vbyte_encode(vals[:1])
+    return bytes([TAG_VBYTE]) + vbyte_encode(vals)
+
+
+# PostingsFormat registry (the SPI shape of ``codecs/PostingsFormat.java`` /
+# ``codecs/Codec.java``): formats are looked up by name at index-build time;
+# the blob tags make every written block readable by the single decoder, so
+# indexes with mixed per-segment formats stay queryable (Lucene's per-segment
+# codec independence).
+POSTINGS_FORMATS = {
+    "lucene_for": _encode_values,
+    "plain_vbyte": _encode_values_plain,
+}
+
+
 def _decode_values(blob: bytes, n: int) -> np.ndarray:
     tag = blob[0]
     if tag == TAG_ALL_EQUAL:
@@ -185,12 +208,17 @@ class PostingBlock:
 
 
 def encode_posting_list(
-    doc_ids: np.ndarray, freqs: np.ndarray, norms: np.ndarray
+    doc_ids: np.ndarray,
+    freqs: np.ndarray,
+    norms: np.ndarray,
+    codec: str = "lucene_for",
 ) -> list[PostingBlock]:
     """Split one (sorted, unique-doc) posting list into encoded 128-doc blocks.
 
     ``norms`` are the per-doc norm bytes, used only for the impact frontier.
+    ``codec`` selects a registered postings format (:data:`POSTINGS_FORMATS`).
     """
+    _encode = POSTINGS_FORMATS[codec]
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     freqs = np.asarray(freqs, dtype=np.int64)
     n = len(doc_ids)
@@ -209,8 +237,8 @@ def encode_posting_list(
                 first_doc=int(d[0]),
                 last_doc=int(d[-1]),
                 num_docs=end - start,
-                doc_blob=_encode_values(deltas, full),
-                freq_blob=_encode_values((f - 1).astype(np.uint64), full),
+                doc_blob=_encode(deltas, full),
+                freq_blob=_encode((f - 1).astype(np.uint64), full),
                 norm_blob=(nm.astype(np.int64) & 0xFF).astype(np.uint8).tobytes(),
                 impacts=impact_frontier(f, nm),
             )

@@ -361,7 +361,13 @@ def _refresh_global_stats(spark: SparkSession, index_dir: str, field: str) -> No
         F.sum("num_docs").cast("long").alias("doc_freq"),
         F.sum("sum_freq").cast("long").alias("total_term_freq"),
     )
-    termstats.write.mode("overwrite").parquet(
+    # terms dictionary bucketed like the blocks: a per-query stats lookup
+    # prunes to the query terms' buckets instead of scanning the whole
+    # vocabulary (at 10^12 turns the vocab table alone is GBs)
+    plan = load_plan(index_dir) or {}
+    nb = int(plan.get("term_buckets") or DEFAULT_TERM_BUCKETS)
+    termstats = termstats.withColumn("tbucket", term_bucket_col(F.col("term"), nb))
+    termstats.write.mode("overwrite").partitionBy("tbucket").parquet(
         os.path.join(index_dir, "stats", "termstats")
     )
     fieldstats = doclens.groupBy("field").agg(

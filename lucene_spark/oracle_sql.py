@@ -1311,3 +1311,51 @@ SELECT t.doc_id,
        CAST((SELECT score FROM sc_a WHERE sc_a.doc_id = t.doc_id) AS DOUBLE) AS score
 FROM top1 t
 """
+
+
+def term_range_topk_sql(lo: str, hi: str, k: int) -> str:
+    """TermRangeQuery [lo TO hi] CONSTANT_SCORE: docs containing any term in
+    the lexicographic range, score 1.0, docID order."""
+    return _constant_score_docs_sql(f"term >= '{lo}' AND term <= '{hi}'", k)
+
+
+def rescore_topk_sql(term_first: str, term_second: str, n: int, w1: float, w2: float, k: int) -> str:
+    """QueryRescorer: top-n of the first query re-ranked by
+    w1·score1 + w2·score2 (second score 0 when absent), double acc, cast
+    float (QueryRescorer.combine)."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term_first)}, {_term_cte('b', term_second)},
+firstpass AS (
+    SELECT doc_id, score FROM sc_a ORDER BY score DESC, doc_id ASC LIMIT {n}
+),
+combined AS (
+    SELECT f.doc_id,
+           CAST({w1} * CAST(f.score AS DOUBLE) +
+                {w2} * COALESCE(CAST(b.score AS DOUBLE), 0.0) AS FLOAT) AS score
+    FROM firstpass f LEFT JOIN sc_b b USING (doc_id)
+)
+{_topk('combined', k)}
+"""
+
+
+def feature_score_topk_sql(term: str, feature_expr: str, function: str, w: float, pivot: float, k: int) -> str:
+    """FeatureField scoring (document/FeatureField.java): a static per-doc
+    feature combined with BM25 as a SHOULD clause.  saturation:
+    w·S/(S+pivot); log: w·ln(a + S) with a=1; all double, cast float, added
+    to the BM25 score in double (the boosted-feature-SHOULD pattern)."""
+    if function == "saturation":
+        fexpr = f"{w} * ({feature_expr}) / (({feature_expr}) + {pivot})"
+    elif function == "log":
+        fexpr = f"{w} * ln(1.0 + ({feature_expr}))"
+    else:
+        raise ValueError(function)
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+combined AS (
+    SELECT a.doc_id,
+           CAST(CAST(a.score AS DOUBLE) +
+                CAST(CAST({fexpr} AS FLOAT) AS DOUBLE) AS FLOAT) AS score
+    FROM sc_a a JOIN documents d ON d.doc_id = a.doc_id
+)
+{_topk('combined', k)}
+"""

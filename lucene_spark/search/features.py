@@ -307,6 +307,36 @@ def unified_highlight(
     )
 
 
+def feature_score(
+    scored: DataFrame,
+    docmeta: DataFrame,
+    feature_expr: str,
+    function: str = "saturation",
+    weight: float = 1.0,
+    pivot: float = 1.0,
+) -> DataFrame:
+    """FeatureField scoring (``document/FeatureField.java`` /
+    ``FeatureQuery``): a static per-document feature (pagerank, recency, …)
+    contributes ``w·S/(S+pivot)`` (saturation) or ``w·ln(1+S)`` (log) as a
+    SHOULD-style additive term on top of the query score — the standard
+    boosted-static-feature setup.  Feature math is double, cast float32,
+    added to the query score in double (the Boolean sum contract)."""
+    feat = F.expr(feature_expr).cast("double")
+    wl = F.lit(float(weight))
+    if function == "saturation":
+        fs = wl * feat / (feat + F.lit(float(pivot)))
+    elif function == "log":
+        fs = wl * F.log(F.lit(1.0) + feat)
+    else:
+        raise ValueError(f"unknown feature function {function!r}")
+    return scored.join(docmeta, "doc_id").select(
+        "doc_id",
+        (F.col("score").cast("double") + fs.cast("float").cast("double"))
+        .cast("float")
+        .alias("score"),
+    )
+
+
 def join_query(
     from_hits: DataFrame,
     from_meta: DataFrame,

@@ -234,7 +234,17 @@ class IndexSearcher:
                 (F.col("field") == f_) & F.col("term").isin(ts)
                 for f_, ts in by_field.items()
             ]
-            rows = self.index.termstats.filter(reduce(lambda a, b: a | b, conds)).collect()
+            ts_df = self.index.termstats
+            if self.index.term_buckets and "tbucket" in ts_df.columns:
+                # bucketed terms dictionary: the lookup scans only the query
+                # terms' partitions (mirrors the blocks-table pruning)
+                from lucene_spark.index.blocks import term_bucket_py
+
+                buckets = sorted(
+                    {term_bucket_py(t_, self.index.term_buckets) for _f, t_ in missing}
+                )
+                ts_df = ts_df.filter(F.col("tbucket").isin(buckets))
+            rows = ts_df.filter(reduce(lambda a, b: a | b, conds)).collect()
             found = {
                 (r["field"], r["term"]): (int(r["doc_freq"]), int(r["total_term_freq"]))
                 for r in rows
