@@ -193,12 +193,15 @@ def run_bench() -> dict:
 
         docs = spark.read.parquet(docs_path)
         n_docs = docs.count()
+        # NOTE: both timings are independent end-to-end pipelines (the
+        # second includes signature+banding again — Spark reuses nothing
+        # between the two actions); they are NOT a banding/verify split
         t0 = time.perf_counter()
         n_cand = minhash_candidate_pairs(docs).count()
-        extras["minhash_candidates_sec"] = round(time.perf_counter() - t0, 3)
+        extras["minhash_banding_sec"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         n_pairs = minhash_lsh_pairs(docs).count()
-        extras["minhash_verify_sec"] = round(time.perf_counter() - t0, 3)
+        extras["minhash_end_to_end_sec"] = round(time.perf_counter() - t0, 3)
         extras.update(
             n_docs=n_docs,
             lsh_candidate_pairs=n_cand,

@@ -224,8 +224,14 @@ def build_segments(
     num_segments = num_segments or max(2, spark.sparkContext.defaultParallelism)
     plan = plan_build(source, index_dir, num_segments, key_cols)
     num_segments = plan["num_segments"]
-    if plan.get("term_buckets") is None:
-        plan["term_buckets"] = int(term_buckets)
+    if "term_buckets" not in plan:
+        # Stamp the layout decision ONCE.  A resumed pre-bucketing build
+        # (plan without the key but block files already on disk) must keep
+        # the legacy unbucketed layout — mixing segment=*/ and
+        # segment=*/tbucket=*/ files in one directory breaks partition
+        # discovery.  term_buckets=None is that recorded decision.
+        legacy = os.path.isdir(os.path.join(index_dir, "blocks"))
+        plan["term_buckets"] = None if legacy else int(term_buckets)
         _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
     analyzer = analyzer or StandardAnalyzer()
     states = segment_states(index_dir, num_segments)
@@ -333,22 +339,43 @@ def _build_batch(
         "segment",
         F.col("tf.freq").alias("freq"),
     )
-    nb = int(plan.get("term_buckets") or DEFAULT_TERM_BUCKETS)
-    blocks = build_block_postings(postings, doclens).withColumn(
-        "tbucket", term_bucket_col(F.col("term"), nb)
-    )
+    nb = plan.get("term_buckets")
+    blocks = build_block_postings(postings, doclens)
 
     # dynamic partition overwrite: each write touches only segment={lo..hi};
-    # blocks additionally partition by tbucket (term-pruned reads)
+    # blocks additionally partition by tbucket (term-pruned reads) on the
+    # bucketed layout — legacy (term_buckets=None) indexes keep their layout
     for df, name in ((docmap, "docmap"), (doclens, "doclens")):
         df.write.mode("overwrite").partitionBy("segment").parquet(
             os.path.join(index_dir, name)
         )
-    blocks.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
-        os.path.join(index_dir, "blocks")
-    )
+    if nb:
+        blocks.withColumn("tbucket", term_bucket_col(F.col("term"), nb)).write.mode(
+            "overwrite"
+        ).partitionBy("segment", "tbucket").parquet(os.path.join(index_dir, "blocks"))
+    else:
+        blocks.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(index_dir, "blocks")
+        )
     inverted.unpersist()
     return sum(plan["counts"][seg_lo:seg_hi])
+
+
+def resolve_term_buckets(index_dir: str, blocks: DataFrame | None = None) -> int | None:
+    """The index's recorded bucket layout: plan.json first, then the
+    streaming state, then (last resort, old indexes) the blocks schema."""
+    plan = load_plan(index_dir)
+    if plan is not None and "term_buckets" in plan:
+        return plan["term_buckets"]
+    sp = os.path.join(_manifest_dir(index_dir), "stream_state.json")
+    if os.path.exists(sp):
+        with open(sp) as f:
+            st = json.load(f)
+        if "term_buckets" in st:
+            return st["term_buckets"]
+    if blocks is not None and "tbucket" in blocks.columns:
+        return DEFAULT_TERM_BUCKETS
+    return None
 
 
 def _refresh_global_stats(spark: SparkSession, index_dir: str, field: str) -> None:
@@ -363,13 +390,21 @@ def _refresh_global_stats(spark: SparkSession, index_dir: str, field: str) -> No
     )
     # terms dictionary bucketed like the blocks: a per-query stats lookup
     # prunes to the query terms' buckets instead of scanning the whole
-    # vocabulary (at 10^12 turns the vocab table alone is GBs)
-    plan = load_plan(index_dir) or {}
-    nb = int(plan.get("term_buckets") or DEFAULT_TERM_BUCKETS)
-    termstats = termstats.withColumn("tbucket", term_bucket_col(F.col("term"), nb))
-    termstats.write.mode("overwrite").partitionBy("tbucket").parquet(
-        os.path.join(index_dir, "stats", "termstats")
-    )
+    # vocabulary (at 10^12 turns the vocab table alone is GBs).  The write
+    # forces STATIC partition overwrite: under the session's dynamic mode a
+    # bucket whose vocabulary vanished (delete + compaction) would keep its
+    # stale partition and resurrect dead terms' stats.
+    nb = resolve_term_buckets(index_dir, blocks)
+    if nb:
+        termstats.withColumn("tbucket", term_bucket_col(F.col("term"), nb)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "static").partitionBy("tbucket").parquet(
+            os.path.join(index_dir, "stats", "termstats")
+        )
+    else:
+        termstats.write.mode("overwrite").parquet(
+            os.path.join(index_dir, "stats", "termstats")
+        )
     fieldstats = doclens.groupBy("field").agg(
         F.sum(F.when(F.col("len") > 0, 1).otherwise(0)).alias("doc_count"),
         F.sum("len").alias("sum_total_term_freq"),
@@ -434,10 +469,7 @@ def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
         "left",
     )
     postings = decode_blocks_to_postings(blocks)
-    plan = load_plan(index_dir) or {}
-    term_buckets = plan.get("term_buckets")
-    if term_buckets is None and "tbucket" in blocks.columns:
-        term_buckets = DEFAULT_TERM_BUCKETS  # streaming-only index (no plan)
+    term_buckets = resolve_term_buckets(index_dir, blocks)
     return IndexTables(
         docmap=docmap,
         doclens=doclens,
@@ -522,14 +554,19 @@ def merge_segments(
         deletes.count()
         remapped = remapped.join(deletes, "doc_id", "left_anti")
         doclens = doclens.join(deletes, "doc_id", "left_anti")
-    nb = int(plan.get("term_buckets") or DEFAULT_TERM_BUCKETS)
-    merged_blocks = build_block_postings(remapped, doclens).withColumn(
-        "tbucket", term_bucket_col(F.col("term"), nb)
-    )
-
-    merged_blocks.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
-        os.path.join(index_dir, "blocks_merged")
-    )
+    nb = resolve_term_buckets(index_dir, blocks)
+    merged_blocks = build_block_postings(remapped, doclens)
+    if nb:
+        merged_blocks = merged_blocks.withColumn(
+            "tbucket", term_bucket_col(F.col("term"), nb)
+        )
+        merged_blocks.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
+            os.path.join(index_dir, "blocks_merged")
+        )
+    else:
+        merged_blocks.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(index_dir, "blocks_merged")
+        )
     # merge-in-progress marker: the three table swaps below are not jointly
     # atomic; a crash in between leaves merged blocks with pre-merge doclens/
     # docmap.  The marker lets readers/check_index detect the torn state and

@@ -285,18 +285,21 @@ class IndexSearcher:
             and self.similarity.supports_wand
         ):
             plan = self._wand_plan(query)
-            # buffered deletes flow into the kernel as a per-query exclusion
-            # array (Lucene checks liveDocs inside the scorer); only a
-            # pathologically large delete set forces the flat anti-join path
-            exclude, deletes_ok = self._deletes_array()
-            if plan is not None and deletes_ok:
-                return self._search_wand_boolean(plan, stats, k, exclude)
-            if strategy == "wand":
-                raise ValueError(
-                    "query shape not supported by the WAND path"
-                    if deletes_ok
-                    else "delete set too large for the WAND exclusion path"
-                )
+            if plan is not None:
+                # buffered deletes flow into the kernel as a per-query
+                # exclusion array (Lucene checks liveDocs inside the scorer);
+                # only a pathologically large delete set forces the flat
+                # anti-join path.  Fetched only when the plan is kernel-bound
+                # — flat-path queries must not pay the collect.
+                exclude, deletes_ok = self._deletes_array()
+                if deletes_ok:
+                    return self._search_wand_boolean(plan, stats, k, exclude)
+                if strategy == "wand":
+                    raise ValueError(
+                        "delete set too large for the WAND exclusion path"
+                    )
+            elif strategy == "wand":
+                raise ValueError("query shape not supported by the WAND path")
         elif strategy == "wand":
             raise ValueError("index has no blocks table (build_blocks=True)")
 
@@ -661,7 +664,11 @@ class IndexSearcher:
                 # 104-120 queue, FuzzyTermsEnum.java:251-257 boost): keep the
                 # top max_expansions terms by (boost DESC, term ASC), score
                 # through BlendedTermQuery
-                assert isinstance(q, FuzzyQuery)
+                if not isinstance(q, FuzzyQuery):
+                    raise ValueError(
+                        "top_terms_blended needs edit-distance boosts — it is "
+                        "FuzzyQuery-only (use scoring_boolean for prefix/wildcard)"
+                    )
                 qlen = len(q.term)
                 pairs = []
                 for t in matched:

@@ -167,22 +167,27 @@ def segment_wand_topk_boolean(
         ok = (idx >= 0) & (w_start <= lasts[ti][np.clip(idx, 0, None)])
         blk_of[ti, ok] = idx[ok]
 
-    # per scoring member: per-block impact-frontier uppers
-    member_upper: dict[int, np.ndarray] = {}
-    scoring_members: list[tuple[int, TermScorer]] = []  # (term index, scorer)
+    # Window upper bounds mirror the score arithmetic's rounding structure
+    # exactly: per clause, member block uppers (float32 values, held in
+    # float64) are summed in float64 — EXACT, since float32 addends need
+    # ≤ 24+log2(k) significand bits — then cast to float32 (the clause-level
+    # cast of the flat plan); clause uppers are summed in float64 (exact
+    # again) and cast to float32.  Because float32 rounding is monotone and
+    # every doc's clause score ≤ its clause upper componentwise, the doc's
+    # final float32 score ≤ this bound — no ULP bump needed, and the bound
+    # stays valid for multi-member clauses (whose own f32 cast could
+    # otherwise round a hair above a raw member-sum bound).
+    w_upper = np.zeros(n_win, dtype=np.float64)
     for c in req + opt:
+        clause_upper = np.zeros(n_win, dtype=np.float64)
         for s in c:
             ti = t_idx[s.term]
-            mid = len(scoring_members)
-            scoring_members.append((ti, s))
-            member_upper[mid] = np.array(
+            mu = np.array(
                 [s.upper(imp) for imp in groups[ti]["impacts"]], dtype=np.float64
             )
-
-    w_upper = np.zeros(n_win, dtype=np.float64)
-    for mid, (ti, _s) in enumerate(scoring_members):
-        cov = blk_of[ti] >= 0
-        w_upper[cov] += member_upper[mid][blk_of[ti, cov]]
+            cov = blk_of[ti] >= 0
+            clause_upper[cov] += mu[blk_of[ti, cov]]
+        w_upper += clause_upper.astype(np.float32).astype(np.float64)
 
     # clause coverage per window: required all covered; optional count >= need
     def _cov(members: list[TermScorer]) -> np.ndarray:
@@ -200,13 +205,14 @@ def segment_wand_topk_boolean(
             opt_cover += _cov(c)
         live &= opt_cover >= need_opt
 
-    # ULP-safe float32 view of the bound: the true doc score is a double sum
-    # cast to float32 (round-nearest, may round *up*); rounding the bound
-    # toward +inf guarantees score <= bound always (the WANDScorer.java:90-120
-    # "upper bounds must over-estimate" rule, float32 edition).
-    w_bound = w_upper.astype(np.float32)
-    bump = w_bound.astype(np.float64) < w_upper
-    w_bound[bump] = np.nextafter(w_bound[bump], np.float32(np.inf))
+    # final float32 view (monotone rounding of the double sum of clause
+    # uppers ⇒ an over-estimate, WANDScorer.java:90-120 rule).  One extra
+    # ULP guards the residual case where the double accumulations round in
+    # different orders on the score and bound sides (clause-score exponent
+    # spreads beyond 2^28 make f64 addition inexact by sub-f32-ulp amounts).
+    w_bound = np.nextafter(
+        w_upper.astype(np.float32), np.float32(np.inf)
+    )
 
     order = np.argsort(-w_bound[live], kind="stable")
     w_ids = np.flatnonzero(live)[order]

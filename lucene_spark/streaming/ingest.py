@@ -41,6 +41,7 @@ from lucene_spark.index.segments import (
     _manifest_dir,
     _refresh_global_stats,
     _write_json_atomic,
+    load_plan,
 )
 
 
@@ -83,6 +84,21 @@ def append_batch(
     seg = int(state["next_segment"])
     base = int(state["next_doc_id"])
 
+    # bucket layout must MATCH the index it appends to (a block written with
+    # a different hash%B would be invisible to the pruned query scan): the
+    # batch-build plan wins, then the layout recorded by earlier appends;
+    # a brand-new streaming index records the default once.
+    plan = load_plan(index_dir)
+    if plan is not None and "term_buckets" in plan:
+        nb = plan["term_buckets"]
+    elif "term_buckets" in state:
+        nb = state["term_buckets"]
+    elif os.path.isdir(os.path.join(index_dir, "blocks")):
+        nb = None  # pre-bucketing index with no record: keep legacy layout
+    else:
+        nb = DEFAULT_TERM_BUCKETS
+    state["term_buckets"] = nb
+
     arranged = batch.repartition(1).sortWithinPartitions(*key_cols)
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType(), False)]
@@ -119,18 +135,21 @@ def append_batch(
         "segment",
         F.col("tf.freq").alias("freq"),
     )
-    blocks = build_block_postings(postings, doclens).withColumn(
-        "tbucket", term_bucket_col(F.col("term"), DEFAULT_TERM_BUCKETS)
-    )
+    blocks = build_block_postings(postings, doclens)
 
     n_rows = 0
     for df, name in ((docmap, "docmap"), (doclens, "doclens")):
         df.write.mode("overwrite").partitionBy("segment").parquet(
             os.path.join(index_dir, name)
         )
-    blocks.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
-        os.path.join(index_dir, "blocks")
-    )
+    if nb:
+        blocks.withColumn("tbucket", term_bucket_col(F.col("term"), nb)).write.mode(
+            "overwrite"
+        ).partitionBy("segment", "tbucket").parquet(os.path.join(index_dir, "blocks"))
+    else:
+        blocks.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(index_dir, "blocks")
+        )
     n_rows = spark.read.parquet(os.path.join(index_dir, "docmap")).filter(
         F.col("segment") == seg
     ).count()

@@ -166,12 +166,35 @@ class Monitor:
 
     def match_batch(self, batch: DataFrame) -> DataFrame:
         """(key_cols..., query_id) pairs for documents matching each query."""
-        analyze = make_analyze_udf(self.analyzer)
         keys = [F.col(c) for c in self.key_cols]
-        toks = (
-            batch.select(*keys, F.explode(analyze(F.col(self.text_col))).alias("term"))
-            .distinct()
-        )
+        tpos = None
+        if self.query_phrase_terms is not None:
+            # ONE analysis pass serves both steps when phrases are
+            # registered: the positional stream is computed once and the
+            # term presearch is a projection of it
+            from lucene_spark.index.builder import make_analyze_pos_udf
+
+            analyze_pos = make_analyze_pos_udf(self.analyzer)
+            tpos = batch.select(
+                *keys, F.explode(analyze_pos(F.col(self.text_col))).alias("tp")
+            ).select(
+                *self.key_cols,
+                F.col("tp.term").alias("term"),
+                F.col("tp.pos").alias("pos"),
+            ).persist()
+            # cache spans presearch + verify of THIS batch only
+            if getattr(self, "_last_tpos", None) is not None:
+                self._last_tpos.unpersist()
+            self._last_tpos = tpos
+            toks = tpos.select(*self.key_cols, "term").distinct()
+        else:
+            analyze = make_analyze_udf(self.analyzer)
+            toks = (
+                batch.select(
+                    *keys, F.explode(analyze(F.col(self.text_col))).alias("term")
+                )
+                .distinct()
+            )
         hits = toks.join(F.broadcast(self.query_terms), "term").groupBy(
             *self.key_cols, "query_id"
         ).agg(
@@ -194,15 +217,9 @@ class Monitor:
         # positional verification of phrase candidates (the MemoryIndex
         # verify step for phrase queries): a phrase matches a doc iff some
         # start s has ALL its offsets present at s+offset — count distinct
-        # offsets at shifted position s == phrase length.  Work is
-        # proportional to candidate (doc, phrase-term) pairs.
-        from lucene_spark.index.builder import make_analyze_pos_udf
-
-        analyze_pos = make_analyze_pos_udf(self.analyzer)
-        tpos = batch.select(
-            *[F.col(c) for c in self.key_cols],
-            F.explode(analyze_pos(F.col(self.text_col))).alias("tp"),
-        ).select(*self.key_cols, F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+        # offsets at shifted position s == phrase length.  The broadcast
+        # join against the phrase-term table restricts the positional work
+        # to docs containing phrase terms.
         ph = tpos.join(F.broadcast(self.query_phrase_terms), "term")
         starts = ph.groupBy(
             *self.key_cols,

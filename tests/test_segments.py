@@ -160,3 +160,75 @@ def test_term_bucket_parity_and_pruned_scan(spark, source, tmp_path_factory):
     got2 = _search(spark, d, "index AND query", k=10)
     mem.unpersist()
     assert got2 == want
+
+
+def test_legacy_layout_resume_stays_unbucketed(spark, source, tmp_path_factory, monkeypatch):
+    """Resuming a pre-bucketing (round-1) checkpointed build must NOT mix
+    segment=*/ and segment=*/tbucket=*/ files — the plan records
+    term_buckets=None and the build finishes on the legacy layout."""
+    import json
+
+    d = str(tmp_path_factory.mktemp("idx_legacy"))
+
+    # simulate a round-1 partial build: run the first batch with the plan
+    # stripped of the layout key and blocks written unbucketed
+    real = seg._build_batch
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(seg, "_build_batch", flaky)
+    with pytest.raises(RuntimeError):
+        seg.build_segments(source, d, num_segments=4, batch_size=2)
+    monkeypatch.undo()
+
+    # strip the layout decision + flatten the written blocks to the legacy
+    # layout (what a round-1 build left behind)
+    pp = os.path.join(d, "manifest", "plan.json")
+    plan = json.load(open(pp))
+    del plan["term_buckets"]
+    json.dump(plan, open(pp, "w"))
+    import glob as _g
+    import shutil as _sh
+
+    for segdir in _g.glob(os.path.join(d, "blocks", "segment=*")):
+        for bdir in _g.glob(os.path.join(segdir, "tbucket=*")):
+            b = os.path.basename(bdir).split("=")[1]
+            for f_ in _g.glob(os.path.join(bdir, "*.parquet")):
+                # part files share names across bucket dirs — uniquify
+                _sh.move(f_, os.path.join(segdir, f"b{b}-{os.path.basename(f_)}"))
+            _sh.rmtree(bdir)  # leftovers: hadoop .crc shadow files
+
+    # resume: must adopt term_buckets=None and complete on the flat layout
+    seg.build_segments(source, d, num_segments=4, batch_size=2)
+    plan2 = json.load(open(pp))
+    assert plan2["term_buckets"] is None
+    assert not _g.glob(os.path.join(d, "blocks", "segment=*", "tbucket=*"))
+    idx = seg.read_index(spark, d)
+    assert idx.term_buckets is None
+    # queries still work (no bucket pruning, full correctness)
+    s = IndexSearcher(idx)
+    assert s.search(QUERY, k=5).count() == 5
+    seg.check_index(idx)
+
+
+def test_stats_refresh_drops_dead_vocabulary_buckets(spark, source, tmp_path_factory):
+    """After delete + compaction removes a term, its stats row must vanish
+    (static partition overwrite — dynamic mode would keep stale buckets)."""
+    d = str(tmp_path_factory.mktemp("idx_deadterm"))
+    seg.build_segments(source, d, num_segments=2, batch_size=2)
+    # pick a low-frequency term and physically remove all its docs
+    from pyspark.sql import functions as F
+
+    ts = spark.read.parquet(os.path.join(d, "stats", "termstats"))
+    victim = ts.orderBy(F.asc("doc_freq"), F.asc("term")).first()["term"]
+    seg.delete_documents(spark, d, term=victim)
+    seg.merge_segments(spark, d, group_size=2)
+    ts2 = spark.read.parquet(os.path.join(d, "stats", "termstats"))
+    assert ts2.filter(F.col("term") == victim).count() == 0
+    s = IndexSearcher(seg.read_index(spark, d))
+    assert s.count(victim) == 0  # the docFreq shortcut sees fresh stats

@@ -254,3 +254,82 @@ def test_wand_with_deletes_equals_flat_antijoin(searcher):
             (r.doc_id, r.score, r.rank) for r in flat
         ]
         assert not {r.doc_id for r in wand} & set(victims)
+
+
+def _brute_boolean(truth, clauses, msm, k, exclude=None):
+    """Reference evaluation of the Boolean clause algebra over raw postings
+    (mirrors the flat plan's float32/double arithmetic)."""
+    def clause_scores(members):
+        per = {}
+        for s in members:
+            if s.term not in truth:
+                continue
+            docs, freqs, norms = truth[s.term]
+            sc = s.score(freqs.astype(np.float32), norms)
+            for d, v in zip(docs.tolist(), sc.astype(np.float64).tolist()):
+                per[d] = per.get(d, 0.0) + v
+        return {d: np.float32(v) for d, v in per.items()}
+
+    req = [clause_scores(m) for occ, m in clauses if occ == "must"]
+    opt = [clause_scores(m) for occ, m in clauses if occ == "should"]
+    proh = set()
+    for occ, members in clauses:
+        if occ == "not":
+            for t in members:
+                if t in truth:
+                    proh.update(truth[t][0].tolist())
+    need = msm if req else max(1, msm)
+    docs = set(req[0]) if req else set().union(*opt) if opt else set()
+    for c in req[1:]:
+        docs &= set(c)
+    out = []
+    for d in sorted(docs):
+        if d in proh or (exclude is not None and d in exclude):
+            continue
+        cnt = sum(1 for c in opt if d in c)
+        if need > 0 and cnt < need:
+            continue
+        total = sum(float(c[d]) for c in req) + sum(float(c[d]) for c in opt if d in c)
+        out.append((np.float32(total), d))
+    out.sort(key=lambda x: (-x[0], x[1]))
+    out = out[:k]
+    return [d for _, d in out], [s for s, _ in out]
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_kernel_fuzz_boolean_vs_brute(seed):
+    """Boolean kernel fuzz: random MUST/SHOULD/MUST_NOT clause structures
+    with multi-member OR-groups (the clause-level float32 casts the bound
+    math must over-estimate), random msm, random exclusions."""
+    from lucene_spark.search.wand import segment_wand_topk_boolean
+
+    rng = np.random.default_rng(seed + 100)
+    n_docs, n_terms = 1500, 6
+    pdf, truth = _random_segment(rng, n_docs, n_terms)
+    doc_count, sttf = n_docs, n_docs * 30
+    scorers = {}
+    for ti in range(n_terms):
+        df = len(truth[f"t{ti}"][0])
+        sc = bm25.BM25Scorer(df, doc_count, sttf)
+        scorers[f"t{ti}"] = TermScorer(f"t{ti}", sc.weight, sc.cache)
+
+    terms = list(scorers)
+    rng.shuffle(terms)
+    clauses = []
+    i = 0
+    # 1-2 must clauses (possibly multi-member), 1-2 should, maybe a not
+    for occ, maxm in (("must", 2), ("should", 2), ("should", 1)):
+        nm = int(rng.integers(1, maxm + 1))
+        if i + nm > len(terms) - 1:
+            break
+        clauses.append((occ, [scorers[t] for t in terms[i : i + nm]]))
+        i += nm
+    clauses.append(("not", [terms[-1]]))
+    msm = int(rng.integers(0, 2))
+    exclude = np.sort(rng.choice(n_docs, size=50, replace=False)).astype(np.int64)
+
+    for k in (1, 10, 60):
+        got_d, got_s = segment_wand_topk_boolean(pdf, clauses, msm, k, exclude)
+        want_d, want_s = _brute_boolean(truth, clauses, msm, k, set(exclude.tolist()))
+        assert got_d.tolist() == want_d, f"k={k} clauses={[(o, [s.term for s in m] if o != 'not' else m) for o, m in clauses]}"
+        assert [np.float32(x) for x in got_s] == want_s, f"k={k}"
