@@ -54,6 +54,16 @@ def _load_stream_state(index_dir: str) -> dict:
     if os.path.exists(p):
         with open(p) as f:
             return json.load(f)
+    # first append onto a BATCH-built index (the NRT-on-top-of-a-build flow):
+    # claim segment ids / docIDs AFTER the plan's ranges — starting at 0
+    # would overwrite the build's segment partitions and duplicate docIDs
+    plan = load_plan(index_dir)
+    if plan is not None:
+        return {
+            "next_doc_id": int(plan["total_rows"]),
+            "next_segment": int(plan["num_segments"]),
+            "epochs": [],
+        }
     return {"next_doc_id": 0, "next_segment": 0, "epochs": []}
 
 

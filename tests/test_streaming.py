@@ -200,3 +200,34 @@ def test_percolator_phrase_positionally_verified(spark):
     )
     got = {(r.doc_id, r.query_id) for r in mon.match_batch(batch).collect()}
     assert got == {(0, 1), (2, 1), (2, 2), (0, 3), (1, 3), (2, 3)}
+
+
+def test_append_honors_custom_bucket_layout(spark, tmp_path):
+    """A streaming append to an index built with a non-default term_buckets
+    must bucket its blocks with the SAME hash%B, or the appended docs would
+    be invisible to the pruned query scan."""
+    import glob
+    import os
+
+    from lucene_spark.index import segments as seg
+    from lucene_spark.sources.transcripts import synth_transcripts
+
+    d = str(tmp_path / "idx_custom_buckets")
+    turns = synth_transcripts(spark, n_convs=40, seed=31, num_partitions=2)
+    seg.build_segments(turns, d, num_segments=2, batch_size=2, term_buckets=32)
+
+    n_before = IndexSearcher(seg.read_index(spark, d)).count("spark")
+    append_batch(
+        _batch(spark, [("zzz", 0, "fresh spark turn appended")]), d, epoch_id=0
+    )
+    # every block partition (old and appended) uses %32 buckets
+    buckets = {
+        int(p.split("=")[-1])
+        for p in glob.glob(os.path.join(d, "blocks", "segment=*", "tbucket=*"))
+    }
+    assert max(buckets) >= 16  # %16 layout could never produce a bucket >= 16
+    idx = seg.read_index(spark, d)
+    assert idx.term_buckets == 32
+    # the appended doc is found through the bucket-pruned scan
+    assert IndexSearcher(idx).count("spark") == n_before + 1
+    seg.check_index(idx)  # incl. the tbucket-consistency invariant
