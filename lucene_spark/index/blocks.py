@@ -123,20 +123,28 @@ def _encode_group(
 
 def build_block_postings(
     postings: DataFrame,
-    doclens: DataFrame,
+    doclens: DataFrame | None = None,
     num_partitions: int | None = None,
     codec: str = "lucene_for",
 ) -> DataFrame:
     """Flat postings (field, term, doc_id, segment, freq) → encoded blocks.
 
-    ``doclens`` supplies per-doc norm bytes for the impact frontiers;
-    ``codec`` names a registered postings format (codec.POSTINGS_FORMATS —
-    the ``codecs/PostingsFormat.java`` SPI shape).
+    Norm bytes for the impact frontiers come from the postings rows
+    themselves when the build embedded them (``builder.build_index`` does —
+    one fewer corpus-sized shuffle here); ``doclens`` is the fallback join
+    source for postings produced without the embedded column.  ``codec``
+    names a registered postings format (codec.POSTINGS_FORMATS — the
+    ``codecs/PostingsFormat.java`` SPI shape).
     """
     parts = num_partitions or postings.sparkSession.sparkContext.defaultParallelism
-    joined = postings.join(
-        doclens.select("doc_id", "field", "norm_byte"), ["doc_id", "field"]
-    ).select("field", "term", "segment", "doc_id", "freq", "norm_byte")
+    if "norm_byte" in postings.columns:
+        joined = postings.select("field", "term", "segment", "doc_id", "freq", "norm_byte")
+    else:
+        if doclens is None:
+            raise ValueError("postings lack norm_byte and no doclens was given")
+        joined = postings.join(
+            doclens.select("doc_id", "field", "norm_byte"), ["doc_id", "field"]
+        ).select("field", "term", "segment", "doc_id", "freq", "norm_byte")
 
     arranged = joined.repartition(parts, "field", "term", "segment").sortWithinPartitions(
         "field", "term", "segment", "doc_id"

@@ -261,21 +261,47 @@ def build_positions(
     field: str,
     analyzer: StandardAnalyzer,
 ) -> DataFrame:
-    """Positional postings (field, term, doc_id, segment, positions int[]).
+    """Positional postings (field, term, doc_id, segment, positions int[],
+    norm_byte).
 
     Positions carry Lucene increment semantics (stop/overlong holes).  The
     per-(term, doc) position list is bounded by term freq in one document —
     ``collect_list`` here never sees corpus-scale groups.
+
+    The doc's norm byte is embedded per row (doc length = number of emitted
+    (term, pos) pairs — one per surviving token, identical to the inversion
+    UDF's count), so phrase scoring never joins the corpus-sized doclens
+    table.
     """
     analyze_pos = make_analyze_pos_udf(analyzer)
+    norm_byte = _norm_byte_udf()
     pairs = docmap.select(
-        "doc_id", "segment", F.explode(analyze_pos(F.col(text_col))).alias("tp")
+        "doc_id",
+        "segment",
+        analyze_pos(F.col(text_col)).alias("tps"),
+    ).select(
+        "doc_id",
+        "segment",
+        norm_byte(F.size("tps")).alias("norm_byte"),
+        F.explode("tps").alias("tp"),
     )
     return (
-        pairs.select("doc_id", "segment", F.col("tp.term").alias("term"), F.col("tp.pos").alias("pos"))
+        pairs.select(
+            "doc_id",
+            "segment",
+            "norm_byte",
+            F.col("tp.term").alias("term"),
+            F.col("tp.pos").alias("pos"),
+        )
         .groupBy("term", "doc_id", "segment")
-        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
-        .select(F.lit(field).alias("field"), "term", "doc_id", "segment", "positions")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.min("norm_byte").alias("norm_byte"),
+        )
+        .select(
+            F.lit(field).alias("field"), "term", "doc_id", "segment", "positions",
+            "norm_byte",
+        )
     )
 
 
@@ -320,15 +346,24 @@ def build_index(
         F.col("inv.len").alias("len"),
     ).withColumn("norm_byte", norm_byte(F.col("len")))
 
-    # per-doc inversion already counted freqs — explode is shuffle-free
+    # per-doc inversion already counted freqs — explode is shuffle-free.
+    # The doc's norm byte rides on every posting row (Lucene interleaves
+    # norms into the impacts/skip data for the same reason,
+    # Lucene103PostingsWriter impacts): every scoring path reads
+    # (freq, norm) off the posting itself — NO corpus-sized doclens join
+    # at query time, on any path.
     postings = inverted.select(
-        "doc_id", "segment", F.explode("inv.tf").alias("tf")
+        "doc_id",
+        "segment",
+        norm_byte(F.col("inv.len")).alias("norm_byte"),
+        F.explode("inv.tf").alias("tf"),
     ).select(
         F.lit(field).alias("field"),
         F.col("tf.term").alias("term"),
         "doc_id",
         "segment",
         F.col("tf.freq").alias("freq"),
+        "norm_byte",
     )
 
     termstats = postings.groupBy("field", "term").agg(

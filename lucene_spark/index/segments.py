@@ -331,16 +331,20 @@ def _build_batch(
         "doc_id", "segment", F.lit(field).alias("field"), F.col("inv.len").alias("len")
     ).withColumn("norm_byte", norm_byte(F.col("len")))
     postings = inverted.select(
-        "doc_id", "segment", F.explode("inv.tf").alias("tf")
+        "doc_id",
+        "segment",
+        norm_byte(F.col("inv.len")).alias("norm_byte"),
+        F.explode("inv.tf").alias("tf"),
     ).select(
         F.lit(field).alias("field"),
         F.col("tf.term").alias("term"),
         "doc_id",
         "segment",
         F.col("tf.freq").alias("freq"),
+        "norm_byte",
     )
     nb = plan.get("term_buckets")
-    blocks = build_block_postings(postings, doclens)
+    blocks = build_block_postings(postings)
 
     # dynamic partition overwrite: each write touches only segment={lo..hi};
     # blocks additionally partition by tbucket (term-pruned reads) on the
@@ -485,10 +489,15 @@ def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
 
 def decode_blocks_to_postings(blocks: DataFrame) -> DataFrame:
     """Lazy flat-postings view over the compressed blocks (vectorized decode;
-    the loop is per *block* = per 128 docs, not per row)."""
-    from lucene_spark.index.codec import decode_block
+    the loop is per *block* = per 128 docs, not per row).  Norm bytes decode
+    alongside (``norm_blob`` rides in the block), so the flat view scores
+    without a doclens join — same contract as builder-embedded postings."""
+    from lucene_spark.index.codec import decode_block, decode_norms
 
-    schema = "field string, term string, doc_id long, segment int, freq int"
+    schema = (
+        "field string, term string, doc_id long, segment int, freq int,"
+        " norm_byte short"
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -497,6 +506,7 @@ def decode_blocks_to_postings(blocks: DataFrame) -> DataFrame:
                 d, f = decode_block(
                     int(r.first_doc), int(r.num_docs), bytes(r.doc_blob), bytes(r.freq_blob)
                 )
+                nm = decode_norms(bytes(r.norm_blob))
                 outs.append(
                     pd.DataFrame(
                         {
@@ -505,6 +515,7 @@ def decode_blocks_to_postings(blocks: DataFrame) -> DataFrame:
                             "doc_id": d,
                             "segment": np.int32(r.segment),
                             "freq": f.astype(np.int32),
+                            "norm_byte": nm.astype(np.int16),
                         }
                     )
                 )

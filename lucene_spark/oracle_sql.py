@@ -611,10 +611,20 @@ def wildcard_topk_sql(like_pattern: str, k: int) -> str:
     return _constant_score_docs_sql(f"term LIKE '{like_pattern}'", k)
 
 
-def fuzzy_topk_sql(term: str, max_edits: int, k: int) -> str:
+def fuzzy_topk_sql(
+    term: str, max_edits: int, k: int, transpositions: bool = True
+) -> str:
+    """Constant-score fuzzy expansion.  With ``transpositions`` (Lucene's
+    FuzzyQuery default, ``FuzzyQuery.java:82-91``) the distance counts an
+    adjacent transposition as ONE edit.  DuckDB's ``damerau_levenshtein``
+    is the unrestricted variant while Lucene's automaton is OSA
+    (TestLevenshteinAutomata.getTDistance) — identical for max_edits <= 1
+    (both metrics classify a pair the same at distance 0/1), which is the
+    envelope the gates use."""
+    dist = "damerau_levenshtein" if transpositions else "levenshtein"
     return _constant_score_docs_sql(
         f"length(term) BETWEEN {len(term) - max_edits} AND {len(term) + max_edits} "
-        f"AND levenshtein(term, '{term}') <= {max_edits}",
+        f"AND {dist}(term, '{term}') <= {max_edits}",
         k,
     )
 
@@ -725,6 +735,202 @@ sc AS (
                 ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
                      {B_SQL} * CAST(nm.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
     FROM mm JOIN norm nm USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
+def sloppy_phrase_repeats_topk_sql(term_x: str, term_y: str, slop: int, k: int) -> str:
+    """Repeated-term sloppy phrase ``"X Y X"~slop`` — a faithful SQL
+    simulation of ``SloppyPhraseMatcher`` INCLUDING the repeats algebra
+    (``SloppyPhraseMatcher.java:392-480``), specialized to the one repeat
+    group {stream0, stream2} sharing term X:
+
+    * streams: s0 = X positions (offset 0), s1 = Y - 1, s2 = X - 2; s0 and
+      s2 index the SAME position list (ia/ic),
+    * init (advanceRepeatGroups): ic starts one ahead of ia (group sorted
+      by offset; stream j starts j advanced),
+    * the only possible collision is s0 advancing onto s2's slot
+      (ia == ic); the lesser by (position, offset) is always s2 (same doc
+      position, larger offset ⇒ smaller shifted position), so the
+      resolution is ``ic += 1`` — after which no collision remains
+      (positions are strictly increasing),
+    * the recursive CTE steps the exact nextMatch state machine: advance
+      the held stream ``cur``; on exhaustion emit the final match; if the
+      held stream overtook ``nxt`` (stale-by-design: recomputed only at
+      re-pop, as in the reference) emit and re-pop the (pos, offset)-min;
+      otherwise keep minimizing matchLength,
+    * sloppyFreq = sequential float32 sum of 1/(1+matchLength) over
+      emissions; BM25 weight = float32(Σ double(float32 idf)) with X's idf
+      counted TWICE (one termStates entry per phrase slot).
+
+    Fuzz-verified equivalent to :func:`lucene_spark.search.searcher.
+    sloppy_phrase_freq` with rpt_groups=((0, 2),) in tests.
+    """
+    idf = (
+        "CAST(CAST(ln(1 + (fs.n - (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{t}') + 0.5) "
+        "/ ((SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{t}') + 0.5)) AS FLOAT) AS DOUBLE)"
+    )
+    idf_sum = " + ".join(
+        [idf.format(t=term_x), idf.format(t=term_y), idf.format(t=term_x)]
+    )
+    return f"""
+WITH RECURSIVE {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+lxs AS (SELECT doc_id, list(pos ORDER BY pos) AS lx FROM tp WHERE term = '{term_x}' GROUP BY doc_id),
+lys AS (SELECT doc_id, list(pos ORDER BY pos) AS ly FROM tp WHERE term = '{term_y}' GROUP BY doc_id),
+st0 AS (
+    SELECT l.doc_id, l.lx, y.ly,
+           1 AS ia, 1 AS ib, 2 AS ic,
+           l.lx[1] AS p0, y.ly[1] - 1 AS p1, l.lx[2] - 2 AS p2
+    FROM lxs l JOIN lys y USING (doc_id)
+    WHERE len(l.lx) >= 2
+),
+chain AS (
+    SELECT doc_id, lx, ly, ia, ib, ic, p0, p1, p2,
+           greatest(p0, p1, p2) AS e,
+           CASE WHEN p0 <= p1 AND p0 <= p2 THEN 0
+                WHEN p1 <= p2 THEN 1 ELSE 2 END AS cur,
+           greatest(p0, p1, p2) - least(p0, p1, p2) AS ml,
+           CASE WHEN p0 <= p1 AND p0 <= p2 THEN least(p1, p2)
+                WHEN p1 <= p2 THEN least(p0, p2) ELSE least(p0, p1) END AS nxt,
+           CAST([] AS INT[]) AS mls,
+           FALSE AS done
+    FROM st0
+    UNION ALL
+    SELECT doc_id, lx, ly, ia1 AS ia, ib1 AS ib, ic2 AS ic,
+           p0n AS p0, p1n AS p1, p2n AS p2, e1 AS e,
+           CASE WHEN exhausted THEN cur
+                WHEN cpos > nxt THEN
+                    CASE WHEN p0n <= p1n AND p0n <= p2n THEN 0
+                         WHEN p1n <= p2n THEN 1 ELSE 2 END
+                ELSE cur END AS cur,
+           CASE WHEN exhausted THEN ml
+                WHEN cpos > nxt THEN
+                    e1 - least(p0n, p1n, p2n)
+                ELSE least(ml, e1 - cpos) END AS ml,
+           CASE WHEN exhausted THEN nxt
+                WHEN cpos > nxt THEN
+                    CASE WHEN p0n <= p1n AND p0n <= p2n THEN least(p1n, p2n)
+                         WHEN p1n <= p2n THEN least(p0n, p2n)
+                         ELSE least(p0n, p1n) END
+                ELSE nxt END AS nxt,
+           CASE WHEN (exhausted OR cpos > nxt) AND ml <= {slop}
+                THEN mls || [CAST(ml AS INT)] ELSE mls END AS mls,
+           exhausted AS done
+    FROM (
+        SELECT *,
+               CASE WHEN exhausted THEN NULL
+                    WHEN cur = 0 THEN p0n WHEN cur = 1 THEN p1n ELSE p2n
+               END AS cpos,
+               CASE WHEN exhausted THEN e
+                    ELSE greatest(e, coalesce(p0n, e), coalesce(p1n, e), coalesce(p2n, e))
+               END AS e1
+        FROM (
+            SELECT *,
+                   (CASE WHEN cur = 0 THEN ia1 > len(lx)
+                         WHEN cur = 1 THEN ib1 > len(ly)
+                         ELSE FALSE END)
+                   OR (cur2_adv AND ic2 > len(lx)) AS exhausted,
+                   CASE WHEN cur = 0 AND ia1 <= len(lx) THEN lx[ia1] ELSE p0 END AS p0n,
+                   CASE WHEN cur = 1 AND ib1 <= len(ly) THEN ly[ib1] - 1 ELSE p1 END AS p1n,
+                   CASE WHEN cur2_adv AND ic2 <= len(lx) THEN lx[ic2] - 2 ELSE p2 END AS p2n
+            FROM (
+                SELECT *,
+                       (cur = 2) OR (cur = 0 AND ia1 <= len(lx) AND ia1 = ic) AS cur2_adv,
+                       CASE WHEN cur = 2 THEN ic + 1
+                            WHEN cur = 0 AND ia1 <= len(lx) AND ia1 = ic THEN ic + 1
+                            ELSE ic END AS ic2
+                FROM (
+                    SELECT *,
+                           ia + CASE WHEN cur = 0 THEN 1 ELSE 0 END AS ia1,
+                           ib + CASE WHEN cur = 1 THEN 1 ELSE 0 END AS ib1
+                    FROM chain WHERE NOT done
+                )
+            )
+        )
+    )
+),
+fr AS (
+    SELECT doc_id, mls FROM chain WHERE done AND len(mls) > 0
+),
+mm AS (
+    SELECT doc_id,
+           list_reduce(
+               list_transform(mls, m -> CAST({F1} / ({F1} + CAST(m AS FLOAT)) AS FLOAT)),
+               (acc, x) -> CAST(acc + x AS FLOAT)
+           ) AS freq
+    FROM fr
+),
+w AS (
+    SELECT CAST({idf_sum} AS FLOAT) AS w,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs
+),
+sc AS (
+    SELECT mm.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(mm.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(nm.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM mm JOIN norm nm USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
+def interval_ordered_near_topk_sql(
+    term_a: str, term_b: str, max_width: int, k: int
+) -> str:
+    """``IntervalQuery(field, maxwidth(w, ordered(a, b)))`` top-k.
+
+    Minimal ordered intervals (``OrderedIntervalsSource``): s an A-position,
+    e = min{B > s}, keep max s per distinct e; width filter <= max_width;
+    freq = sequential float32 accumulation of double ``1.0/max(len-1, 1)``
+    (minExtent=2, ``IntervalScorer.java:59-68`` compound assignment);
+    score = saturation ``1f - pivot/(pivot + freq)`` with pivot=1
+    (``IntervalScoreFunction.java:66-74``)."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+pa AS (SELECT doc_id, pos FROM tp WHERE term = '{term_a}'),
+pb AS (SELECT doc_id, pos FROM tp WHERE term = '{term_b}'),
+cand AS (
+    SELECT a.doc_id, a.pos AS s,
+           (SELECT min(b.pos) FROM pb b
+            WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+    FROM pa a
+),
+mins AS (
+    SELECT doc_id, e, max(s) AS s FROM cand WHERE e IS NOT NULL
+    GROUP BY doc_id, e
+),
+kept AS (SELECT * FROM mins WHERE e - s + 1 <= {max_width}),
+fr AS (
+    SELECT doc_id, list(e - s ORDER BY s) AS lens FROM kept GROUP BY doc_id
+),
+mm AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(lens, L -> 1.0 / greatest(L, 1))),
+               (acc, x) -> CAST(acc + x AS FLOAT)
+           ) AS freq
+    FROM fr
+),
+sc AS (
+    SELECT doc_id,
+           CAST({F1} - {F1} / ({F1} + CAST(freq AS FLOAT)) AS FLOAT) AS score
+    FROM mm WHERE freq > 0
 )
 {_topk('sc', k)}
 """
@@ -860,14 +1066,19 @@ combined AS (
 """
 
 
-def fuzzy_blended_topk_sql(term: str, max_edits: int, max_expansions: int, k: int) -> str:
+def fuzzy_blended_topk_sql(
+    term: str, max_edits: int, max_expansions: int, k: int,
+    transpositions: bool = True,
+) -> str:
     """TopTermsBlendedFreqScoringRewrite (FuzzyQuery's scoring default):
-    candidates within edit distance, boost = 1f - ed/minTermLength
-    (FuzzyTermsEnum.java:251-257, transpositions=false variant), top-N by
+    candidates within edit distance (Damerau with ``transpositions``, the
+    Lucene default — see fuzzy_topk_sql for the max_edits<=1 envelope),
+    boost = 1f - ed/minTermLength (FuzzyTermsEnum.java:251-257), top-N by
     (boost DESC, term ASC) (TopTermsRewrite.java:104-120), scored with
     BLENDED stats df=max/ttf=sum (BlendedTermQuery.java:281-291) as a
     SHOULD disjunction of boosted term queries."""
     qlen = len(term)
+    dist = "damerau_levenshtein" if transpositions else "levenshtein"
     return f"""
 WITH {BASE_CTES},
 ts AS (
@@ -875,9 +1086,9 @@ ts AS (
     FROM toks GROUP BY term
 ),
 cand AS (
-    SELECT term, levenshtein(term, '{term}') AS ed FROM ts
+    SELECT term, {dist}(term, '{term}') AS ed FROM ts
     WHERE length(term) BETWEEN {qlen - max_edits} AND {qlen + max_edits}
-      AND levenshtein(term, '{term}') <= {max_edits}
+      AND {dist}(term, '{term}') <= {max_edits}
 ),
 boosted AS (
     SELECT term,

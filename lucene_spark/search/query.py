@@ -111,6 +111,9 @@ class FuzzyQuery(Query):
     field: str = "text"
     rewrite_method: str = "constant_score"
     max_expansions: int = 50  # FuzzyQuery.defaultMaxExpansions
+    # Lucene default (FuzzyQuery.java:82-91): adjacent transposition = ONE
+    # edit (OSA distance, TestLevenshteinAutomata.getTDistance)
+    transpositions: bool = True
 
 
 @dataclass(frozen=True)

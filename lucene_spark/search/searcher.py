@@ -98,8 +98,7 @@ def _make_leaf_udf(leaf):
 
 def _levenshtein(a: str, b: str) -> int:
     """Classic Levenshtein (matches Spark's and DuckDB's ``levenshtein``;
-    the transpositions=false FuzzyQuery variant — documented divergence from
-    Lucene's default Damerau automaton)."""
+    the transpositions=false FuzzyQuery variant)."""
     if a == b:
         return 0
     prev = list(range(len(b) + 1))
@@ -111,63 +110,161 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def sloppy_phrase_freq(plists: list[np.ndarray], slop: int) -> np.float32:
-    """Lucene ``SloppyPhraseMatcher.nextMatch`` (no-repeats case) +
-    ``PhraseScorer`` float32 freq accumulation, per document.
+def _osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment distance: Levenshtein + adjacent
+    transposition as ONE edit — Lucene's transpositions=true fuzzy metric
+    (the automaton's reference oracle, ``TestLevenshteinAutomata.
+    getTDistance``; ``FuzzyQuery.java:82-91`` defaults transpositions on).
+    At max_edits <= 1 this coincides with unrestricted Damerau-Levenshtein
+    (DuckDB's ``damerau_levenshtein``), the envelope the oracle gates use.
+    """
+    if a == b:
+        return 0
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return max(n, m)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return d[n][m]
+
+
+def sloppy_phrase_freq(
+    plists: list[np.ndarray], slop: int, rpt_groups: tuple = ()
+) -> np.float32:
+    """Lucene ``SloppyPhraseMatcher`` + ``PhraseScorer`` float32 freq
+    accumulation, per document — including the repeated-term case.
 
     ``plists[i]`` = sorted offset-shifted positions of phrase term i
-    (``s = position - i``).  Returns the sloppy freq (0.0 if no match):
-    the float32 running sum of ``1f/(1f + matchLength)`` over matches in
-    emission order — ``SloppyPhraseMatcher.java:190-220`` (the pq leapfrog:
-    always advance the least stream; a match is emitted when it overtakes
-    the next-least or exhausts, with matchLength minimized on the way and
-    discarded when > slop).
-    """
-    import heapq
+    (``s = position - i``; the stream index IS the phrase offset and the
+    ord).  ``rpt_groups`` lists, per repeated term, the stream indices that
+    share it, ascending (``SloppyPhraseMatcher.gatherRptGroups`` for the
+    single-term-per-position case: PPs of the same term always collide at
+    first-positions, so the groups are exactly the terms with >= 2 phrase
+    slots, sorted by offset — ``sortRptGroups``).
 
+    Returns the sloppy freq (0.0 if no match): the float32 running sum of
+    ``1f/(1f + matchLength)`` over matches in emission order
+    (``PhraseScorer.java:85-95``).  The matcher is the pq leapfrog of
+    ``SloppyPhraseMatcher.java:190-220`` — always advance the least stream;
+    a match is emitted when it overtakes the next-least or exhausts, with
+    matchLength minimized on the way and discarded when > slop — with the
+    repeats algebra of ``SloppyPhraseMatcher.java:392-480``:
+
+    * init (``advanceRepeatGroups``, no multi-term case): within a group
+      sorted by offset, stream j starts advanced j positions, so no two
+      streams of one term sit on the same token,
+    * after any advance (``advanceRpts``): while the advanced stream
+      *collides* with a group-mate (same actual doc position
+      ``tpPos = s + offset``), advance the lesser of the two by
+      (position, offset) — collisions chain through the rebound stream.
+
+    The pq is a linear-scan min over the tiny stream set (phrase length)
+    keyed (position, offset) — Lucene's comparator with ord folded in
+    (offsets are unique here, so the ord tie-break never fires).
+    """
     n = len(plists)
-    if any(len(p) == 0 for p in plists):
+    if n == 0 or any(len(p) == 0 for p in plists):
         return np.float32(0.0)
+    pls = [np.asarray(p, dtype=np.int64) for p in plists]
     ptr = [0] * n
-    heap: list[tuple[int, int]] = []
+    pos = [int(p[0]) for p in pls]
     end = -(1 << 62)
-    for i, pl in enumerate(plists):
-        p0 = int(pl[0])
-        heapq.heappush(heap, (p0, i))  # tie-break = phrase offset (== ord)
-        if p0 > end:
-            end = p0
+
+    grp_of = [-1] * n
+    groups = [list(g) for g in rpt_groups]
+    for gi, g in enumerate(groups):
+        for i in g:
+            grp_of[i] = gi
+
+    def advance(i: int) -> bool:  # advancePP
+        nonlocal end
+        ptr[i] += 1
+        if ptr[i] >= len(pls[i]):
+            return False
+        pos[i] = int(pls[i][ptr[i]])
+        if pos[i] > end:
+            end = pos[i]
+        return True
+
+    def collide(i: int) -> int:
+        tpi = pos[i] + i  # tpPos: actual doc position (position + offset)
+        for j in groups[grp_of[i]]:
+            if j != i and pos[j] + j == tpi:
+                return j
+        return -1
+
+    def advance_rpts(i: int) -> bool:
+        if grp_of[i] < 0:
+            return True
+        cur = i
+        while True:
+            k = collide(cur)
+            if k < 0:
+                return True
+            # advance the lesser of the two colliding streams (by
+            # (position, offset)); collisions chain through it
+            cur = cur if (pos[cur], cur) < (pos[k], k) else k
+            if not advance(cur):
+                return False
+
+    # initComplex / advanceRepeatGroups: group stream j starts j ahead
+    for g in groups:
+        for j in range(1, len(g)):
+            for _ in range(j):
+                if not advance(g[j]):
+                    return np.float32(0.0)  # PPs exhausted: no match
+    for p in pos:  # fillQueue's end update
+        if p > end:
+            end = p
+
+    in_queue = set(range(n))
+
+    def pop_min() -> int:
+        i = min(in_queue, key=lambda x: (pos[x], x))
+        in_queue.remove(i)
+        return i
+
     one = np.float32(1.0)
     freq = np.float32(0.0)
     matched = False
-    positioned = True
-    while positioned:
-        pos, i = heapq.heappop(heap)
-        match_len = end - pos
-        nxt = heap[0][0]
-        while True:
-            ptr[i] += 1
-            if ptr[i] >= len(plists[i]):  # stream exhausted: final match check
-                positioned = False
-                if match_len <= slop:
-                    freq = freq + one / (one + np.float32(match_len))
-                    matched = True
-                break
-            npos = int(plists[i][ptr[i]])
-            if npos > end:
-                end = npos
-            if npos > nxt:  # done minimizing the current match length
-                heapq.heappush(heap, (npos, i))
-                if match_len <= slop:
-                    freq = freq + one / (one + np.float32(match_len))
-                    matched = True
-                    break  # nextMatch() == true; outer loop pops again
-                pos, i = heapq.heappop(heap)
-                match_len = end - pos
-                nxt = heap[0][0]
-            else:
-                ml2 = end - npos
-                if ml2 < match_len:
-                    match_len = ml2
+
+    cur = pop_min()
+    match_len = end - pos[cur]
+    nxt = min(pos[j] for j in in_queue)
+    while True:
+        if not advance(cur):
+            break  # exhausted: fall through to the final match check
+        if grp_of[cur] >= 0 and not advance_rpts(cur):
+            break  # same ending as exhaustion (nextMatch's rpts break)
+        if pos[cur] > nxt:  # done minimizing the current match length
+            in_queue.add(cur)
+            if match_len <= slop:
+                freq = freq + one / (one + np.float32(match_len))
+                matched = True
+            cur = pop_min()
+            match_len = end - pos[cur]
+            nxt = min(pos[j] for j in in_queue)
+        else:
+            ml2 = end - pos[cur]
+            if ml2 < match_len:
+                match_len = ml2
+    if match_len <= slop:  # positioned=false path still emits its match
+        freq = freq + one / (one + np.float32(match_len))
+        matched = True
     return freq if matched else np.float32(0.0)
 
 
@@ -301,7 +398,12 @@ class IndexSearcher:
             elif strategy == "wand":
                 raise ValueError("query shape not supported by the WAND path")
         elif strategy == "wand":
-            raise ValueError("index has no blocks table (build_blocks=True)")
+            if self.index.blocks is None:
+                raise ValueError("index has no blocks table (build_blocks=True)")
+            raise ValueError(
+                f"similarity {self.similarity.name!r} does not support the "
+                "WAND path (supports_wand=False)"
+            )
 
         scored = self._apply_deletes(self._score(query, stats, boost=1.0))
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
@@ -402,6 +504,21 @@ class IndexSearcher:
         stats = stats or self._termstats(collect_terms(query))
         return self._apply_deletes(self._score(query, stats, boost=1.0))
 
+    def _with_norms(self, matched: DataFrame, field: str) -> DataFrame:
+        """Ensure (freq-bearing) rows carry the doc's norm byte.
+
+        New-format postings/positions embed ``norm_byte`` per row (the build
+        interleaves norms the way Lucene's postings carry impacts), so this
+        is a no-op — scoring touches only O(posting) rows.  Legacy tables
+        without the column fall back to the corpus-sized doclens join (the
+        round-2 scale-killer, kept for back-compat only)."""
+        if "norm_byte" in matched.columns:
+            return matched
+        norms = self.index.doclens.filter(F.col("field") == field).select(
+            "doc_id", "norm_byte"
+        )
+        return matched.join(norms, "doc_id")
+
     def _apply_deletes(self, scored: DataFrame) -> DataFrame:
         """Live-docs filter: anti-join the buffered delete set
         (PendingDeletes / Lucene90LiveDocsFormat semantics)."""
@@ -424,21 +541,24 @@ class IndexSearcher:
         * ``sloppyFreq`` = running float32 sum of ``1f/(1f + matchLength)``
           in match order (PhraseScorer keeps ``freq`` in float), so BM25 is
           scored with a *fractional* float32 freq,
-        * repeated phrase terms would need Lucene's repeat-group collision
-          machinery (``SloppyPhraseMatcher.java:initComplex/rptGroups``) —
-          unsupported here, documented.
+        * repeated phrase terms run Lucene's repeat-group collision algebra
+          (``SloppyPhraseMatcher.java:392-480`` initComplex/rptGroups) —
+          see :func:`sloppy_phrase_freq`.
         """
         if not q.terms:
             return self._empty_scored()
         if len(q.terms) == 1:  # PhraseQuery.rewrite: 1-term phrase ≡ TermQuery
             return self._score_term(q.field, q.terms[0], stats, boost)
-        if len(set(q.terms)) != len(q.terms):
-            raise NotImplementedError(
-                "sloppy phrases with repeated terms need Lucene's repeat-group "
-                "machinery (SloppyPhraseMatcher.initComplex) — not implemented"
-            )
         if any((q.field, t) not in stats for t in q.terms):
             return self._empty_scored()
+        # repeat groups: stream indices per term with >= 2 phrase slots,
+        # ascending offset (gatherRptGroups/sortRptGroups, single-term case)
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(q.terms):
+            by_term.setdefault(t, []).append(i)
+        rpt_groups = tuple(
+            tuple(g) for g in by_term.values() if len(g) > 1
+        )
 
         doc_count, sttf = self._fieldstats()[q.field]
         idfs = [self.similarity.idf(stats[(q.field, t)][0], doc_count) for t in q.terms]
@@ -452,12 +572,13 @@ class IndexSearcher:
             # single-arg lambda (2-arg transform lambdas receive the index)
             return lambda x: x - F.lit(off)
 
+        has_norm = "norm_byte" in pos.columns
         joined: DataFrame | None = None
         for i, t in enumerate(q.terms):
-            p = pos.filter(F.col("term") == t).select(
-                "doc_id",
-                F.transform("positions", shift_by(i)).alias(f"_s{i}"),
-            )
+            sel = ["doc_id", F.transform("positions", shift_by(i)).alias(f"_s{i}")]
+            if i == 0 and has_norm:
+                sel.append(F.col("norm_byte"))
+            p = pos.filter(F.col("term") == t).select(*sel)
             joined = p if joined is None else joined.join(p, "doc_id")
 
         n_terms = len(q.terms)
@@ -470,20 +591,18 @@ class IndexSearcher:
                 plists = [
                     np.asarray(cols[i][r], dtype=np.int64) for i in range(n_terms)
                 ]
-                out[r] = sloppy_phrase_freq(plists, slop)
+                out[r] = sloppy_phrase_freq(plists, slop, rpt_groups)
             return pd.Series(out, dtype="float32")
 
+        out_cols = ["doc_id", "freq"] + (["norm_byte"] if has_norm else [])
         matched = (
             joined.withColumn(
                 "freq", sloppy_freq(*[F.col(f"_s{i}") for i in range(n_terms)])
             )
             .filter(F.col("freq") > 0)
-            .select("doc_id", "freq")
+            .select(*out_cols)
         )
-        norms = self.index.doclens.filter(F.col("field") == q.field).select(
-            "doc_id", "norm_byte"
-        )
-        return matched.join(norms, "doc_id").select(
+        return self._with_norms(matched, q.field).select(
             "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
         )
 
@@ -580,11 +699,20 @@ class IndexSearcher:
                 st = stats.get((tq.field, tq.term))
                 if st is None:
                     continue  # absent member of an OR-group contributes nothing
-                sc = bm25.BM25Scorer(st[0], doc_count, sttf, k1=self.k1, b=self.b)
-                # FILTER gates without scoring: weight 0 ⇒ leaf score exactly
-                # 0.0f, which adds nothing to the double accumulator
-                w = np.float32(0.0) if occ == "filter" else sc.weight
-                scorers.append(TermScorer(tq.term, w, sc.cache))
+                if occ == "filter":
+                    # FILTER gates without scoring: constant-0 leaf ⇒ adds
+                    # nothing to the double accumulator or the bounds
+                    from lucene_spark.search.similarities import _ConstLeaf
+
+                    leaf = _ConstLeaf(np.float32(0.0))
+                else:
+                    # the query's Similarity supplies the kernel SimScorer —
+                    # BM25 keeps its cached fast path, the other families
+                    # ride the same impact frontiers (monotone scorers)
+                    leaf = self.similarity.leaf_scorer(
+                        1.0, st[0], doc_count, sttf, total_term_freq=st[1]
+                    )
+                scorers.append(TermScorer(tq.term, leaf))
             if occ in ("must", "filter"):
                 if not scorers:  # required clause entirely absent: no hits
                     return _empty_topk()
@@ -626,11 +754,16 @@ class IndexSearcher:
             elif isinstance(q, RegexpQuery):
                 cond = F.col("term").rlike("^(?:" + q.pattern + ")$")
             elif isinstance(q, FuzzyQuery):
+                # transpositions=true: one transposition costs 2 classic
+                # edits, so lev <= 2·max_edits is a sound JVM-side prefilter
+                # (OSA <= e ⇒ lev <= 2e); the exact OSA cut happens on the
+                # collected candidate list below
+                lev_cap = 2 * q.max_edits if q.transpositions else q.max_edits
                 cond = (
                     F.length("term").between(
                         F.lit(len(q.term) - q.max_edits), F.lit(len(q.term) + q.max_edits)
                     )
-                    & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+                    & (F.levenshtein(F.col("term"), F.lit(q.term)) <= lev_cap)
                 )
             else:  # TermRangeQuery
                 cond = F.lit(True)
@@ -643,6 +776,11 @@ class IndexSearcher:
                         F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
                     )
             matched = [r["term"] for r in terms_df.filter(cond).limit(MAX_CLAUSE_COUNT + 1).collect()]
+            if isinstance(q, FuzzyQuery) and q.transpositions:
+                # exact OSA cut over the (small) prefiltered candidate set
+                matched = [
+                    t for t in matched if _osa_distance(t, q.term) <= q.max_edits
+                ]
             if len(matched) > MAX_CLAUSE_COUNT:
                 raise ValueError(f"multi-term query expands to > {MAX_CLAUSE_COUNT} terms")
             if not matched:
@@ -670,9 +808,10 @@ class IndexSearcher:
                         "FuzzyQuery-only (use scoring_boolean for prefix/wildcard)"
                     )
                 qlen = len(q.term)
+                dist = _osa_distance if q.transpositions else _levenshtein
                 pairs = []
                 for t in matched:
-                    ed = _levenshtein(t, q.term)
+                    ed = dist(t, q.term)
                     if ed == 0:
                         b = np.float32(1.0)
                     else:
@@ -821,25 +960,24 @@ class IndexSearcher:
             # as its second argument (F.transform(col, (x, i) -> ...))
             return lambda x: x - F.lit(off)
 
+        has_norm = "norm_byte" in pos.columns
         joined: DataFrame | None = None
         for i, t in enumerate(q.terms):
-            p = pos.filter(F.col("term") == t).select(
-                "doc_id",
-                F.transform("positions", shift_by(i)).alias(f"_s{i}"),
-            )
+            sel = ["doc_id", F.transform("positions", shift_by(i)).alias(f"_s{i}")]
+            if i == 0 and has_norm:
+                sel.append(F.col("norm_byte"))
+            p = pos.filter(F.col("term") == t).select(*sel)
             joined = p if joined is None else joined.join(p, "doc_id")
         inter = F.col("_s0")
         for i in range(1, len(q.terms)):
             inter = F.array_intersect(inter, F.col(f"_s{i}"))
+        out_cols = ["doc_id", "freq"] + (["norm_byte"] if has_norm else [])
         matched = (
             joined.withColumn("freq", F.size(inter).cast("int"))
             .filter(F.col("freq") > 0)
-            .select("doc_id", "freq")
+            .select(*out_cols)
         )
-        norms = self.index.doclens.filter(F.col("field") == q.field).select(
-            "doc_id", "norm_byte"
-        )
-        return matched.join(norms, "doc_id").select(
+        return self._with_norms(matched, q.field).select(
             "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
         )
 
@@ -853,13 +991,12 @@ class IndexSearcher:
             boost, doc_freq, doc_count, sttf, total_term_freq=ttf
         )
         score_udf = _make_leaf_udf(leaf)
-        matched = self.index.postings_for_terms(field, [term]).filter(
+        pf = self.index.postings_for_terms(field, [term])
+        cols = ["doc_id", "freq"] + (["norm_byte"] if "norm_byte" in pf.columns else [])
+        matched = pf.filter(
             (F.col("field") == field) & (F.col("term") == term)
-        ).select("doc_id", "freq")
-        norms = self.index.doclens.filter(F.col("field") == field).select(
-            "doc_id", "norm_byte"
-        )
-        return matched.join(norms, "doc_id").select(
+        ).select(*cols)
+        return self._with_norms(matched, field).select(
             "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
         )
 
@@ -876,17 +1013,16 @@ class IndexSearcher:
             boost, doc_freq, doc_count, sttf, total_term_freq=ttf
         )
         score_udf = _make_leaf_udf(leaf)
-        merged = (
-            self.index.postings_for_terms(q.field, present).filter(
-                (F.col("field") == q.field) & F.col("term").isin(present)
+        pf = self.index.postings_for_terms(q.field, present)
+        hits = pf.filter((F.col("field") == q.field) & F.col("term").isin(present))
+        if "norm_byte" in pf.columns:
+            merged = hits.groupBy("doc_id").agg(
+                F.sum("freq").cast("int").alias("freq"),
+                F.min("norm_byte").alias("norm_byte"),  # constant per doc
             )
-            .groupBy("doc_id")
-            .agg(F.sum("freq").cast("int").alias("freq"))
-        )
-        norms = self.index.doclens.filter(F.col("field") == q.field).select(
-            "doc_id", "norm_byte"
-        )
-        return merged.join(norms, "doc_id").select(
+        else:
+            merged = hits.groupBy("doc_id").agg(F.sum("freq").cast("int").alias("freq"))
+        return self._with_norms(merged, q.field).select(
             "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
         )
 
@@ -930,13 +1066,14 @@ class IndexSearcher:
             return pd.Series(out, dtype="float32")
 
         terms = [t for t, _b in present]
-        matched = self.index.postings_for_terms(q.field, terms).filter(
-            (F.col("field") == q.field) & F.col("term").isin(terms)
-        ).select("term", "doc_id", "freq")
-        norms = self.index.doclens.filter(F.col("field") == q.field).select(
-            "doc_id", "norm_byte"
+        pf = self.index.postings_for_terms(q.field, terms)
+        cols = ["term", "doc_id", "freq"] + (
+            ["norm_byte"] if "norm_byte" in pf.columns else []
         )
-        leaf_scores = matched.join(norms, "doc_id").select(
+        matched = pf.filter(
+            (F.col("field") == q.field) & F.col("term").isin(terms)
+        ).select(*cols)
+        leaf_scores = self._with_norms(matched, q.field).select(
             "doc_id", score(F.col("term"), F.col("freq"), F.col("norm_byte")).alias("score")
         )
         return (

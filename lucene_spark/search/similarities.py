@@ -2,8 +2,10 @@
 
 Lucene ships ten similarity families behind one SimScorer contract
 (``Similarity.java:92,152``: ``score(freq, norm)`` from per-term collection
-stats).  We implement the three most used, each with strict float32 parity
-and a vectorized numpy kernel usable inside Arrow UDFs:
+stats).  All ten families are implemented, each with strict float32
+parity and a vectorized numpy kernel usable inside Arrow UDFs (and inside
+the block-max WAND kernel — every shipped scorer is freq/length-monotone,
+so the impact-frontier bounds hold; see ``Similarity.supports_wand``):
 
 * :class:`BM25Similarity` — ``BM25Similarity.java`` (the default; delegates
   to :mod:`lucene_spark.search.bm25`),
@@ -73,6 +75,12 @@ class _ConstLeaf(LeafScorer):
 
 class Similarity:
     name = "abstract"
+    # True for scorers non-decreasing in freq and non-increasing in doc
+    # length: the block-max WAND kernel's impact-frontier upper bounds are
+    # valid for exactly this class (MaxScoreCache.java:72-93 makes the same
+    # assumption — impacts pareto-dominate the block's (freq, norm) pairs).
+    # All ten shipped families qualify; a custom non-monotone similarity
+    # must leave this False to stay on the flat path.
     supports_wand = False
 
     def idf(self, doc_freq: int, doc_count: int) -> np.float32:
@@ -114,6 +122,7 @@ class BM25Similarity(Similarity):
 
 class ClassicSimilarity(Similarity):
     name = "classic"
+    supports_wand = True
 
     def idf(self, doc_freq, doc_count):
         # (float)(Math.log((docCount + 1) / (double)(docFreq + 1)) + 1.0)
@@ -153,9 +162,12 @@ class _LMDirichletLeaf(LeafScorer):
 
     def score(self, freq, norm_bytes):
         f = np.asarray(freq, dtype=np.float64)
-        uniq = np.unique(f)
-        lf = {v: math.log(1.0 + v / (self.mu * self.p)) for v in uniq.tolist()}
-        freq_log = np.array([lf[v] for v in f.tolist()], dtype=np.float64)
+        uniq, inv = np.unique(f, return_inverse=True)
+        logs = np.array(
+            [math.log(1.0 + v / (self.mu * self.p)) for v in uniq.tolist()],
+            dtype=np.float64,
+        )
+        freq_log = logs[inv]
         nl = self.norm_log[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
         s = self.boost * (freq_log + nl)
         return np.maximum(s, 0.0).astype(np.float32)
@@ -163,6 +175,7 @@ class _LMDirichletLeaf(LeafScorer):
 
 class LMDirichletSimilarity(Similarity):
     name = "lmdirichlet"
+    supports_wand = True
 
     def __init__(self, mu: float = 2000.0):
         self.mu = float(np.float32(mu))
@@ -198,17 +211,18 @@ class _PairMemoLeaf(LeafScorer):
         f = np.asarray(freq, dtype=np.float64)
         nb = np.asarray(norm_bytes, dtype=np.int64) & 0xFF
         dl = LENGTH_TABLE.astype(np.float64)
-        memo: dict[tuple[float, int], float] = {}
-        out = np.empty(len(f), dtype=np.float64)
+        # evaluate the scalar fn once per DISTINCT (freq, norm) pair and
+        # scatter — the Python loop is O(distinct pairs), bounded by
+        # 256 · |distinct freqs|, never O(rows) (kernel-hot path)
+        # key = f32 bit pattern (inputs are float32 freqs — lossless) ⊕ norm
+        fbits = np.asarray(freq, dtype=np.float32).view(np.int32).astype(np.int64)
+        key = (fbits << np.int64(8)) | nb
+        uk, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
         fn = self.fn
-        for i in range(len(f)):
-            key = (f[i], int(nb[i]))
-            v = memo.get(key)
-            if v is None:
-                v = fn(f[i], dl[nb[i]])
-                memo[key] = v
-            out[i] = v
-        return out.astype(np.float32)
+        vals = np.empty(len(uk), dtype=np.float64)
+        for j, i0 in enumerate(first_idx):
+            vals[j] = fn(float(f[i0]), float(dl[int(nb[i0])]))
+        return vals[inv].astype(np.float32)
 
 
 class DFRSimilarity(Similarity):
@@ -223,6 +237,7 @@ class DFRSimilarity(Similarity):
     """
 
     name = "dfr"
+    supports_wand = True
 
     def __init__(self, c: float = 1.0):
         self.c = float(np.float32(c))
@@ -255,6 +270,7 @@ class LMJelinekMercerSimilarity(Similarity):
     p = (ttf+1)/(sumTtf+1) (``LMSimilarity.DefaultCollectionModel``)."""
 
     name = "lmjm"
+    supports_wand = True
 
     def __init__(self, lam: float = 0.7):
         self.lam = float(np.float32(lam))  # float field widened into double math
@@ -282,6 +298,7 @@ class IBSimilarity(Similarity):
     −ln(λ/(tfn + λ))), λ = (float)((df+1)/(N+1))."""
 
     name = "ib"
+    supports_wand = True
 
     def __init__(self, c: float = 1.0):
         self.c = float(np.float32(c))
@@ -315,6 +332,7 @@ class DFISimilarity(Similarity):
     """
 
     name = "dfi"
+    supports_wand = True
 
     def idf(self, doc_freq, doc_count):
         raise NotImplementedError("DFI has no idf; phrase path unsupported")
@@ -343,6 +361,7 @@ class AxiomaticF2EXP(Similarity):
     s=0.25, k=0.35 widened into the double math."""
 
     name = "f2exp"
+    supports_wand = True
 
     def __init__(self, s: float = 0.25, k: float = 0.35):
         self.s = float(np.float32(s))
@@ -383,6 +402,7 @@ class MultiSimilarity(Similarity):
     (norms come from the first one — all ours share the SmallFloat norm)."""
 
     name = "multi"
+    supports_wand = True
 
     def __init__(self, sims):
         self.sims = [resolve(s) for s in sims]
@@ -401,6 +421,7 @@ class MultiSimilarity(Similarity):
 
 class BooleanSimilarity(Similarity):
     name = "boolean"
+    supports_wand = True
 
     def idf(self, doc_freq, doc_count):
         return np.float32(1.0)

@@ -55,25 +55,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_spark.index.codec import decode_block, decode_norms
-from lucene_spark.search import bm25
+
 
 
 @dataclass
 class TermScorer:
-    """Per-query-term float32 scorer constants, shipped to executors."""
+    """Per-query-term SimScorer shipped to executors.
+
+    ``leaf`` is any :class:`lucene_spark.search.similarities.LeafScorer` —
+    the kernel is similarity-agnostic exactly the way Lucene's
+    ``MaxScoreCache.java:72-93`` is: the block upper bound is the max of
+    the REAL scorer over the impact frontier, which dominates every doc in
+    the block for any scorer non-decreasing in freq and non-increasing in
+    doc length (all ten shipped families are; the frontier pairs pareto-
+    dominate every (freq, norm) in the block).  BM25 keeps its fast path;
+    LM/DFR/IB/DFI/Axiomatic ride the same impacts.
+    """
 
     term: str
-    weight: np.float32
-    cache: np.ndarray  # 256-entry float32 norm-inverse cache
+    leaf: object  # LeafScorer: vectorized score(freq_f32, norm_bytes)->f32
 
     def score(self, freqs: np.ndarray, norms: np.ndarray) -> np.ndarray:
-        return bm25.bm25_score(freqs, norms, self.weight, self.cache)
+        return self.leaf.score(np.asarray(freqs, dtype=np.float32), norms)
 
     def upper(self, impacts) -> np.float32:
         """Max score over the block's impact frontier (MaxScoreCache.java:72-93)."""
         fr = np.array([p["freq"] for p in impacts], dtype=np.float32)
         nm = np.array([p["norm"] for p in impacts], dtype=np.int64)
         return np.float32(self.score(fr, nm).max())
+
+
+def bm25_term_scorer(term: str, weight: np.float32, cache: np.ndarray) -> TermScorer:
+    """Convenience constructor for the classic BM25 kernel entry points."""
+    from lucene_spark.search.similarities import _BM25Leaf
+
+    return TermScorer(term, _BM25Leaf(np.float32(weight), cache))
 
 
 # A clause is ("must" | "should", [TermScorer, ...]) — an OR-group that

@@ -137,15 +137,19 @@ def append_batch(
         "doc_id", "segment", F.lit(field).alias("field"), F.col("inv.len").alias("len")
     ).withColumn("norm_byte", norm_byte(F.col("len")))
     postings = inverted.select(
-        "doc_id", "segment", F.explode("inv.tf").alias("tf")
+        "doc_id",
+        "segment",
+        norm_byte(F.col("inv.len")).alias("norm_byte"),
+        F.explode("inv.tf").alias("tf"),
     ).select(
         F.lit(field).alias("field"),
         F.col("tf.term").alias("term"),
         "doc_id",
         "segment",
         F.col("tf.freq").alias("freq"),
+        "norm_byte",
     )
-    blocks = build_block_postings(postings, doclens)
+    blocks = build_block_postings(postings)
 
     n_rows = 0
     for df, name in ((docmap, "docmap"), (doclens, "doclens")):

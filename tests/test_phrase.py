@@ -170,11 +170,62 @@ def test_sloppy_fractional_freq_scores(searcher):
     assert hits  # non-empty
 
 
-def test_sloppy_repeated_terms_unsupported(searcher):
-    import pytest as _pytest
+def test_sloppy_repeats_kernel_hand_cases():
+    """Hand-traced SloppyPhraseMatcher repeats cases (rptGroups algebra,
+    SloppyPhraseMatcher.java:392-480).  Streams are offset-shifted; the
+    repeat group lists the colliding stream indices."""
+    from lucene_spark.search.searcher import sloppy_phrase_freq
 
-    with _pytest.raises(NotImplementedError):
-        searcher.search('"quick quick"~1', k=5).collect()
+    # "x y x" over doc "x y x" (x@{0,2}, y@{1}): exactly one match, len 0
+    got = sloppy_phrase_freq(
+        [np.array([0, 2]), np.array([0]), np.array([-2, 0])], 2, ((0, 2),)
+    )
+    assert got == np.float32(1.0)
+
+    # "x y x" over "x y x y x" (x@{0,2,4}, y@{1,3}): two overlapping matches
+    got = sloppy_phrase_freq(
+        [np.array([0, 2, 4]), np.array([0, 2]), np.array([-2, 0, 2])], 2, ((0, 2),)
+    )
+    assert got == np.float32(2.0)
+
+    # "row row" over "row row row" (row@{0,1,2}): two adjacent matches
+    got = sloppy_phrase_freq(
+        [np.array([0, 1, 2]), np.array([-1, 0, 1])], 0, ((0, 1),)
+    )
+    assert got == np.float32(2.0)
+
+    # repeat group needs a second occurrence: single "row" cannot match
+    got = sloppy_phrase_freq([np.array([5]), np.array([4])], 2, ((0, 1),))
+    assert got == np.float32(0.0)
+
+
+def test_sloppy_repeats_end_to_end(searcher):
+    """'"row row"~0' matches only the boat doc; scoring uses the doubled
+    idf weight (PhraseQuery termStates carry one entry per phrase slot)."""
+    docs = {r.doc_id: (r.conv_id, r.turn_idx) for r in searcher.index.docmap.collect()}
+    hits = searcher.search('"row row"', k=10, strategy="flat").collect()
+    assert {docs[r.doc_id] for r in hits} == {("c2", 0)}
+
+    # freq = 2 (two adjacent "row row" occurrences in "row row row")
+    stats = searcher._termstats({("text", "row")})
+    doc_count, sttf = searcher._fieldstats()["text"]
+    idf = searcher.similarity.idf(stats[("text", "row")][0], doc_count)
+    weight = bm25.sum_idf([idf, idf])
+    leaf = searcher.similarity.leaf_scorer_from_weight(weight, doc_count, sttf)
+    doclen_row = searcher.index.doclens.filter(
+        searcher.index.doclens.doc_id == hits[0].doc_id
+    ).collect()[0]
+    want = leaf.score(
+        np.array([2.0], dtype=np.float32),
+        np.array([doclen_row.norm_byte], dtype=np.int64),
+    )[0]
+    assert hits[0].score == want
+
+    # "quick brown quick"~3 matches the two-quick doc with a single
+    # width-3 match (freq = 0.25f); slop 2 finds nothing
+    h3 = searcher.search('"quick brown quick"~3', k=10).collect()
+    assert {docs[r.doc_id] for r in h3} == {("c0", 1)}
+    assert not searcher.search('"quick brown quick"~2', k=10).collect()
 
 
 def test_sloppy_freq_two_term_chain_model_fuzz():

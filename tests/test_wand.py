@@ -13,7 +13,7 @@ from lucene_spark.index.builder import build_index
 from lucene_spark.index.codec import decode_block, decode_norms
 from lucene_spark.search import bm25
 from lucene_spark.search.searcher import IndexSearcher
-from lucene_spark.search.wand import TermScorer, segment_wand_topk
+from lucene_spark.search.wand import bm25_term_scorer, segment_wand_topk
 from lucene_spark.sources.transcripts import synth_transcripts
 
 
@@ -149,7 +149,7 @@ def test_kernel_fuzz_vs_brute(seed, mode):
     for ti in range(n_terms):
         df = len(truth[f"t{ti}"][0])
         sc = bm25.BM25Scorer(df, doc_count, sttf)
-        scorers.append(TermScorer(f"t{ti}", sc.weight, sc.cache))
+        scorers.append(bm25_term_scorer(f"t{ti}", sc.weight, sc.cache))
     for k in (1, 7, 50):
         got_d, got_s = segment_wand_topk(pdf, scorers, k, mode)
         want_d, want_s = _brute(truth, scorers, k, mode)
@@ -311,7 +311,7 @@ def test_kernel_fuzz_boolean_vs_brute(seed):
     for ti in range(n_terms):
         df = len(truth[f"t{ti}"][0])
         sc = bm25.BM25Scorer(df, doc_count, sttf)
-        scorers[f"t{ti}"] = TermScorer(f"t{ti}", sc.weight, sc.cache)
+        scorers[f"t{ti}"] = bm25_term_scorer(f"t{ti}", sc.weight, sc.cache)
 
     terms = list(scorers)
     rng.shuffle(terms)
