@@ -17,10 +17,13 @@ Design (SURVEY.md §2.9):
   AND not_hits == 0`` — Boolean-of-terms semantics without building an
   index for the batch (the ``MemoryIndex``/``DocumentBatch`` shape,
   ``memory/MemoryIndex.java:198``),
-* supported query shapes: single terms and one-level Booleans of terms
-  (MUST / SHOULD / MUST_NOT / FILTER, minimumNumberShouldMatch) — the same
-  envelope Lucene's presearcher optimizes well; anything else would need a
-  per-batch scoring pass with :class:`~lucene_spark.search.searcher.IndexSearcher`.
+* supported query shapes: single terms, prefixes (``mer*`` — matched via
+  per-length substring projections + broadcast equi-joins, the
+  ``Presearcher.java`` term-acceptor analog), exact phrases, and one-level
+  Booleans of them (MUST / SHOULD / MUST_NOT / FILTER,
+  minimumNumberShouldMatch) — the envelope Lucene's presearcher optimizes
+  well; anything else would need a per-batch scoring pass with
+  :class:`~lucene_spark.search.searcher.IndexSearcher`.
 
 Scale shape: the query tables are broadcast (thousands of registered
 queries ≈ KBs); the only shuffle is the per-batch (doc, query) groupBy,
@@ -37,13 +40,38 @@ from pyspark.sql import functions as F
 from lucene_spark.analysis.analyzer import StandardAnalyzer
 from lucene_spark.index.builder import make_analyze_udf
 from lucene_spark.search.parser import parse
-from lucene_spark.search.query import BooleanQuery, Occur, PhraseQuery, TermQuery
+from lucene_spark.search.query import (
+    BooleanQuery,
+    Occur,
+    PhraseQuery,
+    PrefixQuery,
+    TermQuery,
+    WildcardQuery,
+)
+
+
+def _as_prefix(q) -> str | None:
+    """The prefix of a PrefixQuery or a trailing-star-only WildcardQuery
+    (the parser emits 'ind*' as a wildcard; the percolator accepts exactly
+    the prefix-shaped ones)."""
+    if isinstance(q, PrefixQuery):
+        return q.prefix
+    if isinstance(q, WildcardQuery):
+        pat = q.pattern
+        if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+            return pat[:-1]
+    return None
 
 
 @dataclass
 class _Registered:
     query_id: int
-    terms: list[tuple[str, str]]  # (term, clause) clause ∈ must/should/not
+    # (term_or_prefix, clause, clause_id, kind): clause ∈ must/should/not,
+    # kind ∈ term/prefix.  clause_id groups alternative acceptors of ONE
+    # Boolean clause (a prefix clause matches via ANY term with the prefix
+    # — Presearcher.java's term-acceptor set — so hit counting is DISTINCT
+    # clause_ids, never raw matched-term rows).
+    terms: list[tuple[str, str, int, str]]
     n_must: int
     min_should: int
     pure_should: bool
@@ -53,50 +81,64 @@ class _Registered:
     phrases: list[tuple[str, ...]] = field(default_factory=list)
 
 
-def _phrase_parts(q: PhraseQuery, query_id: int):
+def _phrase_parts(q: PhraseQuery, query_id: int, cid0: int):
     if q.slop != 0:
         raise ValueError(
             f"query {query_id}: percolator phrases are exact-only (slop=0)"
         )
     if not q.terms:
         raise ValueError(f"query {query_id}: empty phrase")
-    return [(t, "must") for t in sorted(set(q.terms))], tuple(q.terms)
+    rows = [
+        (t, "must", cid0 + i, "term") for i, t in enumerate(sorted(set(q.terms)))
+    ]
+    return rows, tuple(q.terms)
 
 
 def _decompose(query_id: int, q) -> _Registered:
     if isinstance(q, TermQuery):
-        return _Registered(query_id, [(q.term, "should")], 0, 1, True)
+        return _Registered(query_id, [(q.term, "should", 0, "term")], 0, 1, True)
+    if (pfx := _as_prefix(q)) is not None:
+        return _Registered(query_id, [(pfx, "should", 0, "prefix")], 0, 1, True)
     if isinstance(q, PhraseQuery):
-        terms, phrase = _phrase_parts(q, query_id)
-        return _Registered(query_id, terms, len(terms), 0, False, [phrase])
+        rows, phrase = _phrase_parts(q, query_id, 0)
+        return _Registered(query_id, rows, len(rows), 0, False, [phrase])
     if isinstance(q, BooleanQuery):
-        terms: list[tuple[str, str]] = []
+        terms: list[tuple[str, str, int, str]] = []
         phrases: list[tuple[str, ...]] = []
         n_must = 0
+        cid = 0
         for c in q.clauses:
             if isinstance(c.query, PhraseQuery) and c.occur in (
                 Occur.MUST,
                 Occur.FILTER,
             ):
-                pterms, phrase = _phrase_parts(c.query, query_id)
-                terms.extend(pterms)
-                n_must += len(pterms)
+                rows, phrase = _phrase_parts(c.query, query_id, cid)
+                terms.extend(rows)
+                cid += len(rows)
+                n_must += len(rows)
                 phrases.append(phrase)
                 continue
-            if not isinstance(c.query, TermQuery):
+            if (pfx := _as_prefix(c.query)) is not None:
+                # Presearcher term-acceptor analog: the clause matches via
+                # ANY document term carrying the prefix
+                kind, key = "prefix", pfx
+            elif isinstance(c.query, TermQuery):
+                kind, key = "term", c.query.term
+            else:
                 raise ValueError(
-                    f"query {query_id}: percolator supports terms, exact "
-                    f"phrases (MUST), and one-level Booleans of them, got "
-                    f"{type(c.query).__name__}"
+                    f"query {query_id}: percolator supports terms, prefixes, "
+                    f"exact phrases (MUST), and one-level Booleans of them, "
+                    f"got {type(c.query).__name__}"
                 )
             if c.occur in (Occur.MUST, Occur.FILTER):
-                terms.append((c.query.term, "must"))
+                terms.append((key, "must", cid, kind))
                 n_must += 1
             elif c.occur == Occur.SHOULD:
-                terms.append((c.query.term, "should"))
+                terms.append((key, "should", cid, kind))
             else:
-                terms.append((c.query.term, "not"))
-        n_should = sum(1 for _, cl in terms if cl == "should")
+                terms.append((key, "not", cid, kind))
+            cid += 1
+        n_should = sum(1 for _t, cl, _c, _k in terms if cl == "should")
         pure = n_must == 0 and n_should > 0
         min_should = q.minimum_should_match
         if pure and min_should == 0:
@@ -131,8 +173,13 @@ class Monitor:
         a rebuild is the atomic-swap analog of QueryIndex's commit)."""
         regs = [self._regs[qid] for qid in sorted(self._regs)]
         self.query_terms = self.spark.createDataFrame(
-            [(r.query_id, t, cl) for r in regs for t, cl in r.terms],
-            "query_id int, term string, clause string",
+            [(r.query_id, t, cl, c, k) for r in regs for t, cl, c, k in r.terms],
+            "query_id int, term string, clause string, cid int, kind string",
+        )
+        # distinct registered prefix lengths: each becomes ONE substring
+        # projection + broadcast equi-join at match time (no theta-join)
+        self._prefix_lens = sorted(
+            {len(t) for r in regs for t, _cl, _c, k in r.terms if k == "prefix"}
         )
         self.query_reqs = self.spark.createDataFrame(
             [(r.query_id, r.n_must, r.min_should, len(r.phrases)) for r in regs],
@@ -195,12 +242,34 @@ class Monitor:
                 )
                 .distinct()
             )
-        hits = toks.join(F.broadcast(self.query_terms), "term").groupBy(
-            *self.key_cols, "query_id"
-        ).agg(
-            F.sum(F.when(F.col("clause") == "must", 1).otherwise(0)).alias("must_hits"),
-            F.sum(F.when(F.col("clause") == "should", 1).otherwise(0)).alias("should_hits"),
-            F.sum(F.when(F.col("clause") == "not", 1).otherwise(0)).alias("not_hits"),
+        qt = self.query_terms
+        matched = toks.join(
+            F.broadcast(qt.filter(F.col("kind") == "term")), "term"
+        ).select(*self.key_cols, "query_id", "clause", "cid")
+        for plen in self._prefix_lens:
+            pq = qt.filter(
+                (F.col("kind") == "prefix") & (F.length("term") == plen)
+            ).withColumnRenamed("term", "_pfx")
+            pref_hits = (
+                toks.select(
+                    *self.key_cols, F.substring("term", 1, plen).alias("_pfx")
+                )
+                .join(F.broadcast(pq), "_pfx")
+                .select(*self.key_cols, "query_id", "clause", "cid")
+            )
+            matched = matched.unionByName(pref_hits)
+        # hit counting is DISTINCT clause ids: a prefix clause matched by
+        # many doc terms (or a term hit twice via union) counts ONCE
+        hits = matched.groupBy(*self.key_cols, "query_id").agg(
+            F.count_distinct(
+                F.when(F.col("clause") == "must", F.col("cid"))
+            ).alias("must_hits"),
+            F.count_distinct(
+                F.when(F.col("clause") == "should", F.col("cid"))
+            ).alias("should_hits"),
+            F.count_distinct(
+                F.when(F.col("clause") == "not", F.col("cid"))
+            ).alias("not_hits"),
         )
         verified = (
             hits.join(F.broadcast(self.query_reqs), "query_id")

@@ -55,6 +55,37 @@ def test_percolator_matches(spark, monitor):
     }
 
 
+def test_percolator_prefix_clauses(spark):
+    """Prefix term-acceptors (Presearcher analog): 'mer*' style clauses in
+    every occur position; multi-term prefix hits count the clause ONCE."""
+    mon = Monitor(
+        spark,
+        {
+            1: "ind*",                    # pure prefix
+            2: "quer* AND NOT spar*",     # prefix MUST + prefix NOT
+            3: "merge AND ind*",          # term + prefix conjunction
+        },
+    )
+    batch = _batch(
+        spark,
+        [
+            ("c0", 0, "index indexing query"),  # two ind* hits = one clause
+            ("c0", 1, "query spark"),
+            ("c1", 0, "merge index done"),
+            ("c1", 1, "nothing here"),
+        ],
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.query_id) for r in mon.match_batch(batch).collect()
+    }
+    assert got == {
+        ("c0", 0, 1),
+        ("c1", 0, 1),
+        ("c0", 0, 2),  # query matches quer*, no spar*
+        ("c1", 0, 3),
+    }
+
+
 def test_percolator_rejects_unsupported(spark):
     # exact phrases ARE supported since round 2; sloppy phrases are not
     with pytest.raises(ValueError):
