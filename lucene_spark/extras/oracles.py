@@ -152,6 +152,41 @@ ORDER BY id_a, id_b
 """
 
 
+def lsh_embedding_near_dup_sql(
+    threshold: float = 0.95,
+    n_copies: int = 50,
+    id_offset: int = 100000,
+    scale: float = 0.05,
+) -> str:
+    """Ground-truth twin of the LSH scale-path gate: ALL pairs >= threshold
+    over the embeddings augmented with the deterministic perturbed copies
+    (``similarity.with_perturbed_copies`` — integer-math noise, bit-exact
+    across engines; DuckDB lists are 1-based so the Spark 0-based transform
+    index is ``i - 1``).  The Spark side answers via banded hyperplane LSH
+    + exact verification, so a green gate row IS the recall=1 assertion:
+    any candidate the bands missed would show up as a missing oracle row."""
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cop AS (
+    SELECT vec_id + {id_offset} AS vec_id,
+           [v[i] + {scale} * CAST((((vec_id * 31) + (i - 1) * 7) % 13) - 6 AS DOUBLE) / 100.0
+            FOR i IN generate_series(1, len(v))] AS v
+    FROM base WHERE vec_id < {n_copies}
+),
+e AS (
+    SELECT vec_id AS id, v FROM base
+    UNION ALL
+    SELECT vec_id AS id, v FROM cop
+)
+SELECT x.id AS id_a, y.id AS id_b, {_COS} AS cos
+FROM e x JOIN e y ON x.id < y.id
+WHERE list_dot_product(x.v, y.v) /
+      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v)))
+      >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def knn_cosine_topk_sql(query_vec_id: int = 0, k: int = 10) -> str:
     """Top-k by cosine to the embedding of ``query_vec_id`` (rounded-then-
     ranked, tie-break vec_id ASC — mirrors similarity.knn_brute)."""

@@ -82,23 +82,17 @@ def _code_of(query_vec, planes: np.ndarray) -> int:
     return int(bits @ (np.int64(1) << np.arange(planes.shape[1], dtype=np.int64)))
 
 
-def lsh_near_dup_pairs(
+def lsh_candidate_pairs(
     emb: DataFrame,
-    threshold: float = 0.9,
-    nbits: int = 8,
-    bands: int = 4,
+    nbits: int = 16,
+    bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Sub-quadratic cosine near-dup pairs: ``bands`` independent
-    hyperplane tables; a pair is a candidate if it shares a bucket in ANY
-    table (banding boosts recall exactly like MinHash bands), then exact
-    cosine verification keeps precision at 1.  Work = O(n·bands) codes +
-    O(candidate pairs) — never the n² of
-    :func:`~lucene_spark.extras.dedup.embedding_near_dup_pairs`."""
-    from lucene_spark.extras.dedup import cosine_expr
-
+    """Distinct candidate pairs (id_a < id_b) sharing a bucket in ANY of
+    ``bands`` independent hyperplane tables (banding boosts recall exactly
+    like MinHash bands)."""
     # one driver-side dim probe for ALL bands (one Spark job, not one per band)
     dim = len(emb.select(vec_col).first()[0])
     cand = None
@@ -116,8 +110,35 @@ def lsh_near_dup_pairs(
             )
         )
         cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    return cand.distinct()
 
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    nbits: int = 16,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic cosine near-dup pairs: LSH candidates + exact cosine
+    verification (precision 1; recall set by (nbits, bands) vs the
+    threshold).  Work = O(n·bands) codes + O(candidate pairs) — never the
+    n² of :func:`~lucene_spark.extras.dedup.embedding_near_dup_pairs`.
+
+    REGIME NOTE (measured on the test embeddings): hyperplane LSH is a
+    HIGH-threshold tool.  At threshold ~0.95 (p_bit ≈ 0.99) the defaults
+    give recall 1 with candidates ≪ n²; at threshold 0.4 on near-orthogonal
+    vectors (p_bit ≈ 0.63) no (nbits, bands) beats the all-pairs join — the
+    candidate set degenerates toward n².  Low-threshold jobs belong on the
+    exact verifier path.
+
+    Filter semantics match ``embedding_near_dup_pairs`` exactly: the RAW
+    double cosine is thresholded, then rounded to 6dp for output."""
+    from lucene_spark.extras.dedup import cosine_expr
+
+    cand = lsh_candidate_pairs(emb, nbits, bands, seed, id_col, vec_col)
     e = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -127,10 +148,44 @@ def lsh_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cos"),
+            cosine_expr(F.col("va"), F.col("vb")).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def with_perturbed_copies(
+    emb: DataFrame,
+    n_copies: int = 50,
+    id_offset: int = 100000,
+    scale: float = 0.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministically append perturbed copies of the first ``n_copies``
+    vectors (near-dups at cosine ≈ 0.999) — the planted-duplicate fixture
+    for the LSH scale-path gate.  The noise is pure integer math
+    (``((id·31 + i·7) mod 13 − 6)/100``) so DuckDB reproduces it bit-exactly
+    (no libm transcendental divergence)."""
+    # two-step select: the noise must reference the ORIGINAL id — naming it
+    # `_oid` first avoids the sibling-alias capture where `vec_id` inside
+    # the lambda resolves to the shifted output column
+    src = emb.filter(F.col(id_col) < n_copies).select(
+        F.col(id_col).alias("_oid"), F.col(vec_col).cast("array<double>").alias(vec_col)
+    )
+    copies = src.select(
+        (F.col("_oid") + id_offset).alias(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: x
+            + F.lit(scale)
+            * (((F.col("_oid") * 31 + i * 7) % 13 - 6).cast("double") / F.lit(100.0)),
+        ).alias(vec_col),
+    )
+    return emb.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).unionByName(copies)
 
 
 def ivf_fit_centroids(
@@ -140,6 +195,7 @@ def ivf_fit_centroids(
     sample: int = 4096,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """IVF coarse quantizer: k-means (Lloyd) on a bounded driver-side sample.
 
@@ -147,10 +203,14 @@ def ivf_fit_centroids(
     centroid count × dim matrix is KBs); assignment of the full corpus is
     the distributed part (:func:`ivf_assign`).  Deterministic: seeded
     sample + seeded init + fixed iterations."""
+    # ORDER BY a stable key before limit: an unordered limit over a
+    # sampled frame varies with partition layout, so centroids (and every
+    # IVF probe downstream) would only be deterministic per-layout
     rows = (
-        emb.select(vec_col)
-        .sample(False, 1.0, seed)  # stable pass-through order
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
         .limit(sample)
+        .select(vec_col)
         .collect()
     )
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])

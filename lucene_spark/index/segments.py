@@ -378,7 +378,21 @@ def resolve_term_buckets(index_dir: str, blocks: DataFrame | None = None) -> int
         if "term_buckets" in st:
             return st["term_buckets"]
     if blocks is not None and "tbucket" in blocks.columns:
-        return DEFAULT_TERM_BUCKETS
+        # manifest lost: derive the layout from the data itself — assuming
+        # DEFAULT_TERM_BUCKETS here would silently prune a wider layout's
+        # scan to the wrong buckets and drop hits.  max(tbucket)+1 is exact
+        # whenever every bucket is populated (true for any real vocabulary);
+        # an under-estimate is impossible (bucket ids are < the count).
+        mx = blocks.agg(F.max("tbucket").alias("m")).collect()[0]["m"]
+        if mx is None:
+            return None
+        # round up to the next power of two: layouts are powers of two, and
+        # a sparse vocabulary could leave the top bucket empty (max+1 alone
+        # would then prune with the wrong modulus)
+        n = 1
+        while n < int(mx) + 1:
+            n *= 2
+        return n
     return None
 
 

@@ -188,6 +188,47 @@ ORDER BY doc_id, query_id
 """
 
 
+def percolator_suite_sql() -> str:
+    """Every supported percolator shape in one gate: terms / Booleans /
+    MUST_NOT (1-4), exact phrases (5-6), prefix term-acceptors (7-8)."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+ph AS (
+    SELECT DISTINCT a.doc_id
+    FROM tp a JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'value'
+),
+d AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT doc_id, 1 AS query_id FROM d WHERE term = 'merge'
+UNION
+SELECT a.doc_id, 2 FROM d a JOIN d b USING (doc_id)
+WHERE a.term = 'data' AND b.term = 'row'
+UNION
+SELECT doc_id, 3 FROM d WHERE term IN ('scan', 'batch')
+UNION
+SELECT doc_id, 4 FROM d m
+WHERE m.term = 'merge'
+  AND NOT EXISTS (SELECT 1 FROM d w WHERE w.doc_id = m.doc_id AND w.term = 'window')
+UNION
+SELECT doc_id, 5 FROM ph
+UNION
+SELECT ph.doc_id, 6 FROM ph JOIN d ON d.doc_id = ph.doc_id AND d.term = 'merge'
+UNION
+SELECT DISTINCT doc_id, 7 FROM d WHERE term LIKE 'mer%'
+UNION
+SELECT doc_id, 8 FROM d m
+WHERE m.term = 'data'
+  AND NOT EXISTS (SELECT 1 FROM d w WHERE w.doc_id = m.doc_id AND w.term LIKE 'win%')
+ORDER BY doc_id, query_id
+"""
+
+
 def multi_or_topk_sql(terms: list[str], k: int) -> str:
     """OR of N terms: per-doc sum of float32 leaf scores (double acc)."""
     names = [f"t{i}" for i in range(len(terms))]
@@ -1519,7 +1560,8 @@ SELECT t.doc_id,
        (SELECT count(*) FROM toks WHERE term = '{term}' AND toks.doc_id = t.doc_id)::INT AS freq,
        (SELECT len FROM dl WHERE dl.doc_id = t.doc_id)::INT AS doc_len,
        CAST((SELECT w FROM w_a) AS DOUBLE) AS idf,
-       CAST((SELECT score FROM sc_a WHERE sc_a.doc_id = t.doc_id) AS DOUBLE) AS score
+       CAST((SELECT score FROM sc_a WHERE sc_a.doc_id = t.doc_id) AS DOUBLE) AS score,
+       (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term}')::BIGINT AS n_hits
 FROM top1 t
 """
 

@@ -25,6 +25,7 @@ with every query type.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 from typing import Sequence
 
@@ -68,7 +69,10 @@ def taxonomy_facet_counts(
         .groupBy("path")
         .agg(F.count("*").alias("n"))
         .withColumn(
-            "depth", (F.size(F.split(F.col("path"), sep)) ).cast("int")
+            # literal-escaped: F.split treats the separator as a REGEX, so
+            # sep='.' (or '|') would otherwise conflate every path.  Path
+            # components themselves must not contain sep (documented).
+            "depth", (F.size(F.split(F.col("path"), re.escape(sep)))).cast("int")
         )
         .select("path", "depth", "n")
         .orderBy("path")

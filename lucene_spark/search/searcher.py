@@ -618,7 +618,12 @@ class IndexSearcher:
         exclusion set; ok=False when the set is too large for shipping."""
         if self.index.deletes is None:
             return None, True
-        if not hasattr(self, "_deletes_np"):
+        # memo keyed on the deletes DataFrame identity: if IndexTables.deletes
+        # is swapped in place (delete_by_ids returns a new frame), the WAND
+        # path must not keep serving the stale exclusion array while the flat
+        # path anti-joins the live one
+        key = id(self.index.deletes)
+        if getattr(self, "_deletes_key", None) != key:
             rows = self.index.deletes.limit(self.MAX_WAND_DELETES + 1).collect()
             if len(rows) > self.MAX_WAND_DELETES:
                 self._deletes_np = None
@@ -626,6 +631,7 @@ class IndexSearcher:
                 self._deletes_np = np.array(
                     sorted(r["doc_id"] for r in rows), dtype=np.int64
                 )
+            self._deletes_key = key
         return self._deletes_np, self._deletes_np is not None
 
     @staticmethod
