@@ -150,6 +150,15 @@ def run_bench() -> dict:
         searcher.search(qtext, k=k, strategy="wand").collect()
         q_times["wand_" + name] = round(time.perf_counter() - t1, 4)
 
+    # round-3: the kernel is similarity-agnostic — time a non-BM25 family
+    # through the same block-max path (no corpus-sized norms join anywhere)
+    if "q_term_mid" in queries:
+        lm = IndexSearcher(idx, similarity="lmdirichlet")
+        qtext, k = queries["q_term_mid"]
+        t1 = time.perf_counter()
+        lm.search(qtext, k=k, strategy="wand").collect()
+        q_times["wand_lmdirichlet_term"] = round(time.perf_counter() - t1, 4)
+
     # on-disk bucketed layout: build once, query through the partition-pruned
     # (segment, tbucket) scan — latency should track the in-memory path
     # (the round-2 terms-dictionary fix; VERDICT r1 "on-disk term lookup")
@@ -217,6 +226,29 @@ def run_bench() -> dict:
             t0 = time.perf_counter()
             knn_brute(emb, qv, k=10).collect()
             extras["ann_brute_sec"] = round(time.perf_counter() - t0, 3)
+
+            # embedding near-dup SCALE path (the dedup_embedding_lsh gate):
+            # banded hyperplane candidates ≪ n², then exact verification
+            from lucene_spark.extras.similarity import (
+                lsh_candidate_pairs,
+                lsh_near_dup_pairs,
+                with_perturbed_copies,
+            )
+
+            aug = with_perturbed_copies(emb)
+            n_vecs = aug.count()
+            t0 = time.perf_counter()
+            n_emb_cand = lsh_candidate_pairs(aug).count()
+            extras["emb_lsh_banding_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            n_emb_pairs = lsh_near_dup_pairs(aug, threshold=0.95).count()
+            extras["emb_lsh_end_to_end_sec"] = round(time.perf_counter() - t0, 3)
+            extras.update(
+                emb_vecs=n_vecs,
+                emb_lsh_candidates=n_emb_cand,
+                emb_verified_pairs=n_emb_pairs,
+                emb_all_pairs=n_vecs * (n_vecs - 1) // 2,
+            )
 
     lat = sorted(q_times.values())
     p50 = statistics.median(lat)
@@ -321,9 +353,143 @@ def run_scaling(levels=(4, 16), n_convs: int = 470_000, repeats: int = 3) -> dic
     }
 
 
+def run_ann_bench(
+    n_vecs: int = 100_000,
+    dim: int = 64,
+    n_clusters: int = 256,
+    k: int = 10,
+    n_queries: int = 20,
+    n_centroids: int = 64,
+) -> dict:
+    """ANN at scale: IVF-flat recall@k / latency vs exact brute force on a
+    100k-vector clustered corpus (VERDICT r2 #10 — the evidence that IVF is
+    a justified graph-ANN substitute for this engine).
+
+    The corpus is deterministic: ``n_clusters`` unit centers (seed 7), each
+    vector = its ``id % n_clusters`` center + noise of norm ≈ 0.7 (per-dim
+    σ = 0.7/√dim, seeded per id block) — overlapping clusters, so recall
+    genuinely depends on nprobe (σ≈0.3 makes every nprobe trivially
+    recall-1.0; σ≫1 erases the cluster structure entirely).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from lucene_spark.extras.similarity import (
+        ivf_assign,
+        ivf_fit_centroids,
+        knn_brute,
+        knn_ivf,
+    )
+    from lucene_spark.session import get_spark
+
+    spark = get_spark(
+        "lucene_spark_ann_bench",
+        cores=CPUS,
+        shuffle_partitions=2 * CPUS,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_MEM", "24g")},
+    )
+    centers = np.random.default_rng(7).standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(int(ids[0]) + 1)
+            vecs = centers[ids % n_clusters] + (0.7 / np.sqrt(dim)) * (
+                rng.standard_normal((len(ids), dim))
+            )
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [v.tolist() for v in vecs]}
+            )
+
+    emb = (
+        spark.range(n_vecs)
+        .repartition(2 * CPUS)
+        .mapInPandas(gen, schema="vec_id long, embedding array<double>")
+        .persist()
+    )
+    emb.count()
+
+    q_ids = [int(i * (n_vecs // n_queries)) for i in range(n_queries)]
+    q_vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(q_ids)).collect()
+    }
+
+    t0 = time.perf_counter()
+    truth = {}
+    for qid in q_ids:
+        truth[qid] = {r.vec_id for r in knn_brute(emb, q_vecs[qid], k=k).collect()}
+    brute_sec = (time.perf_counter() - t0) / n_queries
+
+    t0 = time.perf_counter()
+    cents = ivf_fit_centroids(emb, n_centroids=n_centroids)
+    fit_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    assignments = ivf_assign(emb, cents).persist()
+    assignments.count()
+    assign_sec = time.perf_counter() - t0
+
+    # candidate fraction per nprobe: the fraction of the corpus a probe
+    # actually scans — THE scale number (latency at 100k is dominated by
+    # Spark's fixed per-job floor, which a real corpus amortizes away)
+    list_sizes = {
+        r["list_id"]: r["n"]
+        for r in assignments.groupBy("list_id").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    probes = {}
+    for nprobe in (2, 4, 8, 16):
+        t0 = time.perf_counter()
+        hits = 0
+        for qid in q_ids:
+            got = {
+                r.vec_id
+                for r in knn_ivf(
+                    emb,
+                    q_vecs[qid],
+                    k=k,
+                    n_centroids=n_centroids,
+                    nprobe=nprobe,
+                    centroids=cents,
+                    assignments=assignments,
+                ).collect()
+            }
+            hits += len(got & truth[qid])
+        cents_n = np.asarray(cents, dtype=np.float64)
+        frac = 0.0
+        for qid in q_ids:
+            qv = np.asarray(q_vecs[qid], dtype=np.float64)
+            qv /= max(np.linalg.norm(qv), 1e-12)
+            order = np.argsort(-(cents_n @ qv))[:nprobe]
+            frac += sum(list_sizes.get(int(c), 0) for c in order) / n_vecs
+        probes[str(nprobe)] = {
+            "recall_at_k": round(hits / (n_queries * k), 4),
+            "query_sec": round((time.perf_counter() - t0) / n_queries, 4),
+            "scanned_fraction": round(frac / n_queries, 4),
+        }
+    spark.stop()
+    return {
+        "metric": f"IVF-flat recall@{k} vs brute on {n_vecs} vectors",
+        "value": probes["8"]["recall_at_k"],
+        "unit": "recall",
+        "n_vecs": n_vecs,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "brute_query_sec": round(brute_sec, 4),
+        "ivf_fit_sec": round(fit_sec, 3),
+        "ivf_assign_sec": round(assign_sec, 3),
+        "nprobe": probes,
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "3"))
         print(json.dumps(run_scaling(repeats=reps)))
+    elif "--ann" in sys.argv:
+        print(json.dumps(run_ann_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -12,8 +12,10 @@ Conformance envelope (documented, mirrors SURVEY.md §7.2): the tokenizer
 implements the ALPHANUM/NUM subset of UAX#29 — letter runs joined by
 MidLetter/MidNumLet (``'``, ``’``, ``.``, ``·``), digit runs joined by
 MidNum/MidNumLet (``,``, ``.``, ``;``, ``'``), ExtendNumLet (``_``) folding —
-which covers the ALPHANUM/NUM test cases of ``TestStandardAnalyzer``; the
-SEA/ideographic/emoji classes are out of envelope.  Tokens longer than
+plus the CJK (ideographic/hiragana/katakana/hangul) and EMOJI classes
+(ZWJ sequences, modifiers, flag pairs) added in round 2 — which covers the
+ALPHANUM/NUM/CJK/emoji test cases of ``TestStandardAnalyzer``; SEA scripts
+needing dictionary segmentation remain out of envelope.  Tokens longer than
 ``max_token_length`` (default 255) are skipped, not truncated
 (``StandardTokenizer.java:152-175``).
 
