@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from lucene_spark.analysis.analyzer import StandardAnalyzer
-from lucene_spark.analysis.smallfloat import int_to_byte4_np
+
 
 DEFAULT_FIELD = "text"
 
@@ -177,12 +177,28 @@ def assign_doc_ids(
     return sorted_df.mapInPandas(assign, schema=out_schema)
 
 
-def _norm_byte_udf():
-    @F.pandas_udf(T.ShortType())
-    def norm_byte(lens: pd.Series) -> pd.Series:
-        return pd.Series(int_to_byte4_np(lens.to_numpy()), dtype="int16")
+def norm_byte_sql(len_expr: str):
+    """``SmallFloat.intToByte4`` as a PURE JVM column expression
+    (``SmallFloat.java:130-147``): for i >= 24, code = 24 + long_to_int4
+    (i - 24) with the 5-bit-exponent/3-bit-mantissa packing.
 
-    return norm_byte
+    This stays inside whole-stage codegen — the earlier pandas-UDF version
+    forced an ArrowEvalPython stage into the postings pipeline AFTER the
+    explode (one Python round-trip per posting row, ~12x the doc count),
+    which alone cut the sf0.1 build throughput several-fold.  Integer math
+    only; bit-parity with ``int_to_byte4_np`` is test-asserted over a wide
+    range."""
+    x = f"(CAST({len_expr} AS BIGINT) - 24)"
+    nb = f"length(bin({x}))"  # bit_length(x) for x >= 1
+    return F.expr(
+        f"CAST(CASE WHEN ({len_expr}) < 24 THEN ({len_expr}) "
+        f"WHEN {x} < 8 THEN 24 + {x} "
+        f"ELSE 24 + (shiftright({x}, {nb} - 4) & 7) + shiftleft({nb} - 3, 3) "
+        f"END AS SMALLINT)"
+    )
+
+
+
 
 
 def make_analyze_udf(analyzer: StandardAnalyzer):
@@ -274,7 +290,6 @@ def build_positions(
     table.
     """
     analyze_pos = make_analyze_pos_udf(analyzer)
-    norm_byte = _norm_byte_udf()
     pairs = docmap.select(
         "doc_id",
         "segment",
@@ -282,7 +297,7 @@ def build_positions(
     ).select(
         "doc_id",
         "segment",
-        norm_byte(F.size("tps")).alias("norm_byte"),
+        norm_byte_sql("size(tps)").alias("norm_byte"),
         F.explode("tps").alias("tp"),
     )
     return (
@@ -324,7 +339,6 @@ def build_index(
     """
     analyzer = analyzer or StandardAnalyzer()
     invert = make_invert_udf(analyzer)
-    norm_byte = _norm_byte_udf()
 
     if doc_id_col is not None:
         docmap = df.withColumn("doc_id", F.col(doc_id_col).cast("long")).withColumn(
@@ -344,7 +358,7 @@ def build_index(
         "segment",
         F.lit(field).alias("field"),
         F.col("inv.len").alias("len"),
-    ).withColumn("norm_byte", norm_byte(F.col("len")))
+    ).withColumn("norm_byte", norm_byte_sql("len"))
 
     # per-doc inversion already counted freqs — explode is shuffle-free.
     # The doc's norm byte rides on every posting row (Lucene interleaves
@@ -355,7 +369,7 @@ def build_index(
     postings = inverted.select(
         "doc_id",
         "segment",
-        norm_byte(F.col("inv.len")).alias("norm_byte"),
+        norm_byte_sql("inv.len").alias("norm_byte"),
         F.explode("inv.tf").alias("tf"),
     ).select(
         F.lit(field).alias("field"),

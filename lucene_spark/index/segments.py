@@ -60,7 +60,7 @@ from lucene_spark.index.blocks import (
 )
 from lucene_spark.index.builder import (
     IndexTables,
-    _norm_byte_udf,
+    norm_byte_sql,
     make_invert_udf,
 )
 
@@ -321,7 +321,6 @@ def _build_batch(
     docmap = arranged.mapInPandas(assign, schema=out_schema)
 
     invert = make_invert_udf(analyzer)
-    norm_byte = _norm_byte_udf()
     # cached across the three table writes of this batch (docmap/doclens/
     # blocks all sit downstream of the analysis UDF), freed after the batch
     inverted = docmap.select(
@@ -329,11 +328,11 @@ def _build_batch(
     ).persist()
     doclens = inverted.select(
         "doc_id", "segment", F.lit(field).alias("field"), F.col("inv.len").alias("len")
-    ).withColumn("norm_byte", norm_byte(F.col("len")))
+    ).withColumn("norm_byte", norm_byte_sql("len"))
     postings = inverted.select(
         "doc_id",
         "segment",
-        norm_byte(F.col("inv.len")).alias("norm_byte"),
+        norm_byte_sql("inv.len").alias("norm_byte"),
         F.explode("inv.tf").alias("tf"),
     ).select(
         F.lit(field).alias("field"),

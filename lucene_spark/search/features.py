@@ -192,14 +192,19 @@ def unified_highlight(
     b: float = 0.75,
     pivot: float = 87.0,
     max_passages: int = 1,
+    segmenter: str = "window",
 ) -> DataFrame:
     """Unified-highlighter analog with passage selection + passage ranking
     (``uhighlight/UnifiedHighlighter.java:97``, ``FieldHighlighter.java``,
     ``PassageScorer.java:80-139``):
 
-    * passages = consecutive ``window``-word slices of the raw text
-      (documented divergence: fixed word windows instead of the sentence
-      ``BreakIterator`` — the passage *scoring* is the faithful part),
+    * passages: ``segmenter="window"`` slices the text into consecutive
+      ``window``-word pieces; ``segmenter="sentence"`` splits at sentence
+      boundaries (``(?<=[.!?])\\s+`` — the reference uses the locale
+      ``BreakIterator.getSentenceInstance``, ``UnifiedHighlighter.java:
+      75-77``; this regex covers its terminator behavior for plain
+      ASCII-punctuated prose, the documented envelope).  Passage *scoring*
+      is the faithful part either way,
     * passage score = (float)(norm(start) · Σ_unique-matching-terms
       tf(freqInPassage, passageLenChars) · weight(contentLenChars,
       freqInDoc)) with PassageScorer's float32 component math:
@@ -257,23 +262,48 @@ def unified_highlight(
         return pd.Series(out, dtype="float32")
 
     df = hits.select("doc_id").join(source.select("doc_id", text_col), "doc_id")
-    df = (
-        df.withColumn("_ws", F.split(F.col(text_col), " "))
-        .withColumn("_clen", F.length(text_col))
-        .withColumn(
-            "_np",
-            F.greatest(F.lit(1), F.ceil(F.size("_ws") / window)).cast("int"),
-        )
-        .withColumn("passage_idx", F.explode(F.sequence(F.lit(0), F.col("_np") - 1)))
-        .withColumn("_pw", F.expr(f"slice(_ws, passage_idx*{window}+1, {window})"))
-        .withColumn(
-            "_start",
-            F.when(F.col("passage_idx") == 0, F.lit(0)).otherwise(
-                F.length(F.expr(f"array_join(slice(_ws, 1, passage_idx*{window}), ' ')")) + 1
-            ),
-        )
-        .withColumn("_plen", F.length(F.expr("array_join(_pw, ' ')")))
+    df = df.withColumn("_ws", F.split(F.col(text_col), " ")).withColumn(
+        "_clen", F.length(text_col)
     )
+    if segmenter == "sentence":
+        df = (
+            df.withColumn("_sents", F.split(F.col(text_col), r"(?<=[.!?])\s+"))
+            .select(
+                "*",
+                F.posexplode("_sents").alias("passage_idx", "_ptext"),
+            )
+            .withColumn("_pw", F.split(F.col("_ptext"), " "))
+            # char offset of the sentence start (single-space separator
+            # assumption — matches the split regex's minimal form)
+            .withColumn(
+                "_start",
+                F.expr(
+                    "aggregate(slice(_sents, 1, passage_idx), 0, "
+                    "(a, x) -> a + length(x) + 1)"
+                ),
+            )
+            .withColumn("_plen", F.length("_ptext"))
+        )
+    elif segmenter == "window":
+        df = (
+            df.withColumn(
+                "_np",
+                F.greatest(F.lit(1), F.ceil(F.size("_ws") / window)).cast("int"),
+            )
+            .withColumn(
+                "passage_idx", F.explode(F.sequence(F.lit(0), F.col("_np") - 1))
+            )
+            .withColumn("_pw", F.expr(f"slice(_ws, passage_idx*{window}+1, {window})"))
+            .withColumn(
+                "_start",
+                F.when(F.col("passage_idx") == 0, F.lit(0)).otherwise(
+                    F.length(F.expr(f"array_join(slice(_ws, 1, passage_idx*{window}), ' ')")) + 1
+                ),
+            )
+            .withColumn("_plen", F.length(F.expr("array_join(_pw, ' ')")))
+        )
+    else:
+        raise ValueError(f"unknown segmenter: {segmenter!r}")
     freq_arr = F.array(
         *[F.expr(f"size(filter(_pw, w -> w = '{t}'))") for t in terms]
     )

@@ -35,7 +35,7 @@ from lucene_spark.index.blocks import (
     build_block_postings,
     term_bucket_col,
 )
-from lucene_spark.index.builder import _norm_byte_udf, make_invert_udf
+from lucene_spark.index.builder import make_invert_udf, norm_byte_sql
 from lucene_spark.index.segments import (
     DEFAULT_FIELD,
     _manifest_dir,
@@ -129,17 +129,16 @@ def append_batch(
 
     docmap = arranged.mapInPandas(assign, schema=out_schema)
     invert = make_invert_udf(analyzer)
-    norm_byte = _norm_byte_udf()
     inverted = docmap.select(
         "doc_id", "segment", invert(F.col(text_col)).alias("inv")
     ).persist()
     doclens = inverted.select(
         "doc_id", "segment", F.lit(field).alias("field"), F.col("inv.len").alias("len")
-    ).withColumn("norm_byte", norm_byte(F.col("len")))
+    ).withColumn("norm_byte", norm_byte_sql("len"))
     postings = inverted.select(
         "doc_id",
         "segment",
-        norm_byte(F.col("inv.len")).alias("norm_byte"),
+        norm_byte_sql("inv.len").alias("norm_byte"),
         F.explode("inv.tf").alias("tf"),
     ).select(
         F.lit(field).alias("field"),

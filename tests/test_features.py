@@ -101,3 +101,36 @@ def test_analyzing_suggester_lookup(spark):
     # multi-token prefix completes within the analyzed key space
     got2 = [r.surface for r in sug.lookup("merge s", k=2).collect()]
     assert got2 == ["merge sort"]
+
+
+def test_unified_highlight_sentence_segmenter(spark):
+    """Sentence-BreakIterator passages: passages are sentences, the best
+    (and only matching) one is returned, multi-passage returns both."""
+    from lucene_spark.search.features import unified_highlight
+
+    rows = [
+        (0, "The merge runs fast. Nothing here. Another merge happened today!"),
+        (1, "No relevant words at all."),
+    ]
+    src = spark.createDataFrame(rows, "doc_id long, text string")
+    hits = spark.createDataFrame([(0,), (1,)], "doc_id long")
+
+    out = unified_highlight(
+        hits, src, ["merge"], segmenter="sentence", max_passages=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc  # no matching sentence → no passage
+    got = {r.passage_idx: r.snippet for r in by_doc[0]}
+    assert got == {
+        0: "The <b>merge</b> runs fast.",
+        2: "Another <b>merge</b> happened today!",
+    }
+
+    # max_passages=1 keeps only the best-scoring sentence (earlier start
+    # wins the norm bonus at equal tf)
+    top1 = unified_highlight(
+        hits, src, ["merge"], segmenter="sentence", max_passages=1
+    ).collect()
+    assert len(top1) == 1 and top1[0].passage_idx == 0

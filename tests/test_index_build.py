@@ -103,3 +103,60 @@ def test_fieldstats_consistency(index):
     ).collect()[0]
     assert fs["sum_doc_freq"] == ts_sum["sdf"]
     assert fs["sum_total_term_freq"] == ts_sum["sttf"]
+
+
+def test_postings_embed_norms(index):
+    """Round 3: every flat posting row carries its doc's norm byte — no
+    scoring path needs the corpus-sized doclens join."""
+    assert "norm_byte" in index.postings.columns
+    joined = index.postings.select("doc_id", "norm_byte").distinct().join(
+        index.doclens.select("doc_id", F.col("norm_byte").alias("nb2")), "doc_id"
+    )
+    assert joined.filter(F.col("norm_byte") != F.col("nb2")).count() == 0
+
+
+def test_positions_embed_norms(spark, transcripts):
+    """Positional rows carry the SAME norm byte as doclens (doc length =
+    surviving-token count is identical between the inversion UDF and the
+    positional analysis UDF)."""
+    idx = build_index(transcripts, num_segments=3, with_positions=True)
+    assert "norm_byte" in idx.positions.columns
+    joined = idx.positions.select("doc_id", "norm_byte").distinct().join(
+        idx.doclens.select("doc_id", F.col("norm_byte").alias("nb2")), "doc_id"
+    )
+    assert joined.filter(F.col("norm_byte") != F.col("nb2")).count() == 0
+
+
+def test_legacy_postings_fallback_join(spark, transcripts, index):
+    """Back-compat: an index whose postings LACK the embedded norm column
+    (pre-round-3 layout) still scores correctly via the doclens join."""
+    from dataclasses import replace
+
+    from lucene_spark.search.searcher import IndexSearcher
+
+    legacy = replace(
+        index,
+        postings=index.postings.drop("norm_byte"),
+        positions=None,
+    )
+    a = [(r.doc_id, r.score) for r in IndexSearcher(index).search("merge", k=10, strategy="flat").collect()]
+    b = [(r.doc_id, r.score) for r in IndexSearcher(legacy).search("merge", k=10, strategy="flat").collect()]
+    assert a == b
+
+
+def test_norm_byte_sql_bit_parity(spark):
+    """The JVM norm-byte expression (norm_byte_sql) must be bit-identical
+    to SmallFloat.intToByte4 (int_to_byte4_np) — it replaced the pandas UDF
+    in the build hot path (round 3 perf fix)."""
+    from lucene_spark.analysis.smallfloat import int_to_byte4_np
+    from lucene_spark.index.builder import norm_byte_sql
+
+    vals = list(range(0, 4096)) + [
+        2**k + d for k in range(12, 31) for d in (-1, 0, 1, 7, 123)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "len long").select(
+        "len", norm_byte_sql("len").alias("nb")
+    )
+    got = {r.len: r.nb for r in df.collect()}
+    want = int_to_byte4_np(np.array(vals))
+    assert all(got[v] == w for v, w in zip(vals, want))
