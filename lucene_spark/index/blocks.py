@@ -86,39 +86,55 @@ BLOCKS_SCHEMA = T.StructType(
 )
 
 
-def _encode_group(
-    field: str, term: str, segment: int, rows: list[pd.DataFrame],
-    codec: str = "lucene_for",
-) -> pd.DataFrame:
-    g = pd.concat(rows) if len(rows) > 1 else rows[0]
-    docs = g["doc_id"].to_numpy(dtype=np.int64)
-    freqs = g["freq"].to_numpy(dtype=np.int64)
-    norms = g["norm_byte"].to_numpy(dtype=np.int64)
-    blocks = encode_posting_list(docs, freqs, norms, codec=codec)
-    return pd.DataFrame(
-        {
-            "field": field,
-            "term": term,
-            "segment": np.int32(segment),
-            "block_id": np.array([b.block_id for b in blocks], dtype=np.int32),
-            "first_doc": np.array([b.first_doc for b in blocks], dtype=np.int64),
-            "last_doc": np.array([b.last_doc for b in blocks], dtype=np.int64),
-            "num_docs": np.array([b.num_docs for b in blocks], dtype=np.int32),
-            "sum_freq": np.array(
-                [
-                    int(freqs[i * BLOCK_SIZE : i * BLOCK_SIZE + b.num_docs].sum())
-                    for i, b in enumerate(blocks)
-                ],
-                dtype=np.int64,
-            ),
-            "doc_blob": [b.doc_blob for b in blocks],
-            "freq_blob": [b.freq_blob for b in blocks],
-            "norm_blob": [b.norm_blob for b in blocks],
-            "impacts": [
-                [{"freq": f_, "norm": n_} for f_, n_ in b.impacts] for b in blocks
-            ],
-        }
+class _BlockRows:
+    """Columnar accumulator for encoded blocks — one pandas DataFrame per
+    ARROW BATCH, never per posting-list group (per-group frame construction
+    was the encode kernel's dominant overhead at ~10^5 groups/partition)."""
+
+    __slots__ = ("cols",)
+
+    _NAMES = (
+        "field", "term", "segment", "block_id", "first_doc", "last_doc",
+        "num_docs", "sum_freq", "doc_blob", "freq_blob", "norm_blob", "impacts",
     )
+
+    def __init__(self):
+        self.cols = {n: [] for n in self._NAMES}
+
+    def add_group(
+        self,
+        field: str,
+        term: str,
+        segment: int,
+        docs: np.ndarray,
+        freqs: np.ndarray,
+        norms: np.ndarray,
+        codec: str,
+    ) -> None:
+        blocks = encode_posting_list(docs, freqs, norms, codec=codec)
+        c = self.cols
+        for i, b in enumerate(blocks):
+            c["field"].append(field)
+            c["term"].append(term)
+            c["segment"].append(np.int32(segment))
+            c["block_id"].append(np.int32(b.block_id))
+            c["first_doc"].append(b.first_doc)
+            c["last_doc"].append(b.last_doc)
+            c["num_docs"].append(np.int32(b.num_docs))
+            c["sum_freq"].append(
+                int(freqs[i * BLOCK_SIZE : i * BLOCK_SIZE + b.num_docs].sum())
+            )
+            c["doc_blob"].append(b.doc_blob)
+            c["freq_blob"].append(b.freq_blob)
+            c["norm_blob"].append(b.norm_blob)
+            c["impacts"].append(
+                [{"freq": f_, "norm": n_} for f_, n_ in b.impacts]
+            )
+
+    def frame(self) -> pd.DataFrame | None:
+        if not self.cols["term"]:
+            return None
+        return pd.DataFrame(self.cols)
 
 
 def build_block_postings(
@@ -151,26 +167,59 @@ def build_block_postings(
     )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # carry = the (possibly batch-spanning) trailing group's raw arrays
         carry_key: tuple | None = None
-        carry: list[pd.DataFrame] = []
+        carry_d: list[np.ndarray] = []
+        carry_f: list[np.ndarray] = []
+        carry_n: list[np.ndarray] = []
+        out = _BlockRows()
+
+        def flush_carry():
+            if carry_key is not None and carry_d:
+                out.add_group(
+                    carry_key[0],
+                    carry_key[1],
+                    int(carry_key[2]),
+                    np.concatenate(carry_d),
+                    np.concatenate(carry_f),
+                    np.concatenate(carry_n),
+                    codec,
+                )
+
         for pdf in batches:
             if pdf.empty:
                 continue
             fa = pdf["field"].to_numpy()
             ta = pdf["term"].to_numpy()
             sa = pdf["segment"].to_numpy()
+            da = pdf["doc_id"].to_numpy(dtype=np.int64)
+            fr = pdf["freq"].to_numpy(dtype=np.int64)
+            nm = pdf["norm_byte"].to_numpy(dtype=np.int64)
             change = (fa[1:] != fa[:-1]) | (ta[1:] != ta[:-1]) | (sa[1:] != sa[:-1])
             starts = np.flatnonzero(np.concatenate(([True], change)))
-            for i, s in enumerate(starts):
-                e = starts[i + 1] if i + 1 < len(starts) else len(pdf)
-                chunk = pdf.iloc[s:e]
-                key = tuple(chunk.iloc[0][["field", "term", "segment"]])
+            bounds = np.append(starts, len(pdf))
+            for i in range(len(starts)):
+                s, e = int(bounds[i]), int(bounds[i + 1])
+                key = (fa[s], ta[s], int(sa[s]))
                 if carry_key is not None and key != carry_key:
-                    yield _encode_group(*carry_key, carry, codec=codec)
-                    carry = []
+                    flush_carry()
+                    carry_d, carry_f, carry_n = [], [], []
                 carry_key = key
-                carry.append(chunk)
-        if carry_key is not None and carry:
-            yield _encode_group(*carry_key, carry, codec=codec)
+                carry_d.append(da[s:e])
+                carry_f.append(fr[s:e])
+                carry_n.append(nm[s:e])
+                if e < len(pdf):
+                    # group is complete (a later group follows in-batch)
+                    flush_carry()
+                    carry_key, carry_d, carry_f, carry_n = None, [], [], []
+            if len(out.cols["term"]) >= 65536:  # bound the output buffer
+                f = out.frame()
+                if f is not None:
+                    yield f
+                out = _BlockRows()
+        flush_carry()
+        f = out.frame()
+        if f is not None:
+            yield f
 
     return arranged.mapInPandas(encode, schema=BLOCKS_SCHEMA)

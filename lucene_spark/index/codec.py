@@ -46,18 +46,21 @@ TAG_VBYTE = 2
 
 
 def pack_bits(vals: np.ndarray, bpv: int) -> bytes:
-    """Little-endian bit-pack ``vals`` (uint64, each < 2**bpv) at bpv bits."""
+    """Little-endian bit-pack ``vals`` (uint64, each < 2**bpv) at bpv bits.
+
+    Bit layout: value i's bit b lands at global bit position ``i·bpv + b``,
+    bytes filled LSB-first — exactly ``np.packbits(..., bitorder='little')``
+    over the row-major (value, bit) matrix, which makes the whole pack
+    three numpy ops instead of a per-bit scatter loop (encode-kernel hot
+    path: ~400k blocks per 50M postings)."""
     n = len(vals)
     if bpv == 0 or n == 0:
         return b""
     vals = vals.astype(np.uint64, copy=False)
-    out = np.zeros((n * bpv + 7) // 8, dtype=np.uint8)
-    base = np.arange(n, dtype=np.int64) * bpv
-    for b in range(bpv):  # loop over bits, vectorized over values
-        pos = base + b
-        bits = ((vals >> np.uint64(b)) & np.uint64(1)).astype(np.uint8)
-        np.bitwise_or.at(out, pos >> 3, bits << (pos & 7).astype(np.uint8))
-    return out.tobytes()
+    bits = (
+        (vals[:, None] >> np.arange(bpv, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
 
 
 def unpack_bits(blob: bytes, n: int, bpv: int) -> np.ndarray:
@@ -65,13 +68,9 @@ def unpack_bits(blob: bytes, n: int, bpv: int) -> np.ndarray:
     if bpv == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
     data = np.frombuffer(blob, dtype=np.uint8)
-    base = np.arange(n, dtype=np.int64) * bpv
-    vals = np.zeros(n, dtype=np.uint64)
-    for b in range(bpv):
-        pos = base + b
-        bits = (data[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        vals |= bits.astype(np.uint64) << np.uint64(b)
-    return vals
+    bits = np.unpackbits(data, bitorder="little")[: n * bpv].reshape(n, bpv)
+    weights = (np.uint64(1) << np.arange(bpv, dtype=np.uint64))
+    return (bits.astype(np.uint64) * weights[None, :]).sum(axis=1, dtype=np.uint64)
 
 
 # ----------------------------------------------------------------------- vbyte

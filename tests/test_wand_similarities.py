@@ -71,3 +71,18 @@ def test_auto_strategy_uses_kernel_for_alt_sims(idx):
     s = IndexSearcher(idx, similarity="lmdirichlet")
     plan = s.search("merge AND join", k=10)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan  # the applyInPandas kernel stage
+
+
+def test_flat_term_plan_is_join_free(idx):
+    """Round-3 invariant: norms ride inside posting rows, so a flat term
+    query's physical plan contains NO join operator at all (the round-2
+    corpus-sized doclens join is gone)."""
+    s = IndexSearcher(idx)
+    plan = (
+        s.search("merge", k=10, strategy="flat")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "doclens" not in plan
