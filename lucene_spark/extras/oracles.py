@@ -169,7 +169,7 @@ def lsh_embedding_near_dup_sql(
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cop AS (
     SELECT vec_id + {id_offset} AS vec_id,
-           [v[i] + {scale} * CAST((((vec_id * 31) + (i - 1) * 7) % 13) - 6 AS DOUBLE) / 100.0
+           [v[i] + {scale} * (CAST((((vec_id * 31) + (i - 1) * 7) % 13) - 6 AS DOUBLE) / 100.0)
             FOR i IN generate_series(1, len(v))] AS v
     FROM base WHERE vec_id < {n_copies}
 ),

@@ -264,7 +264,9 @@ def knn_ivf(
     ``nprobe == n_centroids`` this is exactly :func:`knn_brute`.  Pass
     pre-computed ``centroids``/``assignments`` to amortize across queries."""
     if centroids is None:
-        centroids = ivf_fit_centroids(emb, n_centroids, seed=seed, vec_col=vec_col)
+        centroids = ivf_fit_centroids(
+            emb, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+        )
     if assignments is None:
         assignments = ivf_assign(emb, centroids, id_col, vec_col)
     q = np.asarray(query_vec, dtype=np.float64)

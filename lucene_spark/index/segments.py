@@ -379,19 +379,23 @@ def resolve_term_buckets(index_dir: str, blocks: DataFrame | None = None) -> int
     if blocks is not None and "tbucket" in blocks.columns:
         # manifest lost: derive the layout from the data itself — assuming
         # DEFAULT_TERM_BUCKETS here would silently prune a wider layout's
-        # scan to the wrong buckets and drop hits.  max(tbucket)+1 is exact
-        # whenever every bucket is populated (true for any real vocabulary);
-        # an under-estimate is impossible (bucket ids are < the count).
-        mx = blocks.agg(F.max("tbucket").alias("m")).collect()[0]["m"]
-        if mx is None:
+        # scan to the wrong buckets and drop hits.  max(tbucket)+1 is EXACT
+        # when every bucket 0..max is populated (true for any vocabulary
+        # much larger than the bucket count, regardless of whether the
+        # layout is a power of two); if the observed ids are sparse the
+        # modulus is ambiguous, so fail loudly rather than mis-prune.
+        agg = blocks.agg(
+            F.max("tbucket").alias("m"), F.count_distinct("tbucket").alias("d")
+        ).collect()[0]
+        if agg["m"] is None:
             return None
-        # round up to the next power of two: layouts are powers of two, and
-        # a sparse vocabulary could leave the top bucket empty (max+1 alone
-        # would then prune with the wrong modulus)
-        n = 1
-        while n < int(mx) + 1:
-            n *= 2
-        return n
+        if int(agg["d"]) == int(agg["m"]) + 1:
+            return int(agg["m"]) + 1
+        raise RuntimeError(
+            "term-bucket layout unrecoverable: manifest lost and the "
+            f"observed tbucket ids are sparse ({agg['d']} distinct, max "
+            f"{agg['m']}) — cannot infer the hash modulus safely"
+        )
     return None
 
 

@@ -266,22 +266,31 @@ def unified_highlight(
         "_clen", F.length(text_col)
     )
     if segmenter == "sentence":
+        # exact char offsets via a progressive find over the raw text —
+        # the split regex consumes \s+ of ANY length, so a running
+        # "+1 per separator" accumulator would drift on double spaces or
+        # newlines and skew the PassageScorer start-position norm
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def sent_starts(texts: pd.Series, sents: pd.Series) -> pd.Series:
+            out = []
+            for text, ss in zip(texts, sents):
+                pos, starts = 0, []
+                for sn in ss:
+                    i = text.find(sn, pos)
+                    starts.append(i)
+                    pos = i + len(sn)
+                out.append(starts)
+            return pd.Series(out)
+
         df = (
             df.withColumn("_sents", F.split(F.col(text_col), r"(?<=[.!?])\s+"))
+            .withColumn("_starts", sent_starts(F.col(text_col), F.col("_sents")))
             .select(
                 "*",
                 F.posexplode("_sents").alias("passage_idx", "_ptext"),
             )
             .withColumn("_pw", F.split(F.col("_ptext"), " "))
-            # char offset of the sentence start (single-space separator
-            # assumption — matches the split regex's minimal form)
-            .withColumn(
-                "_start",
-                F.expr(
-                    "aggregate(slice(_sents, 1, passage_idx), 0, "
-                    "(a, x) -> a + length(x) + 1)"
-                ),
-            )
+            .withColumn("_start", F.expr("_starts[passage_idx]"))
             .withColumn("_plen", F.length("_ptext"))
         )
     elif segmenter == "window":

@@ -621,9 +621,10 @@ class IndexSearcher:
         # memo keyed on the deletes DataFrame identity: if IndexTables.deletes
         # is swapped in place (delete_by_ids returns a new frame), the WAND
         # path must not keep serving the stale exclusion array while the flat
-        # path anti-joins the live one
-        key = id(self.index.deletes)
-        if getattr(self, "_deletes_key", None) != key:
+        # path anti-joins the live one.  The memo holds a STRONG reference
+        # and compares with `is` — comparing raw id() would alias a freed
+        # frame with a new allocation at the same address (CPython id reuse)
+        if getattr(self, "_deletes_src", None) is not self.index.deletes:
             rows = self.index.deletes.limit(self.MAX_WAND_DELETES + 1).collect()
             if len(rows) > self.MAX_WAND_DELETES:
                 self._deletes_np = None
@@ -631,7 +632,7 @@ class IndexSearcher:
                 self._deletes_np = np.array(
                     sorted(r["doc_id"] for r in rows), dtype=np.int64
                 )
-            self._deletes_key = key
+            self._deletes_src = self.index.deletes
         return self._deletes_np, self._deletes_np is not None
 
     @staticmethod
@@ -781,9 +782,19 @@ class IndexSearcher:
                     cond = cond & (
                         F.col("term") <= q.upper if q.include_upper else F.col("term") < q.upper
                     )
-            matched = [r["term"] for r in terms_df.filter(cond).limit(MAX_CLAUSE_COUNT + 1).collect()]
-            if isinstance(q, FuzzyQuery) and q.transpositions:
-                # exact OSA cut over the (small) prefiltered candidate set
+            # fuzzy-with-transpositions prefilters LOOSELY (lev <= 2e ⊇
+            # OSA <= e), so its collect cap must leave room for the exact
+            # cut below — truncating the loose set first would silently
+            # drop true matches without ever tripping the clause-count error
+            loose = isinstance(q, FuzzyQuery) and q.transpositions
+            cap = (4 * MAX_CLAUSE_COUNT if loose else MAX_CLAUSE_COUNT) + 1
+            matched = [r["term"] for r in terms_df.filter(cond).limit(cap).collect()]
+            if len(matched) >= cap:
+                raise ValueError(
+                    f"multi-term query candidate set exceeds {cap - 1} terms"
+                )
+            if loose:
+                # exact OSA cut over the (complete) prefiltered candidate set
                 matched = [
                     t for t in matched if _osa_distance(t, q.term) <= q.max_edits
                 ]

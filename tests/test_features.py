@@ -134,3 +134,22 @@ def test_unified_highlight_sentence_segmenter(spark):
         hits, src, ["merge"], segmenter="sentence", max_passages=1
     ).collect()
     assert len(top1) == 1 and top1[0].passage_idx == 0
+
+
+def test_sentence_starts_survive_multispace(spark):
+    """Start offsets are exact even with multi-char separators (double
+    space / newline) — progressive-find, not +1-per-separator."""
+    from lucene_spark.search.features import unified_highlight
+
+    text = "Alpha merge one.  Beta two.\n\nGamma merge three."
+    src = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    hits = spark.createDataFrame([(0,)], "doc_id long")
+    out = unified_highlight(
+        hits, src, ["merge"], segmenter="sentence", max_passages=3
+    ).collect()
+    idxs = sorted(r.passage_idx for r in out)
+    assert idxs == [0, 2]
+    # exact snippet text confirms the right sentences were selected
+    snippets = {r.passage_idx: r.snippet for r in out}
+    assert snippets[0] == "Alpha <b>merge</b> one."
+    assert snippets[2] == "Gamma <b>merge</b> three."
