@@ -98,6 +98,465 @@ def interval_freq(lengths: np.ndarray, min_extent: int = 2) -> np.float32:
     return freq
 
 
+# ---------------------------------------------------------------------------
+# Full intervals algebra (round 4): n-ary ordered/unordered, or, maxwidth,
+# maxgaps, containedBy, notContaining — arbitrary nesting.
+#
+# Each combinator is a per-doc transcription of the corresponding reference
+# iterator's *semantics* (minimal-interval algebra, ``queries/intervals/``):
+# sources produce their minimal-interval family as sorted numpy arrays
+# (starts, ends, gaps), strictly increasing in both endpoints, in emission
+# order.  The distributed plan stays Spark-native: one postings-sized shuffle
+# groups the query terms' position arrays per candidate doc (docs prefiltered
+# to those containing every *required* leaf term), a vectorized pandas UDF
+# evaluates the algebra per doc, and TakeOrderedAndProject does the top-k.
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+
+class IntervalSource:
+    """Base of the intervals-source tree (``IntervalsSource.java`` analog)."""
+
+    __slots__ = ()
+
+
+@_dataclass(frozen=True)
+class ITerm(IntervalSource):
+    """``Intervals.term`` — each position p is the interval [p, p]."""
+
+    term: str
+
+
+@_dataclass(frozen=True)
+class IOrdered(IntervalSource):
+    """``Intervals.ordered`` (``OrderedIntervalsSource.java:101-185``):
+    minimal intervals of the ordered conjunction.  Repeated equal adjacent
+    sub-sources (``RepeatingIntervalsSource``) are out of envelope."""
+
+    subs: tuple
+
+    def __post_init__(self):
+        for a, b in zip(self.subs, self.subs[1:]):
+            if a == b:
+                raise ValueError(
+                    "repeated adjacent sub-sources need RepeatingIntervalsSource"
+                    " semantics (out of envelope)"
+                )
+
+
+@_dataclass(frozen=True)
+class IUnordered(IntervalSource):
+    """``Intervals.unordered`` (``UnorderedIntervalsSource.java:101-191``):
+    minimal windows containing one interval from every sub-source."""
+
+    subs: tuple
+
+    def __post_init__(self):
+        if len(set(self.subs)) != len(self.subs):
+            raise ValueError(
+                "duplicate sub-sources need RepeatingIntervalsSource semantics"
+                " (out of envelope)"
+            )
+
+
+@_dataclass(frozen=True)
+class IOr(IntervalSource):
+    """``Intervals.or`` (``DisjunctionIntervalsSource.java:154-247``):
+    containment-minimal, deduplicated union of the sub families."""
+
+    subs: tuple
+
+
+@_dataclass(frozen=True)
+class IMaxWidth(IntervalSource):
+    """``Intervals.maxwidth`` (``FilteredIntervalsSource.MaxWidth``):
+    keep intervals with end - start + 1 <= width."""
+
+    width: int
+    sub: IntervalSource
+
+
+@_dataclass(frozen=True)
+class IMaxGaps(IntervalSource):
+    """``Intervals.maxgaps`` (``FilteredIntervalsSource.MaxGaps``): keep
+    intervals whose internal gap count (slop) is <= gaps.  Per the reference
+    factory, the filter distributes over a disjunction sub-source
+    (``FilteredIntervalsSource.maxGaps`` pulls up disjunctions)."""
+
+    gaps: int
+    sub: IntervalSource
+
+
+@_dataclass(frozen=True)
+class IContainedBy(IntervalSource):
+    """``Intervals.containedBy(small, big)``
+    (``ContainedByIntervalsSource.java:42-67``): intervals of *small* lying
+    inside some interval of *big*."""
+
+    small: IntervalSource
+    big: IntervalSource
+
+
+@_dataclass(frozen=True)
+class INotContaining(IntervalSource):
+    """``Intervals.notContaining(minuend, subtrahend)``
+    (``NotContainingIntervalsSource.java:63-87``): the reference's streaming
+    two-pointer semantics, quirks included (for point subtrahends this is
+    exactly "no subtrahend position inside the interval")."""
+
+    minuend: IntervalSource
+    subtrahend: IntervalSource
+
+
+def leaf_terms(node: IntervalSource) -> set:
+    """All terms whose position lists the evaluator needs."""
+    if isinstance(node, ITerm):
+        return {node.term}
+    if isinstance(node, (IOrdered, IUnordered, IOr)):
+        out = set()
+        for s in node.subs:
+            out |= leaf_terms(s)
+        return out
+    if isinstance(node, (IMaxWidth, IMaxGaps)):
+        return leaf_terms(node.sub)
+    if isinstance(node, IContainedBy):
+        return leaf_terms(node.small) | leaf_terms(node.big)
+    if isinstance(node, INotContaining):
+        return leaf_terms(node.minuend) | leaf_terms(node.subtrahend)
+    raise TypeError(f"unknown interval source {node!r}")
+
+
+def required_terms(node: IntervalSource) -> set:
+    """Terms a doc MUST contain to emit any interval — drives the candidate
+    prefilter join (conjunctive pushdown; an OR requires only the terms
+    common to every branch, a NOT-CONTAINING only its minuend's)."""
+    if isinstance(node, ITerm):
+        return {node.term}
+    if isinstance(node, (IOrdered, IUnordered)):
+        out = set()
+        for s in node.subs:
+            out |= required_terms(s)
+        return out
+    if isinstance(node, IOr):
+        parts = [required_terms(s) for s in node.subs]
+        out = parts[0]
+        for p in parts[1:]:
+            out &= p
+        return out
+    if isinstance(node, (IMaxWidth, IMaxGaps)):
+        return required_terms(node.sub)
+    if isinstance(node, IContainedBy):
+        return required_terms(node.small) | required_terms(node.big)
+    if isinstance(node, INotContaining):
+        return required_terms(node.minuend)
+    raise TypeError(f"unknown interval source {node!r}")
+
+
+def min_extent(node: IntervalSource) -> int:
+    """``IntervalsSource.minExtent`` — the scorer's length normalizer."""
+    if isinstance(node, ITerm):
+        return 1
+    if isinstance(node, (IOrdered, IUnordered)):
+        return sum(min_extent(s) for s in node.subs)
+    if isinstance(node, IOr):
+        return min(min_extent(s) for s in node.subs)
+    if isinstance(node, (IMaxWidth, IMaxGaps)):
+        return min_extent(node.sub)
+    if isinstance(node, IContainedBy):
+        return min_extent(node.small)
+    if isinstance(node, INotContaining):
+        return min_extent(node.minuend)
+    raise TypeError(f"unknown interval source {node!r}")
+
+
+_EMPTY3 = (
+    np.array([], dtype=np.int64),
+    np.array([], dtype=np.int64),
+    np.array([], dtype=np.int64),
+)
+
+
+def _minimal_ordered(fams):
+    """Greedy-chain closed form of ``OrderedIntervalsSource``'s minimizing
+    iterator: for each first-family interval, chain each subsequent family to
+    its first interval starting after the previous end; keep, per distinct
+    final end, the chain with the largest start (the minimal interval).
+    Gaps (slop) = width - sum of chained sub-interval widths
+    (``OrderedIntervalsSource.java:163-171``)."""
+    s0, e0, _ = fams[0]
+    if len(s0) == 0:
+        return _EMPTY3
+    S = s0.copy()
+    E = e0.copy()
+    wsum = (e0 - s0 + 1).astype(np.int64)
+    valid = np.ones(len(S), dtype=bool)
+    for sk, ek, _ in fams[1:]:
+        if len(sk) == 0:
+            return _EMPTY3
+        j = np.searchsorted(sk, E, side="right")
+        valid &= j < len(sk)
+        j = np.minimum(j, len(sk) - 1)
+        E = ek[j]
+        wsum = wsum + (ek[j] - sk[j] + 1)
+    S, E, wsum = S[valid], E[valid], wsum[valid]
+    if len(E) == 0:
+        return _EMPTY3
+    # E is non-decreasing in the first-interval order; minimality keeps the
+    # last (max-start) chain of each distinct end
+    keep = np.concatenate([E[1:] != E[:-1], [True]])
+    S, E, wsum = S[keep], E[keep], wsum[keep]
+    gaps = E - S + 1 - wsum
+    return S, E, gaps
+
+
+def _minimal_unordered(fams):
+    """Transcription of ``UnorderedIntervalIterator.nextInterval``
+    (``UnorderedIntervalsSource.java:142-172``): priority queue on
+    (start asc, end desc), right extreme = max sub end; each emitted interval
+    is minimized by popping the leading sub-interval while the composite end
+    is unchanged."""
+    import heapq
+
+    n = len(fams)
+    ptr = [0] * n
+    heap = []
+    queue_end = -1
+    for i, (sk, ek, _) in enumerate(fams):
+        if len(sk) == 0:
+            return _EMPTY3
+        heapq.heappush(heap, (int(sk[0]), -int(ek[0]), i))
+        queue_end = max(queue_end, int(ek[0]))
+
+    def _advance(i):
+        nonlocal queue_end
+        ptr[i] += 1
+        sk, ek, _ = fams[i]
+        if ptr[i] < len(sk):
+            heapq.heappush(heap, (int(sk[ptr[i]]), -int(ek[ptr[i]]), i))
+            queue_end = max(queue_end, int(ek[ptr[i]]))
+
+    out_s, out_e, out_g = [], [], []
+    start = -1
+    while True:
+        while len(heap) == n and heap[0][0] == start:
+            _, _, i = heapq.heappop(heap)
+            _advance(i)
+        if len(heap) < n:
+            break
+        while True:
+            start = heap[0][0]
+            end = queue_end
+            slop = (end - start + 1) - sum(
+                int(fams[i][1][ptr[i]]) - int(fams[i][0][ptr[i]]) + 1
+                for i in range(n)
+            )
+            if -heap[0][1] == end:
+                break
+            _, _, i = heapq.heappop(heap)
+            _advance(i)
+            if not (len(heap) == n and end == queue_end):
+                break
+        out_s.append(start)
+        out_e.append(end)
+        out_g.append(slop)
+    return (
+        np.asarray(out_s, dtype=np.int64),
+        np.asarray(out_e, dtype=np.int64),
+        np.asarray(out_g, dtype=np.int64),
+    )
+
+
+def _minimal_or(fams):
+    """Transcription of ``DisjunctionIntervalIterator.nextInterval``
+    (``DisjunctionIntervalsSource.java:222-247``): queue on (end asc,
+    start desc); after each emission, pop-and-advance every branch whose
+    current interval contains (incl. equals) the emitted one."""
+    import heapq
+
+    ptr = [0] * len(fams)
+    heap = []
+    for i, (sk, ek, _) in enumerate(fams):
+        if len(sk):
+            heapq.heappush(heap, (int(ek[0]), -int(sk[0]), i))
+    out_s, out_e, out_g = [], [], []
+    while heap:
+        e0, ns0, i0 = heap[0]
+        s0 = -ns0
+        out_s.append(s0)
+        out_e.append(e0)
+        out_g.append(int(fams[i0][2][ptr[i0]]))
+        while heap:
+            e_i, ns_i, i = heap[0]
+            if -ns_i <= s0 and e_i >= e0:  # contains the emitted interval
+                heapq.heappop(heap)
+                ptr[i] += 1
+                sk, ek, _ = fams[i]
+                if ptr[i] < len(sk):
+                    heapq.heappush(
+                        heap, (int(ek[ptr[i]]), -int(sk[ptr[i]]), i)
+                    )
+            else:
+                break
+    return (
+        np.asarray(out_s, dtype=np.int64),
+        np.asarray(out_e, dtype=np.int64),
+        np.asarray(out_g, dtype=np.int64),
+    )
+
+
+def _contained_by(small, big):
+    """``ContainedByIntervalsSource.combine``: for each small interval, the
+    first big interval ending at/after it decides containment (equivalent to
+    EXISTS over minimal families — both have strictly increasing endpoints)."""
+    ss, se, sg = small
+    bs, be, _ = big
+    if len(ss) == 0 or len(bs) == 0:
+        return _EMPTY3
+    j = np.searchsorted(be, se, side="left")
+    ok = j < len(bs)
+    jj = np.minimum(j, len(bs) - 1)
+    ok &= bs[jj] <= ss
+    return ss[ok], se[ok], sg[ok]
+
+
+def _not_containing(minuend, subtrahend):
+    """Transcription of ``NotContainingIterator.nextInterval``
+    (``NotContainingIntervalsSource.java:70-86``)."""
+    ms, me, mg = minuend
+    bs, be, _ = subtrahend
+    if len(bs) == 0:
+        return minuend
+    keep = np.zeros(len(ms), dtype=bool)
+    bi = 0
+    bpos = True
+    for i in range(len(ms)):
+        if not bpos:
+            keep[i] = True
+            continue
+        while bs[bi] < ms[i] and be[bi] < me[i]:
+            bi += 1
+            if bi == len(bs):
+                bpos = False
+                break
+        if not bpos or bs[bi] > me[i]:
+            keep[i] = True
+    return ms[keep], me[keep], mg[keep]
+
+
+def eval_intervals(node: IntervalSource, posmap: dict):
+    """Evaluate the source tree for one doc.  ``posmap`` maps term -> sorted
+    int64 position array; returns (starts, ends, gaps) in emission order."""
+    if isinstance(node, ITerm):
+        p = posmap.get(node.term)
+        if p is None or len(p) == 0:
+            return _EMPTY3
+        p = np.asarray(p, dtype=np.int64)
+        return p, p, np.zeros(len(p), dtype=np.int64)
+    if isinstance(node, IOrdered):
+        return _minimal_ordered([eval_intervals(s, posmap) for s in node.subs])
+    if isinstance(node, IUnordered):
+        return _minimal_unordered(
+            [eval_intervals(s, posmap) for s in node.subs]
+        )
+    if isinstance(node, IOr):
+        return _minimal_or([eval_intervals(s, posmap) for s in node.subs])
+    if isinstance(node, IMaxWidth):
+        s, e, g = eval_intervals(node.sub, posmap)
+        m = (e - s + 1) <= node.width
+        return s[m], e[m], g[m]
+    if isinstance(node, IMaxGaps):
+        if isinstance(node.sub, IOr):  # FilteredIntervalsSource.maxGaps
+            return eval_intervals(
+                IOr(tuple(IMaxGaps(node.gaps, s) for s in node.sub.subs)),
+                posmap,
+            )
+        s, e, g = eval_intervals(node.sub, posmap)
+        m = g <= node.gaps
+        return s[m], e[m], g[m]
+    if isinstance(node, IContainedBy):
+        return _contained_by(
+            eval_intervals(node.small, posmap),
+            eval_intervals(node.big, posmap),
+        )
+    if isinstance(node, INotContaining):
+        return _not_containing(
+            eval_intervals(node.minuend, posmap),
+            eval_intervals(node.subtrahend, posmap),
+        )
+    raise TypeError(f"unknown interval source {node!r}")
+
+
+def interval_topk(
+    idx: IndexTables,
+    source: IntervalSource,
+    k: int = 10,
+    field: str = "text",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Top-k docs for ``IntervalQuery(field, source)`` over the positional
+    index — the general algebra entry point.
+
+    Plan shape (designed for the 100-TB corpus): the positions scan is
+    pruned to the query's leaf terms (predicate pushdown on ``term``), one
+    doc_id shuffle groups the per-term position arrays (postings-sized, never
+    corpus-sized), candidate docs are prefiltered to those containing every
+    *required* term inside the same aggregation (no extra join), and the
+    saturation score (``IntervalScorer.java:59-68``,
+    ``IntervalScoreFunction.java:66-74``) is computed by one Arrow-batched
+    pandas UDF before a distributed TakeOrderedAndProject.
+    """
+    if idx.positions is None:
+        raise ValueError("interval queries need a positional index")
+    leafs = sorted(leaf_terms(source))
+    required = required_terms(source)
+    pos = idx.positions.filter(
+        (F.col("field") == field) & F.col("term").isin(leafs)
+    )
+    aggs = [
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "positions"))
+        ).alias("_posmap")
+    ]
+    if required:
+        aggs.append(
+            F.sum(
+                F.when(F.col("term").isin(sorted(required)), 1).otherwise(0)
+            ).alias("_nreq")
+        )
+    grouped = pos.groupBy("doc_id").agg(*aggs)
+    if required:
+        grouped = grouped.filter(F.col("_nreq") >= len(required))
+
+    mext = min_extent(source)
+    p32 = np.float32(pivot)
+    b32 = np.float32(boost)
+
+    @F.pandas_udf(T.FloatType())
+    def sat_score(maps: pd.Series) -> pd.Series:
+        out = np.zeros(len(maps), dtype=np.float32)
+        for r in range(len(maps)):
+            pm = {
+                t: np.asarray(v, dtype=np.int64)
+                for t, v in maps.iloc[r].items()
+            }
+            s, e, _ = eval_intervals(source, pm)
+            fr = interval_freq(e - s + 1, min_extent=mext)
+            if fr > 0:
+                out[r] = b32 * (np.float32(1.0) - p32 / (p32 + fr))
+        return pd.Series(out, dtype="float32")
+
+    scored = (
+        grouped.withColumn("score", sat_score(F.col("_posmap")))
+        .filter(F.col("score") > 0)
+        .select("doc_id", "score")
+    )
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return topk.withColumn("rank", w.cast("int"))
+
+
 def interval_near_topk(
     idx: IndexTables,
     term_a: str,
