@@ -987,6 +987,67 @@ def _q_intervals_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_gate_schema(out)
 
 
+def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full intervals algebra in one gate: n-ary ordered/unordered NEAR,
+    or+maxgaps, containedBy, notContaining — all saturation-scored minimal
+    intervals (``queries/intervals/``), each vs a set-algebra DuckDB twin."""
+    from lucene_spark.search.intervals import (
+        IContainedBy,
+        IMaxGaps,
+        IMaxWidth,
+        INotContaining,
+        IOr,
+        IOrdered,
+        ITerm,
+        IUnordered,
+        interval_topk,
+    )
+
+    idx = _searcher(spark, sf_dir).index
+    shapes = [
+        (
+            "ordered3",
+            IMaxWidth(12, IOrdered((ITerm("scan"), ITerm("sort"), ITerm("merge")))),
+        ),
+        (
+            "unordered3",
+            IMaxWidth(
+                10, IUnordered((ITerm("filter"), ITerm("group"), ITerm("sort")))
+            ),
+        ),
+        (
+            "or_maxgaps",
+            IMaxGaps(
+                2,
+                IOr(
+                    (
+                        IOrdered((ITerm("scan"), ITerm("merge"))),
+                        IOrdered((ITerm("sort"), ITerm("join"))),
+                    )
+                ),
+            ),
+        ),
+        (
+            "contained_by",
+            IContainedBy(
+                ITerm("value"), IMaxWidth(10, IOrdered((ITerm("table"), ITerm("scan"))))
+            ),
+        ),
+        (
+            "not_containing",
+            INotContaining(
+                IMaxWidth(8, IOrdered((ITerm("scan"), ITerm("merge")))), ITerm("table")
+            ),
+        ),
+    ]
+    return _union_suite(
+        [
+            (name, _as_gate_schema(interval_topk(idx, node, k=10)))
+            for name, node in shapes
+        ]
+    )
+
+
 def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell suggestions + prefix autocomplete in one gate frame."""
     sp = _q_suggest(spark, sf_dir).select(
@@ -1128,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_merge_join": _q_rrf,
         "scoring_suite": _q_scoring_suite,
         "intervals_near_topk": _q_intervals_near,
+        "intervals_suite": _q_intervals_suite,
         "highlight_passages": _q_highlight,
         "suggest_suite": _q_suggest_suite,
         "shingle_top20": _q_shingle_top,
@@ -1260,6 +1322,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "intervals_near_topk": osql.interval_ordered_near_topk_sql(
             "merge", "join", 8, 10
+        ),
+        "intervals_suite": _suite_sql(
+            [
+                (
+                    "ordered3",
+                    osql.interval_ordered3_topk_sql("scan", "sort", "merge", 12, 10),
+                ),
+                (
+                    "unordered3",
+                    osql.interval_unordered3_topk_sql("filter", "group", "sort", 10, 10),
+                ),
+                (
+                    "or_maxgaps",
+                    osql.interval_or_maxgaps_topk_sql(
+                        "scan", "merge", "sort", "join", 2, 10
+                    ),
+                ),
+                (
+                    "contained_by",
+                    osql.interval_contained_by_topk_sql("value", "table", "scan", 10, 10),
+                ),
+                (
+                    "not_containing",
+                    osql.interval_not_containing_topk_sql("scan", "merge", "table", 8, 10),
+                ),
+            ]
         ),
         "highlight_passages": osql.highlight_passages_sql("merge", 10),
         "suggest_suite": (

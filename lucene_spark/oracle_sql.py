@@ -977,6 +977,205 @@ sc AS (
 """
 
 
+# --- full intervals algebra oracles (round 4) ------------------------------
+# Shared recipe: term positions with stopword holes, an interval-set CTE
+# named `kept(doc_id, s, e)` per combinator, then the IntervalScorer freq
+# (float32 accumulation of double 1/max(len - minExtent + 1, 1) in emission
+# order = s ascending) and the saturation score with pivot = 1.
+
+
+def _interval_tp_ctes(terms: dict) -> str:
+    """words/tp plus one positions CTE per (cte_name -> term)."""
+    per_term = ",\n".join(
+        f"p{name} AS (SELECT doc_id, pos FROM tp WHERE term = '{t}')"
+        for name, t in terms.items()
+    )
+    return f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+{per_term}"""
+
+
+def _interval_score_sql(min_extent: int, k: int) -> str:
+    """freq + saturation score + top-k over a `kept(doc_id, s, e)` CTE."""
+    return f""",
+fr AS (
+    SELECT doc_id, list(e - s + 1 ORDER BY s) AS lens FROM kept GROUP BY doc_id
+),
+mm AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(lens,
+                                L -> 1.0 / greatest(L - {min_extent} + 1, 1))),
+               (acc, x) -> CAST(acc + x AS FLOAT)
+           ) AS freq
+    FROM fr
+),
+sc AS (
+    SELECT doc_id,
+           CAST({F1} - {F1} / ({F1} + CAST(freq AS FLOAT)) AS FLOAT) AS score
+    FROM mm WHERE freq > 0
+)
+{_topk('sc', k)}
+"""
+
+
+def _ordered_pair_ctes(prefix: str, pa: str, pb: str) -> str:
+    """Minimal ordered-pair intervals `<prefix>m(doc_id, s, e)` from two
+    position CTEs (greedy next-B per A-start, keep max s per distinct e)."""
+    return f"""
+{prefix}c AS (
+    SELECT a.doc_id, a.pos AS s,
+           (SELECT min(b.pos) FROM {pb} b
+            WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+    FROM {pa} a
+),
+{prefix}m AS (
+    SELECT doc_id, e, max(s) AS s FROM {prefix}c WHERE e IS NOT NULL
+    GROUP BY doc_id, e
+)"""
+
+
+def interval_ordered3_topk_sql(
+    term_a: str, term_b: str, term_c: str, max_width: int, k: int
+) -> str:
+    """``IntervalQuery(maxwidth(w, ordered(a, b, c)))`` — n-ary minimal
+    ordered intervals (``OrderedIntervalsSource.java:123-181`` greedy chain,
+    max start per distinct end), minExtent = 3."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'c': term_c})},
+cand AS (
+    SELECT a.doc_id, a.pos AS s,
+           (SELECT min(c2.pos) FROM pc c2
+            WHERE c2.doc_id = a.doc_id
+              AND c2.pos > (SELECT min(b2.pos) FROM pb b2
+                            WHERE b2.doc_id = a.doc_id AND b2.pos > a.pos)
+           ) AS e
+    FROM pa a
+),
+mins AS (
+    SELECT doc_id, e, max(s) AS s FROM cand WHERE e IS NOT NULL
+    GROUP BY doc_id, e
+),
+kept AS (SELECT doc_id, s, e FROM mins WHERE e - s + 1 <= {max_width})
+{_interval_score_sql(3, k)}
+"""
+
+
+def interval_unordered3_topk_sql(
+    term_a: str, term_b: str, term_c: str, max_width: int, k: int
+) -> str:
+    """``IntervalQuery(maxwidth(w, unordered(a, b, c)))`` — minimal covering
+    windows (``UnorderedIntervalsSource.java:142-172``): per merged position
+    e, window starts at the least of the per-term latest occurrences <= e;
+    minimality keeps the smallest e per distinct start.  minExtent = 3."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'c': term_c})},
+merged AS (
+    SELECT doc_id, pos FROM pa
+    UNION ALL SELECT doc_id, pos FROM pb
+    UNION ALL SELECT doc_id, pos FROM pc
+),
+win AS (
+    SELECT m.doc_id, m.pos AS e,
+           (SELECT max(pos) FROM pa x
+            WHERE x.doc_id = m.doc_id AND x.pos <= m.pos) AS la,
+           (SELECT max(pos) FROM pb x
+            WHERE x.doc_id = m.doc_id AND x.pos <= m.pos) AS lb,
+           (SELECT max(pos) FROM pc x
+            WHERE x.doc_id = m.doc_id AND x.pos <= m.pos) AS lc
+    FROM merged m
+),
+valid AS (
+    SELECT doc_id, least(la, lb, lc) AS s, e FROM win
+    WHERE la IS NOT NULL AND lb IS NOT NULL AND lc IS NOT NULL
+),
+mins AS (SELECT doc_id, s, min(e) AS e FROM valid GROUP BY doc_id, s),
+kept AS (SELECT doc_id, s, e FROM mins WHERE e - s + 1 <= {max_width})
+{_interval_score_sql(3, k)}
+"""
+
+
+def interval_or_maxgaps_topk_sql(
+    term_a: str, term_b: str, term_c: str, term_d: str, max_gaps: int, k: int
+) -> str:
+    """``IntervalQuery(maxgaps(g, or(ordered(a, b), ordered(c, d))))`` —
+    the maxgaps filter distributes over the disjunction
+    (``FilteredIntervalsSource.maxGaps``), then the or-merge keeps the
+    containment-minimal deduplicated union
+    (``DisjunctionIntervalsSource.java:222-247``).  minExtent = 2."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'c': term_c, 'd': term_d})},
+{_ordered_pair_ctes('b1', 'pa', 'pb').lstrip()},
+{_ordered_pair_ctes('b2', 'pc', 'pd').lstrip()},
+u AS (
+    SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_id, s, e FROM b1m WHERE e - s - 1 <= {max_gaps}
+        UNION ALL
+        SELECT doc_id, s, e FROM b2m WHERE e - s - 1 <= {max_gaps}
+    )
+),
+kept AS (
+    SELECT doc_id, s, e FROM u t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM u o
+        WHERE o.doc_id = t.doc_id AND o.s >= t.s AND o.e <= t.e
+          AND (o.s <> t.s OR o.e <> t.e)
+    )
+)
+{_interval_score_sql(2, k)}
+"""
+
+
+def interval_contained_by_topk_sql(
+    term_x: str, term_a: str, term_b: str, big_width: int, k: int
+) -> str:
+    """``IntervalQuery(containedBy(term(x), maxwidth(w, ordered(a, b))))``
+    (``ContainedByIntervalsSource.java:42-67``; for minimal families the
+    streaming check is EXISTS containment).  minExtent = 1 (the small
+    source's)."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'x': term_x, 'a': term_a, 'b': term_b})},
+{_ordered_pair_ctes('bg', 'pa', 'pb').lstrip()},
+bk AS (SELECT doc_id, s, e FROM bgm WHERE e - s + 1 <= {big_width}),
+kept AS (
+    SELECT x.doc_id, x.pos AS s, x.pos AS e FROM px x
+    WHERE EXISTS (
+        SELECT 1 FROM bk b
+        WHERE b.doc_id = x.doc_id AND b.s <= x.pos AND b.e >= x.pos
+    )
+)
+{_interval_score_sql(1, k)}
+"""
+
+
+def interval_not_containing_topk_sql(
+    term_a: str, term_b: str, term_x: str, max_width: int, k: int
+) -> str:
+    """``IntervalQuery(notContaining(maxwidth(w, ordered(a, b)), term(x)))``
+    (``NotContainingIntervalsSource.java:70-86``; for a point subtrahend the
+    streaming semantics reduce to "no x position inside the interval").
+    minExtent = 2 (the minuend's)."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'x': term_x})},
+{_ordered_pair_ctes('mn', 'pa', 'pb').lstrip()},
+mk AS (SELECT doc_id, s, e FROM mnm WHERE e - s + 1 <= {max_width}),
+kept AS (
+    SELECT m.doc_id, m.s, m.e FROM mk m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM px x
+        WHERE x.doc_id = m.doc_id AND x.pos >= m.s AND x.pos <= m.e
+    )
+)
+{_interval_score_sql(2, k)}
+"""
+
+
 def term_count_sql(term: str) -> str:
     return f"""
 WITH {BASE_CTES}
