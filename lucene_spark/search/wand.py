@@ -85,6 +85,32 @@ class TermScorer:
         return np.float32(self.score(fr, nm).max())
 
 
+def block_uppers(scorer: "TermScorer", impacts_list) -> np.ndarray:
+    """Per-block impact-frontier maxima for a whole term group at once.
+
+    Equivalent to ``[scorer.upper(imp) for imp in impacts_list]`` but with
+    ONE vectorized leaf-scorer call over the concatenated frontiers and a
+    segmented max (``np.maximum.reduceat``) — the round-3 per-block Python
+    loop showed up as the WAND single-term latency drift (VERDICT r3 §perf);
+    hot terms have hundreds of blocks per segment and each ``upper`` call
+    paid array-allocation + scorer-dispatch overhead.
+    """
+    counts = np.fromiter(
+        (len(x) for x in impacts_list), dtype=np.int64, count=len(impacts_list)
+    )
+    fr = np.array(
+        [p["freq"] for x in impacts_list for p in x], dtype=np.float32
+    )
+    nm = np.array(
+        [p["norm"] for x in impacts_list for p in x], dtype=np.int64
+    )
+    if len(fr) == 0:
+        return np.array([], dtype=np.float32)
+    scores = scorer.score(fr, nm).astype(np.float32)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return np.maximum.reduceat(scores, offsets).astype(np.float32)
+
+
 def bm25_term_scorer(term: str, weight: np.float32, cache: np.ndarray) -> TermScorer:
     """Convenience constructor for the classic BM25 kernel entry points."""
     from lucene_spark.search.similarities import _BM25Leaf
@@ -198,9 +224,7 @@ def segment_wand_topk_boolean(
         clause_upper = np.zeros(n_win, dtype=np.float64)
         for s in c:
             ti = t_idx[s.term]
-            mu = np.array(
-                [s.upper(imp) for imp in groups[ti]["impacts"]], dtype=np.float64
-            )
+            mu = block_uppers(s, list(groups[ti]["impacts"])).astype(np.float64)
             cov = blk_of[ti] >= 0
             clause_upper[cov] += mu[blk_of[ti, cov]]
         w_upper += clause_upper.astype(np.float32).astype(np.float64)
