@@ -217,6 +217,46 @@ def run_bench() -> dict:
             verified_pairs=n_pairs,
             all_pairs=n_docs * (n_docs - 1) // 2,
         )
+
+        # 64-bit SimHash banding selectivity (r4): candidate pairs from the
+        # 4×16-bit chunk-equality join, before the bit_count verify — the
+        # number that was trending toward n²/256 with r3's 8-bit chunks
+        from pyspark.sql import functions as F_
+
+        from lucene_spark.extras.dedup import simhash_pairs, simhash_signatures
+
+        t0 = time.perf_counter()
+        sigs = simhash_signatures(docs).persist()
+        halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
+        chunked = sigs.select(
+            "doc_id",
+            F_.posexplode(
+                F_.array(
+                    *[
+                        F_.shiftright(F_.col(halves[c]), 16 * (c % 2)).bitwiseAND(
+                            F_.lit(0xFFFF)
+                        )
+                        for c in range(4)
+                    ]
+                )
+            ).alias("chunk", "cval"),
+        )
+        n_sim_cand = (
+            chunked.alias("x")
+            .join(chunked.alias("y"), ["chunk", "cval"])
+            .where(F_.col("x.doc_id") < F_.col("y.doc_id"))
+            .select("x.doc_id", "y.doc_id")
+            .distinct()
+            .count()
+        )
+        extras["simhash_banding_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n_sim_pairs = simhash_pairs(docs).count()
+        extras["simhash_end_to_end_sec"] = round(time.perf_counter() - t0, 3)
+        extras.update(
+            simhash_candidate_pairs=n_sim_cand, simhash_verified_pairs=n_sim_pairs
+        )
+        sigs.unpersist()
         emb_path = os.path.join(SF_DIR, "embeddings.parquet")
         if os.path.exists(emb_path):
             from pyspark.sql import functions as F

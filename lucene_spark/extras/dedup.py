@@ -239,50 +239,74 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long) — 32-bit SimHash over word unigrams.
+    """(doc_id, sim_lo long, sim_hi long) — 64-bit SimHash over word
+    unigrams, held as two 32-bit halves (no signed-64 packing anywhere, so
+    the DuckDB oracle reproduces it bit-for-bit).
 
-    Pure column math: explode words → hash32 → for each of 32 bits sum
-    (+freq / −freq) by bit value → sign → pack.  The bit loop unrolls into
-    32 conditional-sum aggregations (one shuffle, map-side combined).
+    Pure column math: explode words → two 32-bit md5-prefix hashes (the
+    low/high halves of a 64-bit word hash) → for each of 64 bits sum
+    (+freq / −freq) by bit value → sign → pack each half.  The bit loop
+    unrolls into 64 conditional-sum aggregations (one shuffle, map-side
+    combined).  64 bits is the standard web-dedup configuration — the
+    round-3 32-bit variant capped chunk entropy at 8 bits and degenerated
+    toward n²/256 candidates at ≥10⁸ docs (VERDICT r3 "what's wrong" #1).
     """
     toks = (
         df.select("doc_id", F.explode(words_col(F.col(text_col))).alias("w"))
         .where(F.col("w") != "")
-        .withColumn("h", hash32(F.col("w")))
+        .withColumn("hlo", hash32(F.col("w")))
+        .withColumn(
+            "hhi", F.conv(F.substring(F.md5(F.col("w")), 9, 8), 16, 10).cast("long")
+        )
     )
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(32)
-    ]
+    aggs = []
+    for half in ("lo", "hi"):
+        aggs.extend(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"h{half}"), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"{half}{i}")
+            for i in range(32)
+        )
     per_doc = toks.groupBy("doc_id").agg(*aggs)
-    sig = None
-    for i in range(32):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig + term
-    return per_doc.select("doc_id", sig.alias("simhash"))
+    packed = []
+    for half in ("lo", "hi"):
+        sig = None
+        for i in range(32):
+            bit = (
+                F.when(F.col(f"{half}{i}") > 0, F.lit(1)).otherwise(F.lit(0))
+            ).cast("long")
+            term = F.shiftleft(bit, i)
+            sig = term if sig is None else sig + term
+        packed.append(sig.alias(f"sim_{half}"))
+    return per_doc.select("doc_id", *packed)
 
 
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", max_distance: int = 3
 ) -> DataFrame:
-    """(doc_a, doc_b, hamming) pairs at Hamming distance ≤ max_distance.
+    """(doc_a, doc_b, hamming) pairs at 64-bit Hamming distance ≤ max_distance.
 
-    Banding: 32 bits → 4 chunks of 8; distance ≤ 3 ⇒ some chunk equal
+    Banding: 64 bits → 4 chunks of 16; distance ≤ 3 ⇒ some chunk equal
     (pigeonhole), so candidates = chunk-equality join, then verify with
-    ``bit_count(xor)``.  Scale: the join key is (chunk_id, chunk_value) —
-    distributes like a hash join on 10 bits + data entropy.
+    ``bit_count(xor)`` on both halves.  Scale: the join key is
+    (chunk_id, chunk_value) over 2¹⁶ values per chunk — 256× the bucket
+    count of the round-3 8-bit chunks, so the equality join stays selective
+    into the 10⁹-doc range instead of collapsing toward n²/256 pairs.
     """
     sigs = simhash_signatures(df, text_col)
+    halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
     chunked = sigs.select(
         "doc_id",
-        "simhash",
+        "sim_lo",
+        "sim_hi",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(0xFF))
+                    F.shiftright(F.col(halves[c]), 16 * (c % 2)).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
                     for c in range(4)
                 ]
             )
@@ -295,13 +319,19 @@ def simhash_pairs(
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.col("x.simhash").alias("sa"),
-            F.col("y.simhash").alias("sb"),
+            F.col("x.sim_lo").alias("la"),
+            F.col("x.sim_hi").alias("ha"),
+            F.col("y.sim_lo").alias("lb"),
+            F.col("y.sim_hi").alias("hb"),
         )
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+            + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
         .filter(F.col("hamming") <= max_distance)
         .select("doc_a", "doc_b", "hamming")
     )

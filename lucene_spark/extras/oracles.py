@@ -115,22 +115,28 @@ toks AS (
     ), unnest(ws) AS t(w)
     WHERE t.w <> ''
 ),
-th AS (SELECT doc_id, {H32.format(col='w')} AS h FROM toks),
+th AS (SELECT doc_id, {H32.format(col='w')} AS hlo,
+              CAST(('0x' || substr(md5(w), 9, 8)) AS BIGINT) AS hhi
+       FROM toks),
 bits AS (
     SELECT doc_id, t.i,
-           sum(CASE WHEN (h >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           sum(CASE WHEN (hlo >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS slo,
+           sum(CASE WHEN (hhi >> t.i) & 1 = 1 THEN 1 ELSE -1 END) AS shi
     FROM th, unnest(generate_series(0, 31)) AS t(i)
     GROUP BY doc_id, t.i
 ),
 sig AS (
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS simhash
+           sum(CASE WHEN slo > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS sim_lo,
+           sum(CASE WHEN shi > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS sim_hi
     FROM bits GROUP BY doc_id
 )
 SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+       CAST(bit_count(xor(x.sim_lo, y.sim_lo))
+            + bit_count(xor(x.sim_hi, y.sim_hi)) AS INT) AS hamming
 FROM sig x JOIN sig y ON x.doc_id < y.doc_id
-WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_distance}
+WHERE bit_count(xor(x.sim_lo, y.sim_lo))
+      + bit_count(xor(x.sim_hi, y.sim_hi)) <= {max_distance}
 ORDER BY doc_a, doc_b
 """
 
