@@ -307,6 +307,8 @@ class IndexSearcher:
         # TermStates cache (index/TermStates.java): stats are immutable per
         # reader/snapshot, so repeated queries skip the lookup job
         self._termstats_memo: dict[tuple[str, str], tuple[int, int] | None] = {}
+        # lazy terms-dictionary bigram index (fuzzy candidate pruning)
+        self._ngram_index: DataFrame | None = None
 
     # ------------------------------------------------------------------ stats
 
@@ -750,10 +752,69 @@ class IndexSearcher:
 
     # ------------------------------------------------------ multi-term rewrite
 
+    def _term_ngram_index(self) -> DataFrame:
+        """Distinct (field, term, gram) bigrams of the terms dictionary —
+        the Spark-native stand-in for Lucene's Levenshtein-automaton ∩
+        terms-FST intersection (``util/automaton/LevenshteinAutomata.java``):
+        instead of walking an automaton, fuzzy expansion reads only the rows
+        matching the query's own bigrams (a pushdown-able ``isin`` — on a
+        gram-bucketed on-disk layout this becomes a partition filter) and
+        count-filters them with the q-gram lemma before the distance scan.
+        Built lazily once per searcher and persisted (the terms dictionary
+        is immutable per reader snapshot)."""
+        if self._ngram_index is None:
+            self._ngram_index = (
+                self.index.termstats.select("field", "term")
+                .filter(F.length("term") >= 2)
+                .select(
+                    "field",
+                    "term",
+                    F.explode(
+                        F.array_distinct(
+                            F.expr(
+                                "transform(sequence(1, length(term) - 1),"
+                                " i -> substring(term, i, 2))"
+                            )
+                        )
+                    ).alias("gram"),
+                )
+                .persist()
+            )
+        return self._ngram_index
+
+    def _fuzzy_candidate_terms(self, q) -> DataFrame | None:
+        """Bigram-pruned fuzzy candidates, or None when the q-gram bound is
+        vacuous (short terms / high edit budgets fall back to the banded
+        full-dictionary distance scan).
+
+        Soundness: with classic edit distance ≤ k, each edit op overlaps at
+        most n = 2 bigram slots, so it can remove at most 2 distinct grams
+        from the intersection ⇒ a true match shares ≥ distinct_grams(q) − 2k
+        of the query's bigrams (q-gram count filter).  For
+        transpositions=true the prefilter uses k = 2·max_edits since
+        OSA ≤ e ⇒ Levenshtein ≤ 2e."""
+        lev_cap = 2 * q.max_edits if q.transpositions else q.max_edits
+        grams = sorted({q.term[i : i + 2] for i in range(len(q.term) - 1)})
+        thresh = len(grams) - 2 * lev_cap
+        if thresh <= 0:
+            return None
+        return (
+            self._term_ngram_index()
+            .filter((F.col("field") == q.field) & F.col("gram").isin(grams))
+            .groupBy("term")
+            .agg(F.count("*").alias("_shared"))
+            .filter(F.col("_shared") >= thresh)
+            .select("term")
+        )
+
     def _expand_multiterm(self, q: Query) -> Query:
         """Rewrite automaton-style queries against the terms dictionary."""
         if isinstance(q, (PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery)):
             terms_df = self.index.termstats.filter(F.col("field") == q.field).select("term")
+            if isinstance(q, FuzzyQuery):
+                pruned = self._fuzzy_candidate_terms(q)
+                if pruned is not None:
+                    terms_df = pruned
             if isinstance(q, PrefixQuery):
                 cond = F.col("term").startswith(q.prefix)
             elif isinstance(q, WildcardQuery):
