@@ -543,7 +543,10 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = _searcher(spark, sf_dir)
     out = unified_highlight(
-        s.score_all("merge"), _docs(spark, sf_dir), ["merge"]
+        s.score_all("merge"),
+        _docs(spark, sf_dir),
+        ["merge"],
+        positions=s.index.positions,  # OffsetSource POSTINGS (indexed offsets)
     )
     return out.withColumn("pscore", F.col("pscore").cast("double"))
 

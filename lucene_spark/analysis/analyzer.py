@@ -197,6 +197,36 @@ class StandardAnalyzer:
         f = self.analyze_with_positions
         return texts.map(f)
 
+    def analyze_with_offsets(self, text: str) -> list[tuple[str, int, int, int]]:
+        """(token, position, start_offset, end_offset) — the
+        ``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS`` stream
+        (``index/PostingsEnum.java:51-58``).  Offsets are character offsets
+        into the *raw* text (OffsetAttribute semantics: set by the tokenizer,
+        unchanged by downstream filters, so a lowercased/stemmed token still
+        points at its original surface span).  Stream filters (shingles,
+        n-grams) synthesize multi-token spans and are out of envelope here.
+        """
+        if self.stream_filters:
+            raise ValueError(
+                "offsets are not supported with whole-stream filters"
+            )
+        if not isinstance(text, str) or not text:
+            return []
+        out = []
+        for pos, m in enumerate(_TOKEN_RE.finditer(text)):
+            t = m.group(0)
+            if len(t) > self.max_token_length:
+                continue
+            lt = self._post(t)
+            if lt is None:
+                continue
+            out.append((lt, pos, m.start(), m.end()))
+        return out
+
+    def analyze_with_offsets_series(self, texts: pd.Series) -> pd.Series:
+        f = self.analyze_with_offsets
+        return texts.map(f)
+
 
 def analyze_series(texts: pd.Series, stop_words: Iterable[str] | None = None) -> pd.Series:
     return StandardAnalyzer(stop_words).analyze_series(texts)

@@ -271,51 +271,118 @@ def make_analyze_pos_udf(analyzer: StandardAnalyzer):
     return analyze_pos
 
 
+def make_analyze_off_udf(analyzer: StandardAnalyzer):
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("pos", T.IntegerType(), False),
+                T.StructField("so", T.IntegerType(), False),
+                T.StructField("eo", T.IntegerType(), False),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def analyze_off(texts: pd.Series) -> pd.Series:
+        return analyzer.analyze_with_offsets_series(texts)
+
+    return analyze_off
+
+
 def build_positions(
     docmap: DataFrame,
     text_col: str,
     field: str,
     analyzer: StandardAnalyzer,
+    with_offsets: bool = True,
 ) -> DataFrame:
     """Positional postings (field, term, doc_id, segment, positions int[],
-    norm_byte).
+    norm_byte [, start_offsets int[], end_offsets int[]]).
 
     Positions carry Lucene increment semantics (stop/overlong holes).  The
     per-(term, doc) position list is bounded by term freq in one document —
     ``collect_list`` here never sees corpus-scale groups.
+
+    ``with_offsets`` adds character-offset arrays aligned with ``positions``
+    (``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS``,
+    ``index/PostingsEnum.java:51-58``) so consumers like the unified
+    highlighter read indexed offsets instead of re-deriving them from raw
+    text.  Whole-stream filters (shingles) have no single-token offsets —
+    the offset columns are skipped for such analyzers.
 
     The doc's norm byte is embedded per row (doc length = number of emitted
     (term, pos) pairs — one per surviving token, identical to the inversion
     UDF's count), so phrase scoring never joins the corpus-sized doclens
     table.
     """
-    analyze_pos = make_analyze_pos_udf(analyzer)
+    if with_offsets and analyzer.stream_filters:
+        with_offsets = False
+    if not with_offsets:
+        analyze_pos = make_analyze_pos_udf(analyzer)
+        pairs = docmap.select(
+            "doc_id",
+            "segment",
+            analyze_pos(F.col(text_col)).alias("tps"),
+        ).select(
+            "doc_id",
+            "segment",
+            norm_byte_sql("size(tps)").alias("norm_byte"),
+            F.explode("tps").alias("tp"),
+        )
+        return (
+            pairs.select(
+                "doc_id",
+                "segment",
+                "norm_byte",
+                F.col("tp.term").alias("term"),
+                F.col("tp.pos").alias("pos"),
+            )
+            .groupBy("term", "doc_id", "segment")
+            .agg(
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+                F.min("norm_byte").alias("norm_byte"),
+            )
+            .select(
+                F.lit(field).alias("field"), "term", "doc_id", "segment", "positions",
+                "norm_byte",
+            )
+        )
+    analyze_off = make_analyze_off_udf(analyzer)
     pairs = docmap.select(
         "doc_id",
         "segment",
-        analyze_pos(F.col(text_col)).alias("tps"),
+        analyze_off(F.col(text_col)).alias("tps"),
     ).select(
         "doc_id",
         "segment",
         norm_byte_sql("size(tps)").alias("norm_byte"),
         F.explode("tps").alias("tp"),
     )
+    # sort_array over struct(pos, so, eo) orders by pos (first field), then
+    # transform unzips the aligned arrays — positions stay the sort key
     return (
         pairs.select(
             "doc_id",
             "segment",
             "norm_byte",
             F.col("tp.term").alias("term"),
-            F.col("tp.pos").alias("pos"),
+            F.struct("tp.pos", "tp.so", "tp.eo").alias("pse"),
         )
         .groupBy("term", "doc_id", "segment")
         .agg(
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+            F.sort_array(F.collect_list("pse")).alias("_pse"),
             F.min("norm_byte").alias("norm_byte"),
         )
         .select(
-            F.lit(field).alias("field"), "term", "doc_id", "segment", "positions",
+            F.lit(field).alias("field"),
+            "term",
+            "doc_id",
+            "segment",
+            F.expr("transform(_pse, x -> x.pos)").alias("positions"),
             "norm_byte",
+            F.expr("transform(_pse, x -> x.so)").alias("start_offsets"),
+            F.expr("transform(_pse, x -> x.eo)").alias("end_offsets"),
         )
     )
 

@@ -193,6 +193,8 @@ def unified_highlight(
     pivot: float = 87.0,
     max_passages: int = 1,
     segmenter: str = "window",
+    positions: DataFrame | None = None,
+    field: str = "text",
 ) -> DataFrame:
     """Unified-highlighter analog with passage selection + passage ranking
     (``uhighlight/UnifiedHighlighter.java:97``, ``FieldHighlighter.java``,
@@ -213,7 +215,16 @@ def unified_highlight(
       ``norm = 1 + 1/(float)ln(pivot + start)``,
     * the best passage per document (score DESC, position ASC) is returned
       with query terms wrapped — top-1 is FieldHighlighter's default
-      maxPassages=1.
+      maxPassages=1,
+    * when ``positions`` (a positional postings table carrying
+      ``start_offsets``/``end_offsets`` —
+      ``IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS``) is given,
+      match detection, passage frequencies, and snippet wrapping all come
+      from the *indexed* offsets instead of re-deriving matches from raw
+      whitespace words: an analyzer-normalized token ("Merge", "İstanbul")
+      is found and wrapped at its original surface span, exactly the
+      offsets-from-postings mode of ``UnifiedHighlighter`` (OffsetSource
+      POSTINGS).  Without it the legacy raw-word-equality path is used.
 
     Returns (doc_id, passage_idx, pscore float, snippet) per hit doc.  All
     passage/snippet construction is JVM column work; only the float32 score
@@ -313,17 +324,76 @@ def unified_highlight(
         )
     else:
         raise ValueError(f"unknown segmenter: {segmenter!r}")
-    freq_arr = F.array(
-        *[F.expr(f"size(filter(_pw, w -> w = '{t}'))") for t in terms]
-    )
-    tfdoc_arr = F.array(
-        *[F.expr(f"size(filter(_ws, w -> w = '{t}'))") for t in terms]
-    )
-    in_list = ", ".join(f"'{t}'" for t in terms)
-    snippet = F.expr(
-        f"array_join(transform(_pw, w -> CASE WHEN w IN ({in_list}) "
-        f"THEN '{pre}' || w || '{post}' ELSE w END), ' ')"
-    )
+    if positions is not None and "start_offsets" in positions.columns:
+        # OffsetSource POSTINGS: per-doc per-term indexed offset arrays
+        offs = positions.filter(
+            (F.col("field") == field) & F.col("term").isin(list(terms))
+        ).select("doc_id", "term", "start_offsets", "end_offsets")
+        per_doc = offs.groupBy("doc_id").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "start_offsets"))
+            ).alias("_som"),
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "end_offsets"))
+            ).alias("_eom"),
+        )
+        df = df.join(per_doc, "doc_id", "left")
+        freq_arr = F.array(
+            *[
+                F.expr(
+                    f"size(filter(coalesce(_som['{t}'], array()), "
+                    "o -> o >= _start AND o < _start + _plen))"
+                )
+                for t in terms
+            ]
+        )
+        tfdoc_arr = F.array(
+            *[F.expr(f"size(coalesce(_som['{t}'], array()))") for t in terms]
+        )
+
+        @F.pandas_udf(T.StringType())
+        def off_snippet(
+            texts: pd.Series, starts: pd.Series, plens: pd.Series,
+            soms: pd.Series, eoms: pd.Series,
+        ) -> pd.Series:
+            out = []
+            for i in range(len(texts)):
+                s, e = int(starts[i]), int(starts[i]) + int(plens[i])
+                text = texts[i]
+                pairs = []
+                som = soms[i] or {}
+                eom = eoms[i] or {}
+                for t, sos in som.items():
+                    eos = eom.get(t, [])
+                    for so, eo in zip(sos, eos):
+                        if s <= so < e:
+                            pairs.append((int(so), int(eo)))
+                pairs.sort()
+                parts, cur = [], s
+                for so, eo in pairs:
+                    parts.append(text[cur:so])
+                    parts.append(pre + text[so:eo] + post)
+                    cur = eo
+                parts.append(text[cur:e])
+                out.append("".join(parts))
+            return pd.Series(out)
+
+        snippet = off_snippet(
+            F.col(text_col), F.col("_start"), F.col("_plen"),
+            F.col("_som"), F.col("_eom"),
+        )
+    else:
+        freq_arr = F.array(
+            *[F.expr(f"size(filter(_pw, w -> w = '{t}'))") for t in terms]
+        )
+        tfdoc_arr = F.array(
+            *[F.expr(f"size(filter(_ws, w -> w = '{t}'))") for t in terms]
+        )
+        in_list = ", ".join(f"'{t}'" for t in terms)
+        snippet = F.expr(
+            f"array_join(transform(_pw, w -> CASE WHEN w IN ({in_list}) "
+            f"THEN '{pre}' || w || '{post}' ELSE w END), ' ')"
+        )
     scored = (
         df.withColumn("_freqs", freq_arr)
         .withColumn("_tfdocs", tfdoc_arr)
