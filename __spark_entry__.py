@@ -1070,7 +1070,7 @@ def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_percolator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Monitor, every supported registered-query shape: terms, Booleans,
-    NOT, exact phrases, and prefix term-acceptors."""
+    NOT, exact phrases, prefix / wildcard / distance-1 fuzzy acceptors."""
     from lucene_spark.streaming.percolator import Monitor
 
     mon = Monitor(
@@ -1084,6 +1084,8 @@ def _q_percolator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             6: 'merge AND "table value"',
             7: "mer*",
             8: "data AND NOT win*",
+            9: "s?an",
+            10: "batch AND megre~1",
         },
         analyzer=GATE_ANALYZER,
         key_cols=("doc_id",),

@@ -190,7 +190,9 @@ ORDER BY doc_id, query_id
 
 def percolator_suite_sql() -> str:
     """Every supported percolator shape in one gate: terms / Booleans /
-    MUST_NOT (1-4), exact phrases (5-6), prefix term-acceptors (7-8)."""
+    MUST_NOT (1-4), exact phrases (5-6), prefix term-acceptors (7-8),
+    wildcard (9) and distance-1 fuzzy (10; OSA ≤ 1 == Damerau-Levenshtein
+    ≤ 1, so DuckDB's ``damerau_levenshtein`` is the exact twin)."""
     return f"""
 WITH {BASE_CTES},
 words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -225,6 +227,11 @@ UNION
 SELECT doc_id, 8 FROM d m
 WHERE m.term = 'data'
   AND NOT EXISTS (SELECT 1 FROM d w WHERE w.doc_id = m.doc_id AND w.term LIKE 'win%')
+UNION
+SELECT DISTINCT doc_id, 9 FROM d WHERE term LIKE 's_an'
+UNION
+SELECT DISTINCT a.doc_id, 10 FROM d a JOIN d b USING (doc_id)
+WHERE a.term = 'batch' AND damerau_levenshtein(b.term, 'megre') <= 1
 ORDER BY doc_id, query_id
 """
 

@@ -19,10 +19,12 @@ Design (SURVEY.md §2.9):
   ``memory/MemoryIndex.java:198``),
 * supported query shapes: single terms, prefixes (``mer*`` — matched via
   per-length substring projections + broadcast equi-joins, the
-  ``Presearcher.java`` term-acceptor analog), exact phrases, and one-level
-  Booleans of them (MUST / SHOULD / MUST_NOT / FILTER,
-  minimumNumberShouldMatch) — the envelope Lucene's presearcher optimizes
-  well; anything else would need a per-batch scoring pass with
+  ``Presearcher.java`` term-acceptor analog), general wildcards (``s?an`` —
+  broadcast LIKE join), distance-1 fuzzy (OSA ≤ 1 with the transposition
+  branch, broadcast non-equi join), exact phrases, and one-level Booleans
+  of them (MUST / SHOULD / MUST_NOT / FILTER, minimumNumberShouldMatch) —
+  the envelope Lucene's presearcher optimizes well; anything else would
+  need a per-batch scoring pass with
   :class:`~lucene_spark.search.searcher.IndexSearcher`.
 
 Scale shape: the query tables are broadcast (thousands of registered
@@ -42,6 +44,7 @@ from lucene_spark.index.builder import make_analyze_udf
 from lucene_spark.search.parser import parse
 from lucene_spark.search.query import (
     BooleanQuery,
+    FuzzyQuery,
     Occur,
     PhraseQuery,
     PrefixQuery,
@@ -61,6 +64,56 @@ def _as_prefix(q) -> str | None:
         if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
             return pat[:-1]
     return None
+
+
+def _to_like(pattern: str) -> str:
+    """Wildcard pattern → SQL LIKE pattern (* → %, ? → _, LIKE specials
+    escaped) — evaluated JVM-side against batch tokens at match time."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _as_fuzzy(q, query_id: int) -> str | None:
+    """The target term of a distance-1 fuzzy acceptor clause.  The match
+    predicate is OSA distance ≤ 1 (FuzzyQuery's transpositions=true default:
+    one adjacent swap = one edit); at distance 1 OSA and full
+    Damerau-Levenshtein coincide, so the DuckDB oracle can use
+    ``damerau_levenshtein``.  Larger edit budgets would need the full OSA
+    matrix per (token, clause) pair — out of the percolator envelope."""
+    if not isinstance(q, FuzzyQuery):
+        return None
+    if q.max_edits != 1:
+        raise ValueError(
+            f"query {query_id}: percolator fuzzy acceptors are "
+            f"distance-1 only, got max_edits={q.max_edits}"
+        )
+    return q.term
+
+
+# OSA(token, _t) ≤ 1, pure JVM column math: 0/1 classic edits, or one
+# adjacent transposition (equal prefix, swapped pair, equal suffix)
+_OSA1_COND = """
+abs(length(term) - length(_t)) <= 1 AND (
+  levenshtein(term, _t) <= 1 OR (
+    length(term) = length(_t) AND length(_t) >= 2 AND
+    exists(sequence(1, length(_t) - 1), i ->
+      substring(term, 1, i - 1) = substring(_t, 1, i - 1) AND
+      substring(term, i, 1) = substring(_t, i + 1, 1) AND
+      substring(term, i + 1, 1) = substring(_t, i, 1) AND
+      substring(term, i + 2, length(term)) = substring(_t, i + 2, length(_t))
+    )
+  )
+)
+"""
 
 
 @dataclass
@@ -99,6 +152,12 @@ def _decompose(query_id: int, q) -> _Registered:
         return _Registered(query_id, [(q.term, "should", 0, "term")], 0, 1, True)
     if (pfx := _as_prefix(q)) is not None:
         return _Registered(query_id, [(pfx, "should", 0, "prefix")], 0, 1, True)
+    if isinstance(q, WildcardQuery):
+        return _Registered(
+            query_id, [(_to_like(q.pattern), "should", 0, "wild")], 0, 1, True
+        )
+    if (ft := _as_fuzzy(q, query_id)) is not None:
+        return _Registered(query_id, [(ft, "should", 0, "fuzzy")], 0, 1, True)
     if isinstance(q, PhraseQuery):
         rows, phrase = _phrase_parts(q, query_id, 0)
         return _Registered(query_id, rows, len(rows), 0, False, [phrase])
@@ -122,13 +181,17 @@ def _decompose(query_id: int, q) -> _Registered:
                 # Presearcher term-acceptor analog: the clause matches via
                 # ANY document term carrying the prefix
                 kind, key = "prefix", pfx
+            elif isinstance(c.query, WildcardQuery):
+                kind, key = "wild", _to_like(c.query.pattern)
+            elif (ft := _as_fuzzy(c.query, query_id)) is not None:
+                kind, key = "fuzzy", ft
             elif isinstance(c.query, TermQuery):
                 kind, key = "term", c.query.term
             else:
                 raise ValueError(
                     f"query {query_id}: percolator supports terms, prefixes, "
-                    f"exact phrases (MUST), and one-level Booleans of them, "
-                    f"got {type(c.query).__name__}"
+                    f"wildcards, distance-1 fuzzy, exact phrases (MUST), and "
+                    f"one-level Booleans of them, got {type(c.query).__name__}"
                 )
             if c.occur in (Occur.MUST, Occur.FILTER):
                 terms.append((key, "must", cid, kind))
@@ -181,6 +244,9 @@ class Monitor:
         self._prefix_lens = sorted(
             {len(t) for r in regs for t, _cl, _c, k in r.terms if k == "prefix"}
         )
+        kinds = {k for r in regs for _t, _cl, _c, k in r.terms}
+        self._has_wild = "wild" in kinds
+        self._has_fuzzy = "fuzzy" in kinds
         self.query_reqs = self.spark.createDataFrame(
             [(r.query_id, r.n_must, r.min_should, len(r.phrases)) for r in regs],
             "query_id int, n_must int, min_should int, n_phrases int",
@@ -258,6 +324,29 @@ class Monitor:
                 .select(*self.key_cols, "query_id", "clause", "cid")
             )
             matched = matched.unionByName(pref_hits)
+        # wildcard / fuzzy acceptors: broadcast non-equi joins — per DISTINCT
+        # batch token × the handful of such clauses, evaluated JVM-side
+        # (LIKE; levenshtein + transposition algebra), never per raw token
+        if self._has_wild:
+            wq = F.broadcast(
+                qt.filter(F.col("kind") == "wild").withColumnRenamed(
+                    "term", "_pat"
+                )
+            )
+            wild_hits = toks.join(
+                wq, F.expr("term like _pat escape '\\\\'")
+            ).select(*self.key_cols, "query_id", "clause", "cid")
+            matched = matched.unionByName(wild_hits)
+        if self._has_fuzzy:
+            fq = F.broadcast(
+                qt.filter(F.col("kind") == "fuzzy").withColumnRenamed(
+                    "term", "_t"
+                )
+            )
+            fuzzy_hits = toks.join(fq, F.expr(_OSA1_COND)).select(
+                *self.key_cols, "query_id", "clause", "cid"
+            )
+            matched = matched.unionByName(fuzzy_hits)
         # hit counting is DISTINCT clause ids: a prefix clause matched by
         # many doc terms (or a term hit twice via union) counts ONCE
         hits = matched.groupBy(*self.key_cols, "query_id").agg(

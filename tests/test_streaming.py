@@ -87,11 +87,62 @@ def test_percolator_prefix_clauses(spark):
 
 
 def test_percolator_rejects_unsupported(spark):
-    # exact phrases ARE supported since round 2; sloppy phrases are not
+    # exact phrases ARE supported since round 2; sloppy phrases are not;
+    # fuzzy acceptors (round 4) are distance-1 only
     with pytest.raises(ValueError):
         Monitor(spark, {1: '"sloppy phrase"~2'})
     with pytest.raises(ValueError):
-        Monitor(spark, {1: "fuzz~1"})
+        Monitor(spark, {1: "fuzz~2"})
+
+
+def test_percolator_wildcard_clauses(spark):
+    """General wildcard acceptors ('s?an' shapes): broadcast LIKE join;
+    prefix-shaped wildcards keep riding the cheaper substring equi-join."""
+    mon = Monitor(
+        spark,
+        {
+            1: "s?ark",                # ? wildcard
+            2: "m*e AND NOT f?st",     # inner-star MUST + wildcard NOT
+        },
+    )
+    batch = _batch(
+        spark,
+        [
+            ("c0", 0, "spark shark stark"),   # 3 matches = one clause hit
+            ("c0", 1, "merge was fast"),      # m*e but f?st blocks
+            ("c1", 0, "make it mode"),        # m*e twice, no f?st
+            ("c1", 1, "nothing"),
+        ],
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.query_id) for r in mon.match_batch(batch).collect()
+    }
+    assert got == {("c0", 0, 1), ("c1", 0, 2)}
+
+
+def test_percolator_fuzzy_clauses(spark):
+    """Distance-1 fuzzy acceptors: OSA semantics (substitution, indel, and
+    one adjacent transposition each = 1 edit); distance-2 terms miss."""
+    mon = Monitor(
+        spark,
+        {
+            1: "megre~1",            # transposed registration
+            2: "spark AND fasst~1",  # term + fuzzy conjunction
+        },
+    )
+    batch = _batch(
+        spark,
+        [
+            ("c0", 0, "merge the runs"),    # OSA(merge, megre) = 1 ✓
+            ("c0", 1, "marge here"),        # OSA(marge, megre) = 2 ✗
+            ("c1", 0, "spark is fast"),     # fast ← fasst: one deletion ✓
+            ("c1", 1, "fast alone"),        # missing MUST spark
+        ],
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.query_id) for r in mon.match_batch(batch).collect()
+    }
+    assert got == {("c0", 0, 1), ("c1", 0, 2)}
 
 
 def test_percolator_foreachbatch_stream(spark, monitor, tmp_path):
