@@ -193,14 +193,123 @@ def test_multimodal_plumbing(docs):
     assert feats[0].features == feats[1].features  # deterministic on same bytes
     assert abs(sum(feats[0].features) - 1.0) < 1e-9  # L1-normalized
     assert feats[5].feat_norm == 0.0  # empty payload
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
-        mm.resize_image(b"", 8, 8)
-    with pytest.raises(NotImplementedError):
-        mm.sample_frames(b"")
     summ = {r.doc_id: r for r in mm.media_summary(media).collect()}
     assert summ[0].n_bytes == len(docs.collect()[0].text.encode())
+
+
+def _rng_img(h, w, c, seed=7):
+    import numpy as np
+
+    return (
+        np.random.default_rng(seed).integers(0, 256, (h, w, c)).astype("uint8")
+    )
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Built-in PNG codec: encode→decode is identity for gray/RGB/RGBA, and
+    the decoder unfilters Sub/Up/Average/Paeth scanlines per spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    for c in (1, 3, 4):
+        arr = _rng_img(5, 4, c)
+        assert np.array_equal(mm.decode_image(mm._png_encode(arr)), arr)
+    # hand-filter a known image with every filter type, one per row
+    arr = _rng_img(5, 6, 3, seed=11).astype(np.int64)
+    h, w, ch = arr.shape
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = arr[y].reshape(-1)
+        prev = arr[y - 1].reshape(-1) if y else np.zeros(w * ch, dtype=np.int64)
+        flt = np.zeros(w * ch, dtype=np.int64)
+        for i in range(w * ch):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            cc = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            flt[i] = (row[i] - pred) % 256
+        raw.append(f)
+        raw.extend(flt.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        mm._PNG_SIG
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mm.decode_image(png), arr.astype(np.uint8))
+
+
+def test_decode_ppm_and_unknown():
+    import numpy as np
+
+    arr = _rng_img(3, 2, 3)
+    ppm = b"P6\n# c\n2 3\n255\n" + arr.tobytes()
+    assert np.array_equal(mm.decode_image(ppm), arr)
+    pgm = b"P5 2 3 255\n" + arr[:, :, 0].tobytes()
+    assert np.array_equal(mm.decode_image(pgm)[:, :, 0], arr[:, :, 0])
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a....")
+
+
+def test_resize_image_nearest():
+    import numpy as np
+
+    # 2x2 quadrant image → 4x4 nearest-neighbor keeps exact quadrant colors
+    arr = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 0]]], dtype="uint8"
+    )
+    out = mm.decode_image(mm.resize_image(mm._png_encode(arr), 4, 4))
+    assert out.shape == (4, 4, 3)
+    assert np.array_equal(out[0, 0], arr[0, 0]) and np.array_equal(
+        out[3, 3], arr[1, 1]
+    )
+    assert np.array_equal(out[1, 1], arr[0, 0])  # pixel-center mapping
+
+
+def test_sample_frames_rawv():
+    import numpy as np
+
+    frames = _rng_img(10, 4, 3).reshape(10, 1, 4, 3).repeat(2, axis=1)
+    payload = mm.pack_rawv(frames)
+    got = mm.sample_frames(payload, every_n=3)
+    assert len(got) == 4  # frames 0, 3, 6, 9
+    for i, f in zip((0, 3, 6, 9), got):
+        assert np.array_equal(f, frames[i])
+    with pytest.raises(ValueError):
+        mm.sample_frames(b"not a video")
+
+
+def test_decode_summary_mapinpandas(spark):
+    """Distributed decode: PNG + PPM + undecodable payloads through ONE
+    mapInPandas stage."""
+    import numpy as np
+
+    a = _rng_img(3, 5, 3)
+    rows = [
+        (0, bytearray(mm._png_encode(a))),
+        (1, bytearray(b"P6 5 3 255\n" + a.tobytes())),
+        (2, bytearray(b"garbage")),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in mm.decode_summary(media).collect()}
+    assert (got[0].width, got[0].height, got[0].channels) == (5, 3, 3)
+    assert abs(got[0].mean_px - float(a.mean())) < 1e-9
+    assert got[1].width == 5 and abs(got[1].mean_px - got[0].mean_px) < 1e-9
+    assert got[2].width == -1
 
 
 def test_knn_ivf_recall(spark):
