@@ -993,7 +993,12 @@ def _q_intervals_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full intervals algebra in one gate: n-ary ordered/unordered NEAR,
     or+maxgaps, containedBy, notContaining — all saturation-scored minimal
-    intervals (``queries/intervals/``), each vs a set-algebra DuckDB twin."""
+    intervals (``queries/intervals/``), each vs a set-algebra DuckDB twin.
+
+    The conjunctive shapes (ordered3 / unordered3 / contained_by) are
+    answered through the block-max WAND kernel (``interval_topk_wand`` —
+    bit-exact to the flat path, so the oracle row gates the kernel); the
+    non-conjunctive ones (or_maxgaps, not_containing) take the flat path."""
     from lucene_spark.search.intervals import (
         IContainedBy,
         IMaxGaps,
@@ -1004,6 +1009,7 @@ def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ITerm,
         IUnordered,
         interval_topk,
+        interval_topk_wand,
     )
 
     idx = _searcher(spark, sf_dir).index
@@ -1043,9 +1049,17 @@ def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
+    kernel = {"ordered3", "unordered3", "contained_by"}
     return _union_suite(
         [
-            (name, _as_gate_schema(interval_topk(idx, node, k=10)))
+            (
+                name,
+                _as_gate_schema(
+                    (interval_topk_wand if name in kernel else interval_topk)(
+                        idx, node, k=10
+                    )
+                ),
+            )
             for name, node in shapes
         ]
     )

@@ -557,6 +557,279 @@ def interval_topk(
     return topk.withColumn("rank", w.cast("int"))
 
 
+# ---------------------------------------------------------------------------
+# Block-max WAND for interval queries (round-4 stretch): the saturation
+# score is monotone in interval freq, and interval freq is bounded by pure
+# counting algebra over term frequencies — so the SAME windowed block-max
+# machinery that prunes Boolean queries prunes proximity queries.
+# ---------------------------------------------------------------------------
+
+
+def freq_count_bound(node: IntervalSource, tfmap: dict) -> np.ndarray:
+    """Per-doc upper bound on the number of emitted minimal intervals, from
+    term frequencies alone (vectorized over aligned doc arrays).
+
+    Soundness, per combinator: a term family has exactly tf intervals;
+    ordered keeps ≤ the min of its sub-family sizes (one chain per
+    first-family interval, ≤ one survivor per distinct last-family end);
+    unordered and or emit ≤ the sum (every emission advances at least one
+    sub-interval); filters and notContaining only drop; containedBy keeps
+    ≤ its small family.  Each interval contributes ≤ 1 to the scorer's freq
+    (``1/max(len - minExtent + 1, 1)``), so freq ≤ this count.
+    """
+    if isinstance(node, ITerm):
+        v = tfmap.get(node.term)
+        if v is None:
+            raise KeyError(node.term)
+        return v
+    if isinstance(node, IOrdered):
+        return np.minimum.reduce(
+            [freq_count_bound(s, tfmap) for s in node.subs]
+        )
+    if isinstance(node, (IUnordered, IOr)):
+        out = freq_count_bound(node.subs[0], tfmap).copy()
+        for s in node.subs[1:]:
+            out = out + freq_count_bound(s, tfmap)
+        return out
+    if isinstance(node, (IMaxWidth, IMaxGaps)):
+        return freq_count_bound(node.sub, tfmap)
+    if isinstance(node, IContainedBy):
+        # one big interval can contain MANY smalls: only the small family
+        # size bounds the output (the fuzz test caught min(small, big))
+        return freq_count_bound(node.small, tfmap)
+    if isinstance(node, INotContaining):
+        return freq_count_bound(node.minuend, tfmap)
+    raise TypeError(f"unknown interval source {node!r}")
+
+
+def _sat_upper(
+    counts: np.ndarray, pivot: float, boost: float
+) -> np.ndarray:
+    """Float32 upper bound on the saturation score of any doc whose interval
+    count is ≤ ``counts``.
+
+    The real score is ``f32(b * f32(1 - f32(p / f32(p + fr))))`` with ``fr``
+    a float32 accumulation of ≤ count terms each ≤ 1.  Accumulation round-up
+    is ≤ count²·2⁻²⁴ absolute (standard recursive-summation bound with sum
+    and term-count both ≤ count), covered by the inflation below; the four
+    float32 ops after it contribute ≤ 2 ulp, covered by three nextafter
+    bumps on top of the down-cast.  Monotonicity of the saturation function
+    does the rest.
+    """
+    c = counts.astype(np.float64)
+    c = c * (1.0 + c * 1.2e-7) + 1e-6
+    s64 = float(boost) * (1.0 - float(pivot) / (float(pivot) + c))
+    f = s64.astype(np.float32)
+    for _ in range(3):
+        f = np.nextafter(f, np.float32(np.inf))
+    return f
+
+
+def segment_interval_topk(
+    bl_pdf: pd.DataFrame,
+    pos_pdf: pd.DataFrame,
+    source: IntervalSource,
+    leafs: list[str],
+    k: int,
+    pivot: float,
+    boost: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-segment top-k for an interval query via windowed block-max
+    pruning: windows are bounded by the counting algebra over block-max term
+    freqs, candidate docs by their real per-doc freqs, and only survivors
+    pay the positional evaluation (``eval_intervals``)."""
+    from lucene_spark.index.codec import decode_block
+
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.float32))
+    by_term = {t: g.sort_values("block_id") for t, g in bl_pdf.groupby("term")}
+    if any(t not in by_term for t in leafs):
+        return empty  # every leaf is required: conjunction dead here
+
+    # positions lookup: term -> (sorted doc ids, aligned position arrays)
+    posidx: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for t, g in pos_pdf.groupby("term"):
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(d)
+        posidx[t] = (d[order], g["positions"].to_numpy()[order])
+
+    groups = [by_term[t] for t in leafs]
+    firsts = [g["first_doc"].to_numpy(dtype=np.int64) for g in groups]
+    lasts = [g["last_doc"].to_numpy(dtype=np.int64) for g in groups]
+    bounds = np.unique(np.concatenate(firsts + [a + 1 for a in lasts]))
+    w_start = bounds[:-1]
+    n_win = len(w_start)
+    if n_win == 0:
+        return empty
+
+    blk_of = np.full((len(leafs), n_win), -1, dtype=np.int64)
+    for ti in range(len(leafs)):
+        idx = np.searchsorted(firsts[ti], w_start, side="right") - 1
+        ok = (idx >= 0) & (w_start <= lasts[ti][np.clip(idx, 0, None)])
+        blk_of[ti, ok] = idx[ok]
+    live = (blk_of >= 0).all(axis=0)
+    if not live.any():
+        return empty
+
+    # window count bounds from per-block max tf (the impacts frontier)
+    tfmap_win = {}
+    for ti, t in enumerate(leafs):
+        bmax = np.fromiter(
+            (max(p["freq"] for p in imp) for imp in groups[ti]["impacts"]),
+            dtype=np.int64,
+            count=len(groups[ti]),
+        )
+        tf = np.zeros(n_win, dtype=np.int64)
+        cov = blk_of[ti] >= 0
+        tf[cov] = bmax[blk_of[ti, cov]]
+        tfmap_win[t] = tf
+    w_bound = _sat_upper(freq_count_bound(source, tfmap_win), pivot, boost)
+    w_bound[~live] = -np.inf
+
+    order = np.argsort(-w_bound[live], kind="stable")
+    w_ids = np.flatnonzero(live)[order]
+
+    mext = min_extent(source)
+    p32 = np.float32(pivot)
+    b32 = np.float32(boost)
+    top_s = np.array([], dtype=np.float32)
+    top_d = np.array([], dtype=np.int64)
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(ti: int, bi: int):
+        key = (ti, bi)
+        if key not in decoded:
+            row = groups[ti].iloc[bi]
+            d, f = decode_block(
+                int(row["first_doc"]), int(row["num_docs"]),
+                row["doc_blob"], row["freq_blob"],
+            )
+            decoded[key] = (d, f.astype(np.int64))
+        return decoded[key]
+
+    for wi in w_ids:
+        theta = _theta_f32(top_s, k)
+        if w_bound[wi] < theta:  # strict: ties still checked
+            break
+        lo, hi = int(w_start[wi]), int(bounds[wi + 1] - 1)
+        # conjunction over every leaf term, carrying per-doc tf
+        base_d = None
+        tf_doc: dict[str, np.ndarray] = {}
+        for ti, t in enumerate(leafs):
+            d, f = _block(ti, int(blk_of[ti, wi]))
+            sel = (d >= lo) & (d <= hi)
+            d, f = d[sel], f[sel]
+            if base_d is None:
+                base_d, tf_doc[t] = d, f
+            else:
+                idx = np.searchsorted(d, base_d)
+                idx_c = np.clip(idx, 0, max(len(d) - 1, 0))
+                ok = (
+                    (idx < len(d)) & (d[idx_c] == base_d)
+                    if len(d)
+                    else np.zeros(len(base_d), dtype=bool)
+                )
+                base_d = base_d[ok]
+                for tt in tf_doc:
+                    tf_doc[tt] = tf_doc[tt][ok]
+                tf_doc[t] = f[idx_c[ok]] if len(d) else f[:0]
+            if len(base_d) == 0:
+                break
+        if base_d is None or len(base_d) == 0:
+            continue
+        ub = _sat_upper(freq_count_bound(source, tf_doc), pivot, boost)
+        cand = ub >= theta
+        if not cand.any():
+            continue
+        # positional verification — the flat path's exact float32 arithmetic
+        ver_d, ver_s = [], []
+        for doc in base_d[cand]:
+            pm = {}
+            for t in leafs:
+                dd, pp = posidx[t]
+                j = np.searchsorted(dd, doc)
+                pm[t] = (
+                    np.asarray(pp[j], dtype=np.int64)
+                    if j < len(dd) and dd[j] == doc
+                    else np.array([], dtype=np.int64)
+                )
+            s, e, _ = eval_intervals(source, pm)
+            fr = interval_freq(e - s + 1, min_extent=mext)
+            if fr > 0:
+                ver_d.append(int(doc))
+                ver_s.append(b32 * (np.float32(1.0) - p32 / (p32 + fr)))
+        if ver_d:
+            new_d = np.asarray(ver_d, dtype=np.int64)
+            new_s = np.asarray(ver_s, dtype=np.float32)
+            s_all = np.concatenate([top_s, new_s])
+            d_all = np.concatenate([top_d, new_d])
+            if len(s_all) > k:
+                keep = np.lexsort((d_all, -s_all.astype(np.float64)))[:k]
+                s_all, d_all = s_all[keep], d_all[keep]
+            top_s, top_d = s_all, d_all
+
+    return top_d, top_s
+
+
+def _theta_f32(scores: np.ndarray, k: int) -> float:
+    return float(scores.min()) if len(scores) >= k else -np.inf
+
+
+def interval_topk_wand(
+    idx: IndexTables,
+    source: IntervalSource,
+    k: int = 10,
+    field: str = "text",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Top-k for ``IntervalQuery(field, source)`` through the block-max
+    kernel — bit-identical to :func:`interval_topk`, with window pruning.
+
+    Plan (the 100-TB shape): the blocks scan AND the positions scan are both
+    pruned to the query's leaf terms (bucket/partition-pruned on disk); one
+    cogrouped ``applyInPandas`` per segment runs windowed block-max pruning
+    (impact-frontier count bounds → saturation-score bounds), decodes only
+    surviving windows' blocks, and evaluates the interval algebra only for
+    docs whose per-doc bound beats the running θ; TopDocs-merge reduces the
+    per-segment heaps.  Requires every leaf term to be required
+    (``required_terms == leaf_terms``) so the window conjunction is sound —
+    sources with non-conjunctive branches (``or`` of disjoint branches,
+    ``notContaining`` subtrahends) take :func:`interval_topk` instead.
+    """
+    if idx.positions is None or idx.blocks is None:
+        raise ValueError("interval WAND needs blocks + positional index")
+    leafs = sorted(leaf_terms(source))
+    if required_terms(source) != set(leafs):
+        raise ValueError(
+            "kernel path needs every leaf term required "
+            "(required_terms == leaf_terms); use interval_topk"
+        )
+    bl = idx.blocks_for_terms(field, leafs).select(
+        "segment", "term", "block_id", "first_doc", "last_doc", "num_docs",
+        "doc_blob", "freq_blob", "impacts",
+    )
+    ps = idx.positions.filter(
+        (F.col("field") == field) & F.col("term").isin(leafs)
+    ).select("segment", "term", "doc_id", "positions")
+
+    out_schema = "doc_id long, score float"
+
+    def run(bl_pdf: pd.DataFrame, pos_pdf: pd.DataFrame) -> pd.DataFrame:
+        d, s = segment_interval_topk(
+            bl_pdf, pos_pdf, source, leafs, k, pivot, boost
+        )
+        return pd.DataFrame({"doc_id": d, "score": s.astype(np.float32)})
+
+    per_seg = (
+        bl.groupBy("segment")
+        .cogroup(ps.groupBy("segment"))
+        .applyInPandas(lambda _k, l, r: run(l, r), schema=out_schema)
+    )
+    topk = per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return topk.withColumn("rank", w.cast("int"))
+
+
 def interval_near_topk(
     idx: IndexTables,
     term_a: str,
