@@ -397,8 +397,15 @@ def build_index(
     doc_id_col: str | None = None,
     build_blocks: bool = False,
     with_positions: bool = False,
+    with_offsets: bool = True,
 ) -> IndexTables:
     """Build the five index tables from a document DataFrame.
+
+    ``with_offsets`` (only meaningful with ``with_positions``) embeds
+    character-offset arrays in the positional table
+    (``..._AND_OFFSETS`` — the highlighter's OffsetSource POSTINGS);
+    phrase-only deployments can drop it to halve the positional payload,
+    exactly the ``IndexOptions`` trade-off the reference exposes.
 
     If ``doc_id_col`` is given, that column is used as the (already dense,
     unique) docID and segment assignment is skipped — used when the source
@@ -472,7 +479,9 @@ def build_index(
         blocks = build_block_postings(postings, doclens)
 
     positions = (
-        build_positions(docmap, text_col, field, analyzer) if with_positions else None
+        build_positions(docmap, text_col, field, analyzer, with_offsets=with_offsets)
+        if with_positions
+        else None
     )
 
     return IndexTables(
