@@ -1065,6 +1065,53 @@ def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans API (``queries/spans/``) in one gate: SpanNear (ordered, slop),
+    SpanFirst, SpanNot (padded exclusion), SpanContaining — each translated
+    to the intervals algebra by ``span_topk`` (kernel-pruned where
+    conjunctive) and checked against an interval-set DuckDB twin."""
+    from lucene_spark.search.spans import (
+        SpanContainingQuery,
+        SpanFirstQuery,
+        SpanNearQuery,
+        SpanNotQuery,
+        SpanTermQuery,
+        span_topk,
+    )
+
+    idx = _searcher(spark, sf_dir).index
+    queries = [
+        (
+            "near_ordered",
+            SpanNearQuery((SpanTermQuery("scan"), SpanTermQuery("merge")), slop=3),
+        ),
+        ("first", SpanFirstQuery(SpanTermQuery("merge"), 3)),
+        (
+            "span_not",
+            SpanNotQuery(
+                SpanNearQuery(
+                    (SpanTermQuery("scan"), SpanTermQuery("merge")), slop=5
+                ),
+                SpanTermQuery("value"),
+                pre=1,
+                post=1,
+            ),
+        ),
+        (
+            "containing",
+            SpanContainingQuery(
+                SpanNearQuery(
+                    (SpanTermQuery("table"), SpanTermQuery("scan")), slop=6
+                ),
+                SpanTermQuery("value"),
+            ),
+        ),
+    ]
+    return _union_suite(
+        [(name, _as_gate_schema(span_topk(idx, q, k=10))) for name, q in queries]
+    )
+
+
 def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell suggestions + prefix autocomplete in one gate frame."""
     sp = _q_suggest(spark, sf_dir).select(
@@ -1209,6 +1256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scoring_suite": _q_scoring_suite,
         "intervals_near_topk": _q_intervals_near,
         "intervals_suite": _q_intervals_suite,
+        "spans_suite": _q_spans_suite,
         "highlight_passages": _q_highlight,
         "suggest_suite": _q_suggest_suite,
         "shingle_top20": _q_shingle_top,
@@ -1341,6 +1389,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         "intervals_near_topk": osql.interval_ordered_near_topk_sql(
             "merge", "join", 8, 10
+        ),
+        "spans_suite": _suite_sql(
+            [
+                (
+                    "near_ordered",
+                    osql.span_near_ordered_topk_sql("scan", "merge", 3, 10),
+                ),
+                ("first", osql.span_first_topk_sql("merge", 3, 10)),
+                (
+                    "span_not",
+                    osql.span_not_topk_sql("scan", "merge", 5, "value", 1, 1, 10),
+                ),
+                (
+                    "containing",
+                    osql.span_containing_topk_sql("table", "scan", 6, "value", 10),
+                ),
+            ]
         ),
         "intervals_suite": _suite_sql(
             [

@@ -1183,6 +1183,75 @@ kept AS (
 """
 
 
+# --- spans oracles (round 4) ------------------------------------------------
+# The spans API translates to the intervals algebra (search/spans.py), so
+# each oracle is the corresponding interval-set query: ordered-pair minimal
+# intervals, gap filters, and point containment tests.
+
+
+def span_near_ordered_topk_sql(term_a: str, term_b: str, slop: int, k: int) -> str:
+    """``SpanNearQuery([a, b], slop, inOrder=true)`` ⇔ maxgaps(slop,
+    ordered(a, b)): pair gaps = e - s - 1 ≤ slop.  minExtent = 2."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b})},
+{_ordered_pair_ctes('sp', 'pa', 'pb').lstrip()},
+kept AS (SELECT doc_id, s, e FROM spm WHERE e - s - 1 <= {slop})
+{_interval_score_sql(2, k)}
+"""
+
+
+def span_first_topk_sql(term: str, n: int, k: int) -> str:
+    """``SpanFirstQuery(term, n)``: positions with exclusive end ≤ n.
+    minExtent = 1."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'x': term})},
+kept AS (SELECT doc_id, pos AS s, pos AS e FROM px WHERE pos < {n})
+{_interval_score_sql(1, k)}
+"""
+
+
+def span_not_topk_sql(
+    term_a: str, term_b: str, slop: int, term_x: str, pre: int, post: int, k: int
+) -> str:
+    """``SpanNotQuery(near(a, b, slop), x, pre, post)``: include pairs whose
+    [s-pre, e+post] window holds no x position (point exclude: overlap ==
+    window membership).  minExtent = 2."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'x': term_x})},
+{_ordered_pair_ctes('mn', 'pa', 'pb').lstrip()},
+mk AS (SELECT doc_id, s, e FROM mnm WHERE e - s - 1 <= {slop}),
+kept AS (
+    SELECT m.doc_id, m.s, m.e FROM mk m
+    WHERE NOT EXISTS (
+        SELECT 1 FROM px x
+        WHERE x.doc_id = m.doc_id
+          AND x.pos >= m.s - {pre} AND x.pos <= m.e + {post}
+    )
+)
+{_interval_score_sql(2, k)}
+"""
+
+
+def span_containing_topk_sql(
+    term_a: str, term_b: str, slop: int, term_x: str, k: int
+) -> str:
+    """``SpanContainingQuery(near(a, b, slop), x)``: big pairs containing an
+    x position.  minExtent = 2 (the big source's)."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'x': term_x})},
+{_ordered_pair_ctes('bg', 'pa', 'pb').lstrip()},
+bk AS (SELECT doc_id, s, e FROM bgm WHERE e - s - 1 <= {slop}),
+kept AS (
+    SELECT b.doc_id, b.s, b.e FROM bk b
+    WHERE EXISTS (
+        SELECT 1 FROM px x
+        WHERE x.doc_id = b.doc_id AND x.pos >= b.s AND x.pos <= b.e
+    )
+)
+{_interval_score_sql(2, k)}
+"""
+
+
 def term_count_sql(term: str) -> str:
     return f"""
 WITH {BASE_CTES}

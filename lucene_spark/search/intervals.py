@@ -199,6 +199,40 @@ class IContainedBy(IntervalSource):
 
 
 @_dataclass(frozen=True)
+class IContaining(IntervalSource):
+    """``Intervals.containing(big, small)``
+    (``ContainingIntervalsSource.java``): intervals of *big* containing at
+    least one interval of *small* (the mirror of containedBy; also the
+    translation target of ``SpanContainingQuery``)."""
+
+    big: IntervalSource
+    small: IntervalSource
+
+
+@_dataclass(frozen=True)
+class INonOverlapping(IntervalSource):
+    """``Intervals.nonOverlapping(minuend, subtrahend)``
+    (``NonOverlappingIntervalsSource``): minuend intervals overlapping no
+    subtrahend interval.  ``pre``/``post`` pad the exclusion window — the
+    ``SpanNotQuery(include, exclude, pre, post)`` translation knob (0/0 is
+    the reference's nonOverlapping exactly)."""
+
+    minuend: IntervalSource
+    subtrahend: IntervalSource
+    pre: int = 0
+    post: int = 0
+
+
+@_dataclass(frozen=True)
+class IFirst(IntervalSource):
+    """``SpanFirstQuery(match, n)`` support shim: intervals with exclusive
+    end ≤ n (inclusive end < n) — matches near the start of the field."""
+
+    n: int
+    sub: IntervalSource
+
+
+@_dataclass(frozen=True)
 class INotContaining(IntervalSource):
     """``Intervals.notContaining(minuend, subtrahend)``
     (``NotContainingIntervalsSource.java:63-87``): the reference's streaming
@@ -222,8 +256,12 @@ def leaf_terms(node: IntervalSource) -> set:
         return leaf_terms(node.sub)
     if isinstance(node, IContainedBy):
         return leaf_terms(node.small) | leaf_terms(node.big)
-    if isinstance(node, INotContaining):
+    if isinstance(node, IContaining):
+        return leaf_terms(node.big) | leaf_terms(node.small)
+    if isinstance(node, (INotContaining, INonOverlapping)):
         return leaf_terms(node.minuend) | leaf_terms(node.subtrahend)
+    if isinstance(node, IFirst):
+        return leaf_terms(node.sub)
     raise TypeError(f"unknown interval source {node!r}")
 
 
@@ -248,8 +286,12 @@ def required_terms(node: IntervalSource) -> set:
         return required_terms(node.sub)
     if isinstance(node, IContainedBy):
         return required_terms(node.small) | required_terms(node.big)
-    if isinstance(node, INotContaining):
+    if isinstance(node, IContaining):
+        return required_terms(node.big) | required_terms(node.small)
+    if isinstance(node, (INotContaining, INonOverlapping)):
         return required_terms(node.minuend)
+    if isinstance(node, IFirst):
+        return required_terms(node.sub)
     raise TypeError(f"unknown interval source {node!r}")
 
 
@@ -265,8 +307,12 @@ def min_extent(node: IntervalSource) -> int:
         return min_extent(node.sub)
     if isinstance(node, IContainedBy):
         return min_extent(node.small)
-    if isinstance(node, INotContaining):
+    if isinstance(node, IContaining):
+        return min_extent(node.big)
+    if isinstance(node, (INotContaining, INonOverlapping)):
         return min_extent(node.minuend)
+    if isinstance(node, IFirst):
+        return min_extent(node.sub)
     raise TypeError(f"unknown interval source {node!r}")
 
 
@@ -420,6 +466,38 @@ def _contained_by(small, big):
     return ss[ok], se[ok], sg[ok]
 
 
+def _containing(big, small):
+    """``ContainingIntervalsSource``: big intervals containing some small.
+    Minimal families have strictly increasing starts AND ends, so the first
+    small starting at/after the big's start has the least end among them —
+    containment reduces to one searchsorted + compare."""
+    bs, be, bg = big
+    ss, se, _ = small
+    if len(bs) == 0 or len(ss) == 0:
+        return _EMPTY3
+    j = np.searchsorted(ss, bs, side="left")
+    ok = j < len(ss)
+    jj = np.minimum(j, len(ss) - 1)
+    ok &= se[jj] <= be
+    return bs[ok], be[ok], bg[ok]
+
+
+def _non_overlapping(minuend, subtrahend, pre=0, post=0):
+    """``NonOverlappingIntervalsSource`` (+ SpanNot's pre/post padding):
+    minuend intervals whose [s-pre, e+post] window touches no subtrahend
+    interval.  First subtrahend with end ≥ s-pre has the least start among
+    candidates — overlap reduces to one searchsorted + compare."""
+    ms, me, mg = minuend
+    bs, be, _ = subtrahend
+    if len(bs) == 0 or len(ms) == 0:
+        return minuend
+    j = np.searchsorted(be, ms - pre, side="left")
+    jj = np.minimum(j, len(bs) - 1)
+    overlap = (j < len(bs)) & (bs[jj] <= me + post)
+    keep = ~overlap
+    return ms[keep], me[keep], mg[keep]
+
+
 def _not_containing(minuend, subtrahend):
     """Transcription of ``NotContainingIterator.nextInterval``
     (``NotContainingIntervalsSource.java:70-86``)."""
@@ -479,6 +557,22 @@ def eval_intervals(node: IntervalSource, posmap: dict):
             eval_intervals(node.small, posmap),
             eval_intervals(node.big, posmap),
         )
+    if isinstance(node, IContaining):
+        return _containing(
+            eval_intervals(node.big, posmap),
+            eval_intervals(node.small, posmap),
+        )
+    if isinstance(node, INonOverlapping):
+        return _non_overlapping(
+            eval_intervals(node.minuend, posmap),
+            eval_intervals(node.subtrahend, posmap),
+            node.pre,
+            node.post,
+        )
+    if isinstance(node, IFirst):
+        s, e, g = eval_intervals(node.sub, posmap)
+        m = e < node.n  # exclusive end ≤ n
+        return s[m], e[m], g[m]
     if isinstance(node, INotContaining):
         return _not_containing(
             eval_intervals(node.minuend, posmap),
@@ -597,8 +691,12 @@ def freq_count_bound(node: IntervalSource, tfmap: dict) -> np.ndarray:
         # one big interval can contain MANY smalls: only the small family
         # size bounds the output (the fuzz test caught min(small, big))
         return freq_count_bound(node.small, tfmap)
-    if isinstance(node, INotContaining):
+    if isinstance(node, IContaining):
+        return freq_count_bound(node.big, tfmap)
+    if isinstance(node, (INotContaining, INonOverlapping)):
         return freq_count_bound(node.minuend, tfmap)
+    if isinstance(node, IFirst):
+        return freq_count_bound(node.sub, tfmap)
     raise TypeError(f"unknown interval source {node!r}")
 
 

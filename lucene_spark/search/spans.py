@@ -1,0 +1,183 @@
+"""Span queries — the classic proximity API, answered by the intervals
+algebra.
+
+Re-expression of the reference's ``queries/spans/`` family
+(``SpanTermQuery.java``, ``SpanNearQuery.java:47``, ``SpanOrQuery.java``,
+``SpanNotQuery.java:38``, ``SpanFirstQuery.java``,
+``SpanContainingQuery.java``, ``SpanWithinQuery.java``,
+``SpanBoostQuery.java``).  Modern Lucene subsumes spans under intervals
+(the spans module is in maintenance; ``Intervals.java`` is the successor),
+and this engine does the same: every span query *translates* to an
+:mod:`lucene_spark.search.intervals` source tree via
+:func:`to_interval_source`, then runs through :func:`interval_topk` /
+:func:`interval_topk_wand` (block-max pruned when every leaf term is
+required).
+
+Matching parity:
+
+* ``SpanNearQuery(clauses, slop, inOrder)`` ⇔ ``maxgaps(slop,
+  ordered/unordered(clauses))`` — a doc has an in-order spans match with
+  total internal gaps ≤ slop iff a minimal ordered interval with
+  gaps ≤ slop exists (minimal intervals minimize width, hence gaps, over
+  the matches they represent),
+* ``SpanNotQuery(include, exclude, pre, post)`` ⇔
+  ``nonOverlapping`` with the exclusion window padded by pre/post
+  (``SpanNotQuery.java:38-58``; pre = post = 0 is
+  ``Intervals.nonOverlapping`` exactly),
+* ``SpanFirstQuery(match, n)`` ⇔ intervals with exclusive end ≤ n,
+* ``SpanContaining/SpanWithin`` ⇔ ``Intervals.containing/containedBy``.
+
+Scoring: the translated query scores with the interval saturation function
+(``IntervalQuery`` semantics), not the legacy ``SpanScorer`` sloppy-freq —
+the envelope choice the reference itself made when it moved proximity
+scoring to intervals.  Callers needing Boolean-only semantics can treat
+the scores as a match ranking.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from lucene_spark.index.builder import IndexTables
+from lucene_spark.search.intervals import (
+    IContainedBy,
+    IContaining,
+    IFirst,
+    IMaxGaps,
+    INonOverlapping,
+    IOr,
+    IOrdered,
+    ITerm,
+    IUnordered,
+    IntervalSource,
+    interval_topk,
+    interval_topk_wand,
+    leaf_terms,
+    required_terms,
+)
+
+
+class SpanQuery:
+    """Base of the span-query tree (``SpanQuery.java`` analog)."""
+
+    __slots__ = ()
+
+
+@dataclass(frozen=True)
+class SpanTermQuery(SpanQuery):
+    term: str
+
+
+@dataclass(frozen=True)
+class SpanNearQuery(SpanQuery):
+    """``SpanNearQuery(clauses, slop, inOrder)`` — subspans within ``slop``
+    total gap positions, optionally in clause order."""
+
+    clauses: tuple
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass(frozen=True)
+class SpanOrQuery(SpanQuery):
+    clauses: tuple
+
+
+@dataclass(frozen=True)
+class SpanNotQuery(SpanQuery):
+    """Include spans not overlapping exclude spans; ``pre``/``post`` widen
+    the exclusion window backwards/forwards (``SpanNotQuery.java:38-58``)."""
+
+    include: SpanQuery
+    exclude: SpanQuery
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class SpanFirstQuery(SpanQuery):
+    """Spans of ``match`` whose exclusive end ≤ ``n`` (near field start)."""
+
+    match: SpanQuery
+    n: int
+
+
+@dataclass(frozen=True)
+class SpanContainingQuery(SpanQuery):
+    """``big`` spans that contain a ``little`` span."""
+
+    big: SpanQuery
+    little: SpanQuery
+
+
+@dataclass(frozen=True)
+class SpanWithinQuery(SpanQuery):
+    """``little`` spans that lie within a ``big`` span."""
+
+    big: SpanQuery
+    little: SpanQuery
+
+
+@dataclass(frozen=True)
+class SpanBoostQuery(SpanQuery):
+    query: SpanQuery
+    boost: float = 1.0
+
+
+def to_interval_source(q: SpanQuery) -> IntervalSource:
+    """Translate a span-query tree to its intervals-algebra equivalent."""
+    if isinstance(q, SpanTermQuery):
+        return ITerm(q.term)
+    if isinstance(q, SpanNearQuery):
+        subs = tuple(to_interval_source(c) for c in q.clauses)
+        inner = IOrdered(subs) if q.in_order else IUnordered(subs)
+        return IMaxGaps(q.slop, inner) if q.slop >= 0 else inner
+    if isinstance(q, SpanOrQuery):
+        return IOr(tuple(to_interval_source(c) for c in q.clauses))
+    if isinstance(q, SpanNotQuery):
+        return INonOverlapping(
+            to_interval_source(q.include),
+            to_interval_source(q.exclude),
+            q.pre,
+            q.post,
+        )
+    if isinstance(q, SpanFirstQuery):
+        return IFirst(q.n, to_interval_source(q.match))
+    if isinstance(q, SpanContainingQuery):
+        return IContaining(
+            to_interval_source(q.big), to_interval_source(q.little)
+        )
+    if isinstance(q, SpanWithinQuery):
+        return IContainedBy(
+            to_interval_source(q.little), to_interval_source(q.big)
+        )
+    if isinstance(q, SpanBoostQuery):
+        return to_interval_source(q.query)  # boost applied at scoring time
+    raise TypeError(f"unsupported span query {type(q).__name__}")
+
+
+def span_topk(
+    idx: IndexTables,
+    q: SpanQuery,
+    k: int = 10,
+    field: str = "text",
+    pivot: float = 1.0,
+) -> DataFrame:
+    """Top-k docs for a span query: translate to intervals, run through the
+    block-max kernel when every leaf term is required (SpanNear / SpanFirst
+    / SpanContaining / SpanWithin shapes), else the flat positional plan
+    (SpanOr with disjoint branches, SpanNot excludes)."""
+    boost = 1.0
+    while isinstance(q, SpanBoostQuery):
+        boost *= q.boost
+        q = q.query
+    source = to_interval_source(q)
+    kernel_ok = (
+        idx.blocks is not None
+        and idx.positions is not None
+        and required_terms(source) == leaf_terms(source)
+    )
+    run = interval_topk_wand if kernel_ok else interval_topk
+    return run(idx, source, k=k, field=field, pivot=pivot, boost=boost)
