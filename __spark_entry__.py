@@ -865,8 +865,17 @@ def _q_sloppy_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sim_families(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DFR/LMJM/IB/DFI/Axiomatic + MultiSimilarity in one gate."""
+    """ALL ten similarity families in one gate (r4: the four formerly
+    standalone gates — classic TF-IDF, Boolean, parameterized BM25,
+    LM-Dirichlet — merged in to keep the registry within the driver's
+    50-gate recording window without losing any oracle evidence)."""
     parts = [
+        ("classic", _q_classic_topk(spark, sf_dir)),
+        ("boolean", _q_boolean_sim_topk(spark, sf_dir)),
+        ("bm25_params", _q_bm25_params_topk(spark, sf_dir)),
+        ("lmdirichlet", _q_lmdirichlet_topk(spark, sf_dir)),
+    ]
+    parts += [
         (sim, _q_similarity_topk(sim)(spark, sf_dir))
         for sim in ("dfr", "lmjm", "ib", "dfi", "f2exp")
     ]
@@ -1050,19 +1059,21 @@ def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     kernel = {"ordered3", "unordered3", "contained_by"}
-    return _union_suite(
-        [
-            (
-                name,
-                _as_gate_schema(
-                    (interval_topk_wand if name in kernel else interval_topk)(
-                        idx, node, k=10
-                    )
-                ),
-            )
-            for name, node in shapes
-        ]
-    )
+    parts = [
+        (
+            name,
+            _as_gate_schema(
+                (interval_topk_wand if name in kernel else interval_topk)(
+                    idx, node, k=10
+                )
+            ),
+        )
+        for name, node in shapes
+    ]
+    # r4: the formerly standalone 2-term NEAR gate rides as a suite arm
+    # (registry stays within the driver's 50-gate recording window)
+    parts.append(("near2", _q_intervals_near(spark, sf_dir)))
+    return _union_suite(parts)
 
 
 def _q_spans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1238,10 +1249,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_bool_mixed_topk": _q_bool_mixed_topk,
         "bm25_nested_bool_topk": _q_nested_bool_topk,
         "hybrid_range_topk": _q_hybrid_range,
-        "classic_tfidf_topk": _q_classic_topk,
-        "boolean_sim_topk": _q_boolean_sim_topk,
-        "bm25_params_topk": _q_bm25_params_topk,
-        "lmdirichlet_topk": _q_lmdirichlet_topk,
         "sim_families_topk": _q_sim_families,
         "multiterm_constant_topk": _q_multiterm_constant,
         "fuzzy_topk": _q_fuzzy_damerau_topk,
@@ -1254,7 +1261,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paging_suite": _q_paging_suite,
         "rrf_merge_join": _q_rrf,
         "scoring_suite": _q_scoring_suite,
-        "intervals_near_topk": _q_intervals_near,
         "intervals_suite": _q_intervals_suite,
         "spans_suite": _q_spans_suite,
         "highlight_passages": _q_highlight,
@@ -1308,12 +1314,15 @@ def oracle_sql() -> dict[str, str]:
             "merge", ["data", "row"], 12
         ),
         "hybrid_range_topk": osql.hybrid_range_topk_sql("merge", "n_chars", 200, 350, 10),
-        "classic_tfidf_topk": osql.classic_term_topk_sql("merge", 10),
-        "boolean_sim_topk": osql.boolean_sim_term_topk_sql("merge", 400),
-        "bm25_params_topk": osql.term_topk_params_sql("merge", 0.9, 0.4, 10),
-        "lmdirichlet_topk": osql.lmdirichlet_term_topk_sql("merge", 2000.0, 10),
         "sim_families_topk": _suite_sql(
             [
+                ("classic", osql.classic_term_topk_sql("merge", 10)),
+                ("boolean", osql.boolean_sim_term_topk_sql("merge", 400)),
+                ("bm25_params", osql.term_topk_params_sql("merge", 0.9, 0.4, 10)),
+                (
+                    "lmdirichlet",
+                    osql.lmdirichlet_term_topk_sql("merge", 2000.0, 10),
+                ),
                 ("dfr", osql.dfr_term_topk_sql("merge", 10)),
                 ("lmjm", osql.lmjm_term_topk_sql("merge", 0.7, 10)),
                 ("ib", osql.ib_term_topk_sql("merge", 10)),
@@ -1387,9 +1396,6 @@ def oracle_sql() -> dict[str, str]:
                 ),
             ]
         ),
-        "intervals_near_topk": osql.interval_ordered_near_topk_sql(
-            "merge", "join", 8, 10
-        ),
         "spans_suite": _suite_sql(
             [
                 (
@@ -1430,6 +1436,10 @@ def oracle_sql() -> dict[str, str]:
                 (
                     "not_containing",
                     osql.interval_not_containing_topk_sql("scan", "merge", "table", 8, 10),
+                ),
+                (
+                    "near2",
+                    osql.interval_ordered_near_topk_sql("merge", "join", 8, 10),
                 ),
             ]
         ),
