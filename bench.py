@@ -190,6 +190,39 @@ def run_bench() -> dict:
             shutil.rmtree(d, ignore_errors=True)
     turns.unpersist()
 
+    # round-4: proximity through the block-max kernel.  The positional table
+    # (WITH offset arrays — the ..._AND_OFFSETS layout, so this also prices
+    # the round-4 offsets feature) is built and timed separately from the
+    # headline build, then one ordered-NEAR interval query runs flat vs
+    # kernel on identical input.
+    positions_build_sec = None
+    if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS") != "1":
+        from dataclasses import replace as _replace
+
+        from lucene_spark.analysis.analyzer import StandardAnalyzer
+        from lucene_spark.index.builder import build_positions
+        from lucene_spark.search.intervals import (
+            IMaxWidth,
+            IOrdered,
+            ITerm,
+            interval_topk,
+            interval_topk_wand,
+        )
+
+        t0 = time.perf_counter()
+        pos = build_positions(idx.docmap, "text", "text", StandardAnalyzer()).persist()
+        pos.count()
+        positions_build_sec = round(time.perf_counter() - t0, 3)
+        idx_pos = _replace(idx, positions=pos)
+        node = IMaxWidth(12, IOrdered((ITerm("index"), ITerm("query"))))
+        t1 = time.perf_counter()
+        interval_topk(idx_pos, node, k=10).collect()
+        q_times["q_intervals_flat"] = round(time.perf_counter() - t1, 4)
+        t1 = time.perf_counter()
+        interval_topk_wand(idx_pos, node, k=10).collect()
+        q_times["wand_q_intervals"] = round(time.perf_counter() - t1, 4)
+        pos.unpersist()
+
     # training-data extras: candidate-driven MinHash dedup + brute ANN
     extras = {}
     docs_path = os.path.join(SF_DIR, "documents.parquet")
@@ -313,6 +346,8 @@ def run_bench() -> dict:
     }
     if ondisk_build_sec is not None:
         result["ondisk_build_sec"] = ondisk_build_sec
+    if positions_build_sec is not None:
+        result["positions_build_sec"] = positions_build_sec
     if extras:
         result["extras"] = extras
     spark.stop()
