@@ -751,6 +751,22 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").unionByName(dup.select("doc_id", "text"))
 
 
+def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data curation pass over the dup-injected corpus:
+    per-doc keep/reason (exact_dup > near_dup > length > lang > quality) —
+    thresholds chosen so every rule fires at sf0.01."""
+    from lucene_spark.extras.curation import curate
+
+    return curate(
+        _docs_with_dups(spark, sf_dir),
+        near_threshold=0.5,
+        min_words=15,
+        max_words=95,
+        allowed_langs=("en",),
+        min_quality=0.62,
+    ).orderBy("doc_id")
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.extras.dedup import exact_dup_groups
 
@@ -1279,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_suite": _q_knn_suite,
         "ann_cosine_topk": _q_ann_topk,
         "dedup_exact_groups": _q_dedup_exact,
+        "curation_pipeline": _q_curation,
         "dedup_pairs_suite": _q_dedup_pairs_suite,
         "dedup_embedding_cos": _q_dedup_embedding,
         "dedup_embedding_lsh": _q_dedup_embedding_lsh,
@@ -1477,6 +1494,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": xor.knn_cosine_topk_sql(0, 10),
         "dedup_exact_groups": xor.exact_dup_groups_sql(),
+        "curation_pipeline": xor.curation_sql(
+            near_threshold=0.5,
+            min_words=15,
+            max_words=95,
+            allowed_langs=("en",),
+            min_quality=0.62,
+        ),
         "dedup_pairs_suite": (
             "SELECT 'jaccard' AS qkind, CAST(doc_a AS BIGINT) AS doc_a,"
             " CAST(doc_b AS BIGINT) AS doc_b, CAST(jaccard AS DOUBLE) AS score"

@@ -1,0 +1,90 @@
+"""Corpus curation: the composed training-data filter pipeline.
+
+The operation an LLM-data pipeline actually runs over 100 TB: one pass that
+decides, per document, *keep or drop and why* — exact dedup, near dedup,
+length, language, quality — with a deterministic, auditable reason column
+(the per-rule counts are the curation report every data card needs).
+
+Design for scale: every rule is a column expression or a join against a
+rule-specific side table (md5 keepers: one map-side-combined groupBy;
+near-dup drops: the MinHash-LSH candidate pipeline, verified pairs only;
+quality / language / token counts: pure column math).  The final frame is
+``docs ⋈ sides`` on doc_id — no corpus² anywhere, no driver collect.
+
+Near-dup policy is **keep-first** (greedy): a doc is dropped when it is the
+GREATER doc_id of any verified near-duplicate pair.  This is the standard
+single-pass web-dedup policy (drop later crawls); it is NOT transitive
+clustering — a full connected-components pass would need iterative label
+propagation and is out of scope (documented envelope).
+
+Rule precedence (first failing rule names the reason):
+``exact_dup > near_dup > length > lang > quality > kept``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lucene_spark.extras.dedup import minhash_lsh_pairs
+from lucene_spark.extras.textstats import lang_id, quality_scores
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    near_threshold: float = 0.5,
+    min_words: int = 1,
+    max_words: int = 1_000_000,
+    allowed_langs: tuple = ("en",),
+    min_quality: float = 0.0,
+) -> DataFrame:
+    """(doc_id, keep boolean, reason string) per input document."""
+    d = docs.select("doc_id", F.col(text_col).alias("text"))
+
+    keepers = d.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("_keeper")
+    )
+    exact = d.join(keepers, F.md5(d["text"]) == keepers["_h"]).select(
+        "doc_id", (F.col("doc_id") != F.col("_keeper")).alias("_exact_dup")
+    )
+
+    near_drops = (
+        minhash_lsh_pairs(d, threshold=near_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_near_dup", F.lit(True))
+    )
+
+    q = quality_scores(d).select("doc_id", "n_words", "quality")
+    lang = lang_id(d).select("doc_id", "lang")
+
+    joined = (
+        exact.join(near_drops, "doc_id", "left")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .fillna({"_near_dup": False})
+    )
+    reason = (
+        F.when(F.col("_exact_dup"), F.lit("exact_dup"))
+        .when(F.col("_near_dup"), F.lit("near_dup"))
+        .when(
+            (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
+            F.lit("length"),
+        )
+        .when(~F.col("lang").isin(list(allowed_langs)), F.lit("lang"))
+        .when(F.col("quality") < min_quality, F.lit("quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return joined.select(
+        "doc_id",
+        (reason == "kept").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
+def curation_report(decisions: DataFrame) -> DataFrame:
+    """(reason, n_docs) — the data-card summary of a curate() pass."""
+    return decisions.groupBy("reason").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

@@ -71,15 +71,13 @@ ORDER BY doc_a, doc_b
 """
 
 
-def minhash_lsh_pairs_sql(
-    num_hashes: int = 32, bands: int = 16, threshold: float = 0.5, seed: int = 42
-) -> str:
+def _minhash_cand_ctes(num_hashes: int, bands: int, seed: int) -> str:
+    """CTE chain ``shh``→``cand`` (banded MinHash candidates over ``sh``)."""
     a, b = minhash_seeds(num_hashes, seed)
     a_lit = "[" + ",".join(str(int(x)) for x in a) + "]"
     b_lit = "[" + ",".join(str(int(x)) for x in b) + "]"
     r = num_hashes // bands
     return f"""
-WITH {DOCS_WITH_DUPS}, {_SHINGLES},
 shh AS (SELECT doc_id, {H32.format(col='shingle')} AS h FROM sh),
 mh AS (
     SELECT doc_id, t.i,
@@ -97,12 +95,85 @@ cand AS (
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM banded x JOIN banded y USING (band, bucket)
     WHERE x.doc_id < y.doc_id
-),
+)"""
+
+
+def minhash_lsh_pairs_sql(
+    num_hashes: int = 32, bands: int = 16, threshold: float = 0.5, seed: int = 42
+) -> str:
+    return f"""
+WITH {DOCS_WITH_DUPS}, {_SHINGLES},
+{_minhash_cand_ctes(num_hashes, bands, seed).lstrip()},
 {_JACCARD.strip().lstrip()}
 SELECT j.doc_a, j.doc_b, round(j.jaccard, 6) AS jaccard
 FROM jac j SEMI JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
 WHERE j.jaccard >= {threshold}
 ORDER BY j.doc_a, j.doc_b
+"""
+
+
+def curation_sql(
+    near_threshold: float = 0.5,
+    min_words: int = 1,
+    max_words: int = 1_000_000,
+    allowed_langs: tuple = ("en",),
+    min_quality: float = 0.0,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> str:
+    """The composed curation pipeline (extras/curation.py ``curate``):
+    per-doc keep/reason with precedence exact_dup > near_dup > length >
+    lang > quality, over the dup-injected corpus."""
+    best_lang, best_hits = _lang_exprs()
+    langs = ", ".join(f"'{lg}'" for lg in allowed_langs)
+    return f"""
+WITH {DOCS_WITH_DUPS}, {_SHINGLES},
+{_minhash_cand_ctes(num_hashes, bands, seed).lstrip()},
+{_JACCARD.strip().lstrip()},
+near_drops AS (
+    SELECT DISTINCT j.doc_b AS doc_id
+    FROM jac j SEMI JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= {near_threshold}
+),
+keepers AS (
+    SELECT md5(text) AS h, min(doc_id) AS keeper FROM docs GROUP BY 1
+),
+{_quality_ctes('docs').lstrip()},
+lbase AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM docs
+),
+lng AS (
+    SELECT doc_id,
+           CASE WHEN {best_hits} > 0 THEN {best_lang} ELSE 'und' END AS lang
+    FROM lbase
+),
+flags AS (
+    SELECT d.doc_id,
+           (d.doc_id <> k.keeper) AS exact_dup,
+           (nd.doc_id IS NOT NULL) AS near_dup,
+           CAST(q.n_words AS INT) AS n_words,
+           round(0.25 * q.len_score + 0.25 * least(q.stop_ratio * 5.0, 1.0)
+                 + 0.25 * greatest(0.0, 1.0 - q.punct_ratio * 4.0)
+                 + 0.25 * greatest(0.0, 1.0 - q.digit_ratio * 4.0), 6) AS quality,
+           l.lang
+    FROM docs d
+    JOIN keepers k ON md5(d.text) = k.h
+    LEFT JOIN near_drops nd ON nd.doc_id = d.doc_id
+    JOIN qual q ON q.doc_id = d.doc_id
+    JOIN lng l ON l.doc_id = d.doc_id
+),
+reasons AS (
+    SELECT doc_id,
+        CASE WHEN exact_dup THEN 'exact_dup'
+             WHEN near_dup THEN 'near_dup'
+             WHEN n_words < {min_words} OR n_words > {max_words} THEN 'length'
+             WHEN lang NOT IN ({langs}) THEN 'lang'
+             WHEN quality < {min_quality} THEN 'quality'
+             ELSE 'kept' END AS reason
+    FROM flags
+)
+SELECT doc_id, (reason = 'kept') AS keep, reason FROM reasons ORDER BY doc_id
 """
 
 
@@ -226,10 +297,12 @@ FROM documents ORDER BY doc_id
 """
 
 
-def quality_scores_sql() -> str:
+def _quality_ctes(src: str) -> str:
+    """CTE chain ``qbase``/``qual`` — per-doc n_words/ratios/quality over
+    ``src`` (shared by the standalone oracle and the curation pipeline)."""
     stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
     return f"""
-WITH base AS (
+qbase AS (
     SELECT doc_id, text,
         string_split_regex(trim(lower(text)), '\\s+') AS ws,
         CASE WHEN trim(text) = '' THEN 0.0
@@ -238,9 +311,9 @@ WITH base AS (
         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS n_chars,
         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS n_digit
-    FROM documents
+    FROM {src}
 ),
-derived AS (
+qual AS (
     SELECT doc_id, n_words,
         n_chars / greatest(n_words, 1.0) AS mean_wl,
         n_punct / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
@@ -248,8 +321,13 @@ derived AS (
         CAST(len(list_filter(ws, x -> list_contains([{stops}], x))) AS DOUBLE)
             / greatest(n_words, 1.0) AS stop_ratio,
         least(n_words / 100.0, 1.0) AS len_score
-    FROM base
-)
+    FROM qbase
+)"""
+
+
+def quality_scores_sql() -> str:
+    return f"""
+WITH {_quality_ctes('documents').lstrip()}
 SELECT doc_id,
        CAST(n_words AS INT) AS n_words,
        round(mean_wl, 6) AS mean_word_len,
@@ -259,11 +337,13 @@ SELECT doc_id,
        round(0.25 * len_score + 0.25 * least(stop_ratio * 5.0, 1.0)
              + 0.25 * greatest(0.0, 1.0 - punct_ratio * 4.0)
              + 0.25 * greatest(0.0, 1.0 - digit_ratio * 4.0), 6) AS quality
-FROM derived ORDER BY doc_id
+FROM qual ORDER BY doc_id
 """
 
 
-def lang_id_sql() -> str:
+def _lang_exprs() -> tuple:
+    """(best_lang_expr, best_hits_expr) over a ``ws`` word-list column —
+    argmax with LANG_ORDER tie-break = fold of strict > comparisons."""
     hit_exprs = {
         lang: (
             "CAST(len(list_filter(ws, x -> list_contains(["
@@ -272,12 +352,16 @@ def lang_id_sql() -> str:
         )
         for lang, prof in LANG_PROFILES.items()
     }
-    # argmax with LANG_ORDER tie-break = fold of strict > comparisons
     best_lang, best_hits = f"'{LANG_ORDER[0]}'", hit_exprs[LANG_ORDER[0]]
     for lang in LANG_ORDER[1:]:
         h = hit_exprs[lang]
         best_lang = f"CASE WHEN {h} > {best_hits} THEN '{lang}' ELSE {best_lang} END"
         best_hits = f"CASE WHEN {h} > {best_hits} THEN {h} ELSE {best_hits} END"
+    return best_lang, best_hits
+
+
+def lang_id_sql() -> str:
+    best_lang, best_hits = _lang_exprs()
     return f"""
 WITH base AS (
     SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM documents

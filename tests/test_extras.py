@@ -312,6 +312,40 @@ def test_decode_summary_mapinpandas(spark):
     assert got[2].width == -1
 
 
+def test_curation_pipeline(spark):
+    """Composed keep/drop pass: reason precedence, keep-first near-dup
+    policy, and column-rule thresholds."""
+    from lucene_spark.extras.curation import curate, curation_report
+
+    rows = [
+        (0, "the cat sat on the mat with a hat and a bat for the rat"),
+        (1, "the cat sat on the mat with a hat and a bat for the rat"),  # exact dup of 0
+        (2, "the cat sat on the mat with a hat and a bat for the cat today"),  # near dup
+        (3, "short text"),  # length
+        (4, "der und die das ist nicht ein mit von zu auf für wird sind"),  # de
+        # English (stopword hits) but digit-heavy → low quality, lang ok
+        (5, "the 111 222 333 444 555 666 777 888 999 000 and 123 456"),
+        (6, "the quick brown fox jumps over the lazy dog and then it runs away home"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curate(
+        df, near_threshold=0.4, min_words=5, max_words=50,
+        allowed_langs=("en",), min_quality=0.5,
+    ).collect()}
+    assert out[0].reason == "kept" and out[0].keep
+    assert out[1].reason == "exact_dup"  # greater id of the md5 group
+    assert out[2].reason == "near_dup"  # keep-first: doc 0 survives
+    assert out[3].reason == "length"
+    assert out[4].reason == "lang"
+    assert out[5].reason == "quality"
+    assert out[6].reason == "kept"
+    rep = {r.reason: r.n_docs for r in curation_report(
+        curate(df, near_threshold=0.4, min_words=5, max_words=50,
+               allowed_langs=("en",), min_quality=0.5)).collect()}
+    assert rep == {"kept": 2, "exact_dup": 1, "near_dup": 1,
+                   "length": 1, "lang": 1, "quality": 1}
+
+
 def test_knn_ivf_recall(spark):
     """IVF-flat ANN: ≥0.9 recall@10 vs brute force on the test embeddings;
     nprobe == n_centroids degenerates to exact."""
