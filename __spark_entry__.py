@@ -785,6 +785,19 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_with_dups(spark, sf_dir), threshold=0.5)
 
 
+def _q_dedup_minhash_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: the injected dup copies play the daily increment
+    against the base corpus — pairs touching a new doc only, via the stored
+    band-table join (no corpus re-banding)."""
+    from lucene_spark.extras.dedup import minhash_lsh_pairs_incremental
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    new = d.filter(F.col("doc_id") % 50 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return minhash_lsh_pairs_incremental(new, d, threshold=0.5)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.extras.dedup import simhash_pairs
 
@@ -1209,6 +1222,7 @@ def _q_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         [
             ("jaccard", pairs(_q_dedup_jaccard(spark, sf_dir), "jaccard")),
             ("minhash", pairs(_q_dedup_minhash(spark, sf_dir), "jaccard")),
+            ("minhash_incr", pairs(_q_dedup_minhash_incr(spark, sf_dir), "jaccard")),
             ("simhash", pairs(_q_dedup_simhash(spark, sf_dir), "hamming")),
         ]
     )
@@ -1509,6 +1523,9 @@ def oracle_sql() -> dict[str, str]:
             + ") UNION ALL SELECT 'minhash' AS qkind, CAST(doc_a AS BIGINT),"
             " CAST(doc_b AS BIGINT), CAST(jaccard AS DOUBLE) FROM ("
             + xor.minhash_lsh_pairs_sql(threshold=0.5)
+            + ") UNION ALL SELECT 'minhash_incr' AS qkind, CAST(doc_a AS BIGINT),"
+            " CAST(doc_b AS BIGINT), CAST(jaccard AS DOUBLE) FROM ("
+            + xor.minhash_lsh_pairs_sql(threshold=0.5, touching_min_id=100000)
             + ") UNION ALL SELECT 'simhash' AS qkind, CAST(doc_a AS BIGINT),"
             " CAST(doc_b AS BIGINT), CAST(hamming AS DOUBLE) FROM ("
             + xor.simhash_pairs_sql(3)

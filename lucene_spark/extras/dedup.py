@@ -148,7 +148,7 @@ def minhash_signatures(
     return grouped.select("doc_id", sig("hs").alias("sig"))
 
 
-def minhash_candidate_pairs(
+def minhash_band_table(
     df: DataFrame,
     text_col: str = "text",
     n: int = 3,
@@ -156,12 +156,14 @@ def minhash_candidate_pairs(
     bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """LSH candidate pairs (doc_a, doc_b) from banded MinHash signatures —
-    the sub-quadratic band-bucket self-join; exposed separately so callers
-    (and the benchmark) can measure |candidates| ≪ n(n−1)/2."""
+    """(doc_id, band, bucket) — the persistable LSH state of a corpus.
+
+    This is the table a pipeline stores (partitioned by ``band``) so daily
+    increments join against it instead of re-banding 100 TB: see
+    :func:`minhash_lsh_pairs_incremental`."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, n, num_hashes, seed)
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -174,6 +176,20 @@ def minhash_candidate_pairs(
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs (doc_a, doc_b) from banded MinHash signatures —
+    the sub-quadratic band-bucket self-join; exposed separately so callers
+    (and the benchmark) can measure |candidates| ≪ n(n−1)/2."""
+    banded = minhash_band_table(df, text_col, n, num_hashes, bands, seed)
     return (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "bucket"])
@@ -206,7 +222,11 @@ def minhash_lsh_pairs(
     # pairs to per-doc shingle rows — O(candidates × shingles/doc) — so the
     # full quadratic shingle self-join of :func:`ngram_jaccard_pairs` is
     # never built here (the banding's sub-quadratic promise holds at 100 TB).
-    sh = shingles_df(df, text_col, n)
+    return _verify_jaccard(cand, shingles_df(df, text_col, n), threshold)
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard over candidate pairs only (the shared verify stage)."""
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -233,6 +253,59 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs INVOLVING AT LEAST ONE NEW DOC — the daily-increment
+    dedup pass a training-data pipeline runs.
+
+    Scale shape: only the increment is shingled/signed in full; its bands
+    join the stored corpus band table (``corpus_bands`` — persist the output
+    of :func:`minhash_band_table` partitioned by ``band`` and this join is
+    partition-pruned) plus its own bands (new-new pairs).  Verification
+    shingles are computed ONLY for candidate participants (semi-join on the
+    candidate ids), so no work is ever proportional to the stored corpus.
+    Results are identical to running :func:`minhash_lsh_pairs` on
+    corpus ∪ new and keeping the pairs that touch a new doc (signatures are
+    deterministic, so banding matches exactly).
+    """
+    nb = minhash_band_table(new_docs, text_col, n, num_hashes, bands, seed)
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_band_table(corpus_docs, text_col, n, num_hashes, bands, seed)
+    )
+    all_b = cb.unionByName(nb)
+    cand = (
+        nb.alias("x")
+        .join(all_b.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") != F.col("y.doc_id"))
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    participants = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    all_docs = corpus_docs.select("doc_id", text_col).unionByName(
+        new_docs.select("doc_id", text_col)
+    )
+    needed = all_docs.join(participants, "doc_id", "left_semi")
+    return _verify_jaccard(cand, shingles_df(needed, text_col, n), threshold)
 
 
 # -------------------------------------------------------------------- simhash

@@ -99,15 +99,26 @@ cand AS (
 
 
 def minhash_lsh_pairs_sql(
-    num_hashes: int = 32, bands: int = 16, threshold: float = 0.5, seed: int = 42
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    touching_min_id: int | None = None,
 ) -> str:
+    """``touching_min_id`` restricts to pairs touching a doc with id ≥ it —
+    the incremental-dedup twin (new ids are the shifted dup copies, so any
+    pair involving a new doc has doc_b ≥ the shift; banding is deterministic
+    hence batch-restricted == incremental)."""
+    incr = (
+        f"AND j.doc_b >= {touching_min_id}" if touching_min_id is not None else ""
+    )
     return f"""
 WITH {DOCS_WITH_DUPS}, {_SHINGLES},
 {_minhash_cand_ctes(num_hashes, bands, seed).lstrip()},
 {_JACCARD.strip().lstrip()}
 SELECT j.doc_a, j.doc_b, round(j.jaccard, 6) AS jaccard
 FROM jac j SEMI JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
-WHERE j.jaccard >= {threshold}
+WHERE j.jaccard >= {threshold} {incr}
 ORDER BY j.doc_a, j.doc_b
 """
 

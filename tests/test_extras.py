@@ -71,6 +71,40 @@ def test_minhash_finds_near_dups_subset_of_exact(docs):
     assert len(mh) >= len(exact) - 1  # high recall on this fixture
 
 
+def test_minhash_incremental_matches_batch(docs, spark):
+    """Incremental dedup (increment bands vs stored corpus bands) returns
+    exactly the batch pairs that touch a new doc; the precomputed band-table
+    path is identical."""
+    from lucene_spark.extras.dedup import (
+        minhash_band_table,
+        minhash_lsh_pairs_incremental,
+    )
+
+    new = docs.filter(F.col("doc_id").isin(0, 2, 4)).withColumn(
+        "doc_id", F.col("doc_id") + 1000
+    )
+    both = docs.select("doc_id", "text").unionByName(new.select("doc_id", "text"))
+    batch = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(both, threshold=0.5).collect()
+        if r.doc_a >= 1000 or r.doc_b >= 1000
+    }
+    incr = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_incremental(new, docs, threshold=0.5).collect()
+    }
+    assert incr == batch and len(incr) >= 3  # each copy pairs with its source
+    stored = minhash_band_table(docs).persist()
+    incr2 = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_incremental(
+            new, docs, corpus_bands=stored, threshold=0.5
+        ).collect()
+    }
+    stored.unpersist()
+    assert incr2 == batch
+
+
 def test_simhash_pairs(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, max_distance=6).collect()
