@@ -1187,6 +1187,7 @@ def _q_percolator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             8: "data AND NOT win*",
             9: "s?an",
             10: "batch AND megre~1",
+            11: '"table value"~2',
         },
         analyzer=GATE_ANALYZER,
         key_cols=("doc_id",),

@@ -191,8 +191,14 @@ ORDER BY doc_id, query_id
 def percolator_suite_sql() -> str:
     """Every supported percolator shape in one gate: terms / Booleans /
     MUST_NOT (1-4), exact phrases (5-6), prefix term-acceptors (7-8),
-    wildcard (9) and distance-1 fuzzy (10; OSA ≤ 1 == Damerau-Levenshtein
-    ≤ 1, so DuckDB's ``damerau_levenshtein`` is the exact twin)."""
+    wildcard (9), distance-1 fuzzy (10; OSA ≤ 1 == Damerau-Levenshtein
+    ≤ 1, so DuckDB's ``damerau_levenshtein`` is the exact twin), and a
+    sloppy phrase (11).  For TWO distinct terms a SloppyPhraseMatcher
+    match with matchLength ≤ slop exists iff SOME pair of shifted
+    positions lies within slop: every chain leader matches its closest
+    predecessor, and for the globally closest pair (F, L) either L itself
+    becomes a leader (matchLength ≤ L−F) or the last leader before it
+    already pairs within L−F — so membership reduces to the EXISTS below."""
     return f"""
 WITH {BASE_CTES},
 words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -232,6 +238,10 @@ SELECT DISTINCT doc_id, 9 FROM d WHERE term LIKE 's_an'
 UNION
 SELECT DISTINCT a.doc_id, 10 FROM d a JOIN d b USING (doc_id)
 WHERE a.term = 'batch' AND damerau_levenshtein(b.term, 'megre') <= 1
+UNION
+SELECT DISTINCT a.doc_id, 11 FROM tp a JOIN tp b ON b.doc_id = a.doc_id
+WHERE a.term = 'table' AND b.term = 'value'
+  AND abs((b.pos - 1) - a.pos) <= 2
 ORDER BY doc_id, query_id
 """
 

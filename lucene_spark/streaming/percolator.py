@@ -21,7 +21,9 @@ Design (SURVEY.md §2.9):
   per-length substring projections + broadcast equi-joins, the
   ``Presearcher.java`` term-acceptor analog), general wildcards (``s?an`` —
   broadcast LIKE join), distance-1 fuzzy (OSA ≤ 1 with the transposition
-  branch, broadcast non-equi join), exact phrases, and one-level Booleans
+  branch, broadcast non-equi join), phrases at any slop (exact via the
+  shifted-position SQL; sloppy via the engine's SloppyPhraseMatcher
+  transcription per candidate doc), and one-level Booleans
   of them (MUST / SHOULD / MUST_NOT / FILTER, minimumNumberShouldMatch) —
   the envelope Lucene's presearcher optimizes well; anything else would
   need a per-batch scoring pass with
@@ -135,16 +137,17 @@ class _Registered:
 
 
 def _phrase_parts(q: PhraseQuery, query_id: int, cid0: int):
-    if q.slop != 0:
-        raise ValueError(
-            f"query {query_id}: percolator phrases are exact-only (slop=0)"
-        )
+    """Presearch rows (MUST of the distinct terms) + the positional-verify
+    spec (terms in order, slop).  Exact phrases verify via the shifted-
+    position SQL; sloppy ones (r4) via the engine's ``sloppy_phrase_freq``
+    matcher — the same fuzz-verified ``SloppyPhraseMatcher`` transcription
+    the searcher uses, so Monitor and IndexSearcher agree by construction."""
     if not q.terms:
         raise ValueError(f"query {query_id}: empty phrase")
     rows = [
         (t, "must", cid0 + i, "term") for i, t in enumerate(sorted(set(q.terms)))
     ]
-    return rows, tuple(q.terms)
+    return rows, (tuple(q.terms), int(q.slop))
 
 
 def _decompose(query_id: int, q) -> _Registered:
@@ -190,8 +193,8 @@ def _decompose(query_id: int, q) -> _Registered:
             else:
                 raise ValueError(
                     f"query {query_id}: percolator supports terms, prefixes, "
-                    f"wildcards, distance-1 fuzzy, exact phrases (MUST), and "
-                    f"one-level Booleans of them, got {type(c.query).__name__}"
+                    f"wildcards, distance-1 fuzzy, phrases (MUST, any slop), "
+                    f"and one-level Booleans of them, got {type(c.query).__name__}"
                 )
             if c.occur in (Occur.MUST, Occur.FILTER):
                 terms.append((key, "must", cid, kind))
@@ -252,18 +255,23 @@ class Monitor:
             "query_id int, n_must int, min_should int, n_phrases int",
         )
         phrase_rows = [
-            (r.query_id, pid, t, off, len(ph))
+            (r.query_id, pid, t, off, len(ph), slop)
             for r in regs
-            for pid, ph in enumerate(r.phrases)
+            for pid, (ph, slop) in enumerate(r.phrases)
             for off, t in enumerate(ph)
         ]
         self.query_phrase_terms = (
             self.spark.createDataFrame(
                 phrase_rows,
-                "query_id int, phrase_id int, term string, offset int, plen int",
+                "query_id int, phrase_id int, term string, offset int, "
+                "plen int, slop int",
             )
             if phrase_rows
             else None
+        )
+        self._has_sloppy = any(s > 0 for _q, _p, _t, _o, _l, s in phrase_rows)
+        self._has_exact_phrase = any(
+            s == 0 for _q, _p, _t, _o, _l, s in phrase_rows
         )
 
     def register(self, query_id: int, query_str: str) -> None:
@@ -373,24 +381,77 @@ class Monitor:
             return verified.select(*self.key_cols, "query_id")
 
         # positional verification of phrase candidates (the MemoryIndex
-        # verify step for phrase queries): a phrase matches a doc iff some
-        # start s has ALL its offsets present at s+offset — count distinct
-        # offsets at shifted position s == phrase length.  The broadcast
-        # join against the phrase-term table restricts the positional work
-        # to docs containing phrase terms.
-        ph = tpos.join(F.broadcast(self.query_phrase_terms), "term")
-        starts = ph.groupBy(
-            *self.key_cols,
-            "query_id",
-            "phrase_id",
-            "plen",
-            (F.col("pos") - F.col("offset")).alias("s"),
-        ).agg(F.countDistinct("offset").alias("n_off"))
-        phrase_hit = (
-            starts.filter(F.col("n_off") == F.col("plen"))
-            .select(*self.key_cols, "query_id", "phrase_id")
-            .distinct()
-        )
+        # verify step for phrase queries): exact phrases (slop=0) — a
+        # phrase matches a doc iff some start s has ALL its offsets present
+        # at s+offset (count distinct offsets at shifted position s ==
+        # phrase length); sloppy phrases (slop>0, r4) — the engine's
+        # ``sloppy_phrase_freq`` matcher (the fuzz-verified
+        # SloppyPhraseMatcher transcription incl. repeats algebra) runs per
+        # candidate (doc, phrase) group and a doc matches iff freq > 0.
+        # Both paths broadcast-join the phrase-term table first, so the
+        # positional work is restricted to docs containing phrase terms.
+        pt = self.query_phrase_terms
+        hits_parts = []
+        if self._has_exact_phrase:
+            ph = tpos.join(F.broadcast(pt.filter(F.col("slop") == 0)), "term")
+            starts = ph.groupBy(
+                *self.key_cols,
+                "query_id",
+                "phrase_id",
+                "plen",
+                (F.col("pos") - F.col("offset")).alias("s"),
+            ).agg(F.countDistinct("offset").alias("n_off"))
+            hits_parts.append(
+                starts.filter(F.col("n_off") == F.col("plen"))
+                .select(*self.key_cols, "query_id", "phrase_id")
+                .distinct()
+            )
+        if self._has_sloppy:
+            sp = tpos.join(F.broadcast(pt.filter(F.col("slop") > 0)), "term")
+            key_schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in tpos.schema
+                if f.name in self.key_cols
+            )
+            out_schema = key_schema + ", query_id int, phrase_id int"
+            key_cols = self.key_cols
+
+            def verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                import numpy as np
+
+                from lucene_spark.search.searcher import sloppy_phrase_freq
+
+                empty = pdf.iloc[0:0][key_cols + ["query_id", "phrase_id"]]
+                plen = int(pdf["plen"].iloc[0])
+                slop = int(pdf["slop"].iloc[0])
+                plists = []
+                for off in range(plen):
+                    p = pdf.loc[pdf["offset"] == off, "pos"].to_numpy(np.int64)
+                    if len(p) == 0:
+                        return empty
+                    plists.append(np.sort(p - off))
+                by_term: dict = {}
+                for off, t in zip(pdf["offset"], pdf["term"]):
+                    by_term.setdefault(t, set()).add(int(off))
+                rpt = tuple(
+                    tuple(sorted(v))
+                    for _t, v in sorted(
+                        by_term.items(), key=lambda kv: min(kv[1])
+                    )
+                    if len(v) >= 2
+                )
+                if sloppy_phrase_freq(plists, slop, rpt) > 0:
+                    return pdf.iloc[0:1][key_cols + ["query_id", "phrase_id"]]
+                return empty
+
+            hits_parts.append(
+                sp.groupBy(*self.key_cols, "query_id", "phrase_id").applyInPandas(
+                    verify, out_schema
+                )
+            )
+        phrase_hit = hits_parts[0]
+        for extra in hits_parts[1:]:
+            phrase_hit = phrase_hit.unionByName(extra)
         phrase_ok = phrase_hit.groupBy(*self.key_cols, "query_id").agg(
             F.countDistinct("phrase_id").alias("n_ok")
         )

@@ -87,12 +87,44 @@ def test_percolator_prefix_clauses(spark):
 
 
 def test_percolator_rejects_unsupported(spark):
-    # exact phrases ARE supported since round 2; sloppy phrases are not;
     # fuzzy acceptors (round 4) are distance-1 only
     with pytest.raises(ValueError):
-        Monitor(spark, {1: '"sloppy phrase"~2'})
-    with pytest.raises(ValueError):
         Monitor(spark, {1: "fuzz~2"})
+
+
+def test_percolator_sloppy_phrase_clauses(spark):
+    """Sloppy phrases (r4): presearch on the distinct terms, then the
+    engine's SloppyPhraseMatcher decides per candidate doc."""
+    mon = Monitor(
+        spark,
+        {
+            1: '"merge runs"~2',                # slop 2, reorder costs extra
+            2: 'spark AND "index fast"~1',      # term + sloppy conjunction
+            3: '"table value"',                  # exact stays exact
+        },
+    )
+    batch = _batch(
+        spark,
+        [
+            ("c0", 0, "merge the two runs"),        # 1 gap ≤ 2 ✓
+            ("c0", 1, "merge a b c runs"),          # 3 gaps > 2 ✗
+            ("c0", 2, "runs then merge"),           # reversed: cost 3 > 2 ✗
+            ("c1", 0, "spark index is fast"),       # gap 1 ≤ 1 ✓
+            ("c1", 1, "index is fast no spark"),    # wait — has spark! see below
+            ("c2", 0, "table value here"),           # exact ✓
+            ("c2", 1, "table some value"),           # exact ✗
+        ],
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.query_id) for r in mon.match_batch(batch).collect()
+    }
+    # ('c1', 1) contains spark AND "index [is] fast" with one gap ≤ 1 → matches 2
+    assert got == {
+        ("c0", 0, 1),
+        ("c1", 0, 2),
+        ("c1", 1, 2),
+        ("c2", 0, 3),
+    }
 
 
 def test_percolator_wildcard_clauses(spark):
