@@ -13,9 +13,13 @@ implements the ALPHANUM/NUM subset of UAX#29 — letter runs joined by
 MidLetter/MidNumLet (``'``, ``’``, ``.``, ``·``), digit runs joined by
 MidNum/MidNumLet (``,``, ``.``, ``;``, ``'``), ExtendNumLet (``_``) folding —
 plus the CJK (ideographic/hiragana/katakana/hangul) and EMOJI classes
-(ZWJ sequences, modifiers, flag pairs) added in round 2 — which covers the
-ALPHANUM/NUM/CJK/emoji test cases of ``TestStandardAnalyzer``; SEA scripts
-needing dictionary segmentation remain out of envelope.  Tokens longer than
+(ZWJ sequences, modifiers, flag pairs) added in round 2, and (round 4) the
+SOUTHEAST_ASIAN class — Thai/Lao/Myanmar/Khmer runs are one token like
+``StandardTokenizerImpl.jflex``, or dictionary-segmented when a
+``sea_segmenter`` is configured (:func:`make_dictionary_segmenter`, the
+``ThaiTokenizer`` analog with a caller-supplied wordlist) — which covers
+the ALPHANUM/NUM/CJK/emoji/SEA test cases of ``TestStandardAnalyzer``
+(the 40-language analyzer zoo stays out of scope).  Tokens longer than
 ``max_token_length`` (default 255) are skipped, not truncated
 (``StandardTokenizer.java:152-175``).
 
@@ -65,7 +69,19 @@ _IDEO = (
     "豈-﫿\U00020000-\U0002fa1f"
 )
 _CJK = _HIRA + _KATA + _HANGUL + _IDEO
-_W = rf"(?:(?![{_CJK}])\w)"  # \w minus the CJK script classes
+# SOUTHEAST_ASIAN class (StandardTokenizerImpl.jflex): scripts with no
+# inter-word spaces — a contiguous run is ONE token unless a dictionary
+# segmenter is configured.  Core letter+mark ranges of Thai / Lao /
+# Myanmar / Khmer (digits stay in the NUM class); including the combining
+# vowel/tone marks here also keeps a run whole, which plain ``\w`` would
+# split (marks are not alphanumeric).
+_SEA = (
+    "ก-๎"  # Thai
+    "ກ-ໍ"  # Lao
+    "က-ဿၐ-႟"  # Myanmar
+    "ក-៓"  # Khmer
+)
+_W = rf"(?:(?![{_CJK}{_SEA}])\w)"  # \w minus the CJK/SEA script classes
 # EMOJI token class (StandardTokenizer.java:43-64 EMOJI type): an emoji
 # base + optional skin-tone modifier / VS16, extended by ZWJ joins into one
 # token; regional-indicator PAIRS (flags) are one token.  (Envelope: the
@@ -84,6 +100,7 @@ _TOKEN_RE = re.compile(
     rf"|[{_HANGUL}]+"  # HANGUL runs
     rf"|[{_HIRA}]"  # single HIRAGANA
     rf"|[{_IDEO}]"  # single IDEOGRAPHIC
+    rf"|[{_SEA}]+"  # SOUTHEAST_ASIAN runs (dictionary-segmentable)
     rf"|{_REGIONAL}{_REGIONAL}"  # flag = regional-indicator pair
     rf"|{_EMOJI_SEQ}",  # EMOJI (ZWJ sequences, modifiers)
     re.UNICODE,
@@ -100,6 +117,36 @@ DEFAULT_MAX_TOKEN_LENGTH = 255
 def java_lower(s: str) -> str:
     """Per-codepoint lowercase matching ``Character.toLowerCase``."""
     return s.translate(_LOWER_EXCEPTIONS).lower()
+
+
+_SEA_START = re.compile(rf"[{_SEA}]")
+
+
+def make_dictionary_segmenter(words: Iterable[str]):
+    """Greedy longest-match word break for SOUTHEAST_ASIAN runs — the
+    dictionary-driven segmentation the reference delegates to a
+    BreakIterator dictionary (``analysis/th/ThaiTokenizer.java``;
+    ``StandardTokenizerImpl.jflex`` SOUTHEAST_ASIAN keeps the run whole).
+    Maximal matching from the left; characters no dictionary word covers
+    are emitted as single-character tokens (each consuming a position) —
+    the standard fallback, so downstream stats stay total."""
+    vocab = frozenset(words)
+    maxlen = max((len(w) for w in vocab), default=1)
+
+    def segment(run: str) -> list[str]:
+        out, i, n = [], 0, len(run)
+        while i < n:
+            for ln in range(min(maxlen, n - i), 0, -1):
+                if run[i : i + ln] in vocab:
+                    out.append(run[i : i + ln])
+                    i += ln
+                    break
+            else:
+                out.append(run[i])
+                i += 1
+        return out
+
+    return segment
 
 
 def tokenize(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> list[str]:
@@ -124,6 +171,7 @@ class StandardAnalyzer:
         token_filters: tuple = (),
         post_stop_filters: tuple = (),
         stream_filters: tuple = (),
+        sea_segmenter=None,
     ):
         """``token_filters`` / ``post_stop_filters``: extra ``str -> str |
         None`` filters (the TokenFilter extension point,
@@ -136,11 +184,28 @@ class StandardAnalyzer:
         list[(token, pos)]`` applied last — the multi-token-emitting
         TokenFilter shape (shingles, n-grams; see
         :func:`lucene_spark.analysis.filters.make_shingle_filter`)."""
+        """``sea_segmenter``: optional ``str -> list[str]`` word-break for
+        SOUTHEAST_ASIAN runs (see :func:`make_dictionary_segmenter`);
+        without it a run is one token, StandardTokenizer's behavior."""
         self.stop_words = frozenset(stop_words) if stop_words else frozenset()
         self.max_token_length = max_token_length
         self.token_filters = tuple(token_filters)
         self.post_stop_filters = tuple(post_stop_filters)
         self.stream_filters = tuple(stream_filters)
+        self.sea_segmenter = sea_segmenter
+
+    def _iter_raw(self, text: str):
+        """(raw_token, start, end) stream — the tokenizer with the optional
+        SEA dictionary word-break applied (segments keep exact offsets)."""
+        for m in _TOKEN_RE.finditer(text):
+            t = m.group(0)
+            if self.sea_segmenter is not None and _SEA_START.match(t):
+                s = m.start()
+                for seg in self.sea_segmenter(t):
+                    yield seg, s, s + len(seg)
+                    s += len(seg)
+            else:
+                yield t, m.start(), m.end()
 
     def _post(self, token: str) -> str | None:
         t = java_lower(token)
@@ -159,7 +224,16 @@ class StandardAnalyzer:
     def analyze(self, text: str) -> list[str]:
         if self.stream_filters:
             return [t for t, _p in self.analyze_with_positions(text)]
-        toks = tokenize(text, self.max_token_length)
+        if self.sea_segmenter is not None:
+            if not isinstance(text, str) or not text:
+                return []
+            toks = [
+                t
+                for t, _s, _e in self._iter_raw(text)
+                if len(t) <= self.max_token_length
+            ]
+        else:
+            toks = tokenize(text, self.max_token_length)
         if not self.token_filters and not self.post_stop_filters and not self.stop_words:
             return [java_lower(x) for x in toks]
         out = []
@@ -182,7 +256,7 @@ class StandardAnalyzer:
         if not isinstance(text, str) or not text:
             return []
         out = []
-        for pos, t in enumerate(_TOKEN_RE.findall(text)):
+        for pos, (t, _s, _e) in enumerate(self._iter_raw(text)):
             if len(t) > self.max_token_length:
                 continue
             lt = self._post(t)
@@ -213,14 +287,13 @@ class StandardAnalyzer:
         if not isinstance(text, str) or not text:
             return []
         out = []
-        for pos, m in enumerate(_TOKEN_RE.finditer(text)):
-            t = m.group(0)
+        for pos, (t, so, eo) in enumerate(self._iter_raw(text)):
             if len(t) > self.max_token_length:
                 continue
             lt = self._post(t)
             if lt is None:
                 continue
-            out.append((lt, pos, m.start(), m.end()))
+            out.append((lt, pos, so, eo))
         return out
 
     def analyze_with_offsets_series(self, texts: pd.Series) -> pd.Series:
