@@ -256,24 +256,15 @@ def run_bench() -> dict:
         # number that was trending toward n²/256 with r3's 8-bit chunks
         from pyspark.sql import functions as F_
 
-        from lucene_spark.extras.dedup import simhash_pairs, simhash_signatures
+        from lucene_spark.extras.dedup import (
+            simhash_band_table,
+            simhash_pairs,
+            simhash_signatures,
+        )
 
         t0 = time.perf_counter()
         sigs = simhash_signatures(docs).persist()
-        halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
-        chunked = sigs.select(
-            "doc_id",
-            F_.posexplode(
-                F_.array(
-                    *[
-                        F_.shiftright(F_.col(halves[c]), 16 * (c % 2)).bitwiseAND(
-                            F_.lit(0xFFFF)
-                        )
-                        for c in range(4)
-                    ]
-                )
-            ).alias("chunk", "cval"),
-        )
+        chunked = simhash_band_table(sigs)
         n_sim_cand = (
             chunked.alias("x")
             .join(chunked.alias("y"), ["chunk", "cval"])

@@ -179,12 +179,14 @@ class StandardAnalyzer:
         EnglishAnalyzer: lowercase → token_filters (possessive, folding) →
         stop removal → post_stop_filters (stemming) — stemming must run
         after stops or "was" would stem to the non-stopword "wa".  See
-        :mod:`lucene_spark.analysis.filters` for implementations."""
-        """``stream_filters``: whole-stream filters ``list[(token, pos)] ->
+        :mod:`lucene_spark.analysis.filters` for implementations.
+
+        ``stream_filters``: whole-stream filters ``list[(token, pos)] ->
         list[(token, pos)]`` applied last — the multi-token-emitting
         TokenFilter shape (shingles, n-grams; see
-        :func:`lucene_spark.analysis.filters.make_shingle_filter`)."""
-        """``sea_segmenter``: optional ``str -> list[str]`` word-break for
+        :func:`lucene_spark.analysis.filters.make_shingle_filter`).
+
+        ``sea_segmenter``: optional ``str -> list[str]`` word-break for
         SOUTHEAST_ASIAN runs (see :func:`make_dictionary_segmenter`);
         without it a run is one token, StandardTokenizer's behavior."""
         self.stop_words = frozenset(stop_words) if stop_words else frozenset()

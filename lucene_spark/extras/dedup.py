@@ -356,6 +356,29 @@ def simhash_signatures(df: DataFrame, text_col: str = "text") -> DataFrame:
     return per_doc.select("doc_id", *packed)
 
 
+def simhash_band_table(sigs: DataFrame, carry_sigs: bool = False) -> DataFrame:
+    """(doc_id[, sim_lo, sim_hi], chunk, cval) — the 4×16-bit banding of
+    64-bit signatures (THE banding scheme: ``simhash_pairs`` and the
+    bench's candidate-count metric both derive from this one definition).
+    ``carry_sigs`` keeps the signature halves on the row so the verify
+    stage needs no extra join."""
+    halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
+    carried = ["doc_id", "sim_lo", "sim_hi"] if carry_sigs else ["doc_id"]
+    return sigs.select(
+        *carried,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(halves[c]), 16 * (c % 2)).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk", "cval"),
+    )
+
+
 def simhash_pairs(
     df: DataFrame, text_col: str = "text", max_distance: int = 3
 ) -> DataFrame:
@@ -369,22 +392,7 @@ def simhash_pairs(
     into the 10⁹-doc range instead of collapsing toward n²/256 pairs.
     """
     sigs = simhash_signatures(df, text_col)
-    halves = {0: "sim_lo", 1: "sim_lo", 2: "sim_hi", 3: "sim_hi"}
-    chunked = sigs.select(
-        "doc_id",
-        "sim_lo",
-        "sim_hi",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col(halves[c]), 16 * (c % 2)).bitwiseAND(
-                        F.lit(0xFFFF)
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("chunk", "cval"),
-    )
+    chunked = simhash_band_table(sigs, carry_sigs=True)
     cand = (
         chunked.alias("x")
         .join(chunked.alias("y"), ["chunk", "cval"])

@@ -345,7 +345,11 @@ def decode_summary(media: DataFrame) -> DataFrame:
                             float(arr.mean()),
                         )
                     )
-                except ValueError:
+                except Exception:  # noqa: BLE001 — totality over 100-TB
+                    # corrupt payloads raise whatever the codec raises
+                    # (zlib.error on a bad IDAT, IndexError on truncation,
+                    # ValueError on unknown magic) — ONE bad blob must
+                    # yield its report row, never kill the stage
                     rows.append((int(did), -1, -1, -1, 0.0))
             yield pd.DataFrame(
                 rows,

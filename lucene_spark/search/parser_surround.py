@@ -120,16 +120,31 @@ class _Parser:
         return q
 
     def dist_expr(self):
+        # Lucene's surround grammar collects ALL infix operands of one
+        # distance operator into a single n-ary DistanceQuery (the slop is
+        # a TOTAL budget, not per adjacent pair); mixing different distance
+        # operators without parentheses is rejected like the reference.
         q = self.prim()
+        p = self.peek()
+        if p is None or not _is_dist_op(p) or p.lower() in _BOOL_OPS:
+            return q
+        op = self.take().lower()
+        operands = [q, self.prim()]
         while (p := self.peek()) is not None and _is_dist_op(p) and p.lower() not in _BOOL_OPS:
-            m = _is_dist_op(self.take())
-            dist = int(m.group(1)) if m.group(1) else 1
-            in_order = m.group(2).lower() == "w"
-            rhs = self.prim()
-            q = SpanNearQuery(
-                (_as_span(q), _as_span(rhs)), slop=dist - 1, in_order=in_order
-            )
-        return q
+            if p.lower() != op:
+                raise ParseError(
+                    f"mixed infix distance operators ({op!r} then "
+                    f"{p.lower()!r}) need parentheses"
+                )
+            self.take()
+            operands.append(self.prim())
+        m = _DIST_OP.match(op)
+        dist = int(m.group(1)) if m.group(1) else 1
+        return _span_near(
+            [_as_span(a) for a in operands],
+            slop=dist - 1,
+            in_order=m.group(2) == "w",
+        )
 
     def prim(self):
         tok = self.take()
@@ -164,14 +179,31 @@ class _Parser:
                 )
             m = _is_dist_op(tok)
             dist = int(m.group(1)) if m.group(1) else 1
-            return SpanNearQuery(
-                tuple(_as_span(a) for a in args),
+            return _span_near(
+                [_as_span(a) for a in args],
                 slop=dist - 1,
                 in_order=m.group(2).lower() == "w",
             )
         if "*" in tok or "?" in tok:
             return WildcardQuery(low)
         return TermQuery(low)
+
+
+def _span_near(clauses: list, slop: int, in_order: bool) -> SpanNearQuery:
+    """Build the n-ary near query, rejecting repeated operands AT PARSE
+    TIME (they would otherwise surface later as a translation ValueError —
+    RepeatingIntervalsSource semantics are out of envelope)."""
+    dup = (
+        any(a == b for a, b in zip(clauses, clauses[1:]))
+        if in_order
+        else len(set(clauses)) != len(clauses)
+    )
+    if dup:
+        raise ParseError(
+            "repeated operands in a distance operator need "
+            "RepeatingIntervalsSource semantics — out of envelope"
+        )
+    return SpanNearQuery(tuple(clauses), slop=slop, in_order=in_order)
 
 
 def _combine_or(parts: list):

@@ -45,9 +45,14 @@ def test_distance_operators():
         slop=1,
         in_order=True,
     )
-    # infix chains left-associatively into nested spans
-    q = parse_surround("a W b W c")
-    assert isinstance(q, SpanNearQuery) and isinstance(q.clauses[0], SpanNearQuery)
+    # infix chains collect into ONE flat n-ary near (reference grammar:
+    # the slop is a TOTAL budget across the chain, not per adjacent pair)
+    q = parse_surround("a 3W b 3W c")
+    assert q == SpanNearQuery(
+        (SpanTermQuery("a"), SpanTermQuery("b"), SpanTermQuery("c")),
+        slop=2,
+        in_order=True,
+    )
 
 
 def test_boolean_operators():
@@ -77,6 +82,12 @@ def test_envelope_errors():
         parse_surround("scan AND")
     with pytest.raises(ParseError):
         parse_surround("3W(a)) extra")
+    with pytest.raises(ParseError):
+        parse_surround("a W b 3N c")  # mixed infix distance ops need parens
+    with pytest.raises(ParseError):
+        parse_surround("a W a")  # repeated operands: parse-time rejection
+    with pytest.raises(ParseError):
+        parse_surround("3N(a, b, a)")  # unordered rejects ANY duplicate
 
 
 def test_surround_end_to_end(spark):
