@@ -883,9 +883,9 @@ def interval_topk_wand(
     """Top-k for ``IntervalQuery(field, source)`` through the block-max
     kernel — bit-identical to :func:`interval_topk`, with window pruning.
 
-    Plan (the 100-TB shape): the blocks scan AND the positions scan are both
-    pruned to the query's leaf terms (bucket/partition-pruned on disk); one
-    cogrouped ``applyInPandas`` per segment runs windowed block-max pruning
+    Plan: the blocks scan AND the positions scan are both pruned to the
+    query's leaf terms (bucket/partition-pruned on disk); one cogrouped
+    ``applyInPandas`` per segment runs windowed block-max pruning
     (impact-frontier count bounds → saturation-score bounds), decodes only
     surviving windows' blocks, and evaluates the interval algebra only for
     docs whose per-doc bound beats the running θ; TopDocs-merge reduces the
@@ -893,6 +893,12 @@ def interval_topk_wand(
     (``required_terms == leaf_terms``) so the window conjunction is sound —
     sources with non-conjunctive branches (``or`` of disjoint branches,
     ``notContaining`` subtrahends) take :func:`interval_topk` instead.
+
+    Measured regime (BENCH.md §1e): the positions shuffle dominates both
+    paths and block-max cannot reduce it, so the pruning saves only the
+    per-doc ``eval_intervals`` work — for a cheap 2-term NEAR the flat
+    plan is ~20% faster even at 51M postings; this path earns its keep on
+    deep nested algebra where per-candidate evaluation is the cost.
     """
     if idx.positions is None or idx.blocks is None:
         raise ValueError("interval WAND needs blocks + positional index")
