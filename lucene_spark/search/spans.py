@@ -164,11 +164,17 @@ def span_topk(
     k: int = 10,
     field: str = "text",
     pivot: float = 1.0,
+    strategy: str = "flat",
 ) -> DataFrame:
-    """Top-k docs for a span query: translate to intervals, run through the
-    block-max kernel when every leaf term is required (SpanNear / SpanFirst
-    / SpanContaining / SpanWithin shapes), else the flat positional plan
-    (SpanOr with disjoint branches, SpanNot excludes)."""
+    """Top-k docs for a span query: translate to intervals and run.
+
+    ``strategy="flat"`` (default) uses the positional plan — measured
+    faster for typical proximity shapes because the positions shuffle
+    dominates and block-max cannot reduce it (BENCH.md §1e).
+    ``strategy="kernel"`` opts into the block-max path (bit-identical;
+    worthwhile for deep nested algebra where per-candidate evaluation is
+    the cost); it requires blocks + every leaf term required — SpanOr of
+    disjoint branches and SpanNot excludes always take the flat plan."""
     boost = 1.0
     while isinstance(q, SpanBoostQuery):
         boost *= q.boost
@@ -179,5 +185,10 @@ def span_topk(
         and idx.positions is not None
         and required_terms(source) == leaf_terms(source)
     )
-    run = interval_topk_wand if kernel_ok else interval_topk
+    if strategy == "kernel" and not kernel_ok:
+        raise ValueError(
+            "kernel strategy needs blocks + a conjunctive source "
+            "(required_terms == leaf_terms)"
+        )
+    run = interval_topk_wand if strategy == "kernel" else interval_topk
     return run(idx, source, k=k, field=field, pivot=pivot, boost=boost)

@@ -152,10 +152,17 @@ def test_span_topk_end_to_end(idx):
     ]
     for q in qs:
         out = span_topk(idx, q, k=10).collect()
-        # equivalent via the flat intervals plan — same docs, scores, ranks
+        # default = the flat intervals plan — same docs, scores, ranks
         flat = interval_topk(idx, to_interval_source(q), k=10).collect()
         assert [tuple(r) for r in out] == [tuple(r) for r in flat]
         assert len(out) > 0  # shapes chosen to hit the synthetic corpus
+        src = to_interval_source(q)
+        from lucene_spark.search.intervals import leaf_terms, required_terms
+
+        if required_terms(src) == leaf_terms(src):
+            # opt-in kernel strategy stays bit-identical
+            kern = span_topk(idx, q, k=10, strategy="kernel").collect()
+            assert [tuple(r) for r in kern] == [tuple(r) for r in flat]
 
 
 def test_span_boost_scales_scores(idx):
