@@ -536,6 +536,48 @@ def run_ann_bench(
             "query_sec": round((time.perf_counter() - t0) / n_queries, 4),
             "scanned_fraction": round(frac / n_queries, 4),
         }
+    # IVF-PQ: the memory-compressed scale path (codes = m bytes/vector vs
+    # dim float32) — recall through the byte-code ADC scan + exact refine
+    from lucene_spark.extras.similarity import knn_ivfpq, pq_encode, pq_train
+
+    pq_m = 16
+    t0 = time.perf_counter()
+    books = pq_train(emb, m=pq_m)
+    pq_train_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    codes = pq_encode(emb, books).persist()
+    codes.count()
+    pq_encode_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hits = 0
+    for qid in q_ids:
+        got = {
+            r.vec_id
+            for r in knn_ivfpq(
+                emb,
+                q_vecs[qid],
+                k=k,
+                n_centroids=n_centroids,
+                nprobe=8,
+                m=pq_m,
+                refine=8,
+                centroids=cents,
+                assignments=assignments,
+                codebooks=books,
+                codes=codes,
+            ).collect()
+        }
+        hits += len(got & truth[qid])
+    ivfpq = {
+        "recall_at_k": round(hits / (n_queries * k), 4),
+        "query_sec": round((time.perf_counter() - t0) / n_queries, 4),
+        "nprobe": 8,
+        "refine": 8,
+        "pq_train_sec": round(pq_train_sec, 3),
+        "pq_encode_sec": round(pq_encode_sec, 3),
+        "bytes_per_vec": pq_m,
+        "compression_vs_f32": round(dim * 4 / pq_m, 1),
+    }
     spark.stop()
     return {
         "metric": f"IVF-flat recall@{k} vs brute on {n_vecs} vectors",
@@ -548,6 +590,7 @@ def run_ann_bench(
         "ivf_fit_sec": round(fit_sec, 3),
         "ivf_assign_sec": round(assign_sec, 3),
         "nprobe": probes,
+        "ivfpq": ivfpq,
     }
 
 

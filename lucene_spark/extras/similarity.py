@@ -282,6 +282,182 @@ def knn_ivf(
     return knn_brute(cands, query_vec, k, id_col, vec_col)
 
 
+# ------------------------------------------------------------------- IVF-PQ
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantizer codebooks ``(m, 2**nbits, dim/m)`` — per-subspace
+    k-means on the same bounded, deterministic driver sample as the IVF
+    coarse quantizer (the FAISS ``IVFPQ`` training shape; sample size is
+    fixed regardless of corpus scale).
+
+    Vectors are L2-normalized first, so asymmetric PQ distances to a
+    normalized query estimate ``‖q − x‖² = 2 − 2·cos(q, x)`` — ranking by
+    small PQ distance IS ranking by cosine, keeping PQ compatible with the
+    cosine everything else here uses.
+    """
+    if nbits > 8:
+        raise ValueError("nbits > 8 would not fit uint8 codes")
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
+    )
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    ksub = 2**nbits
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        n_eff = min(ksub, len(xs))
+        cent = xs[rng.choice(len(xs), size=n_eff, replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(axis=1)
+            for c in range(n_eff):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = xs[mask].mean(axis=0)
+        # pad short codebooks by repetition: duplicate centroids are
+        # harmless (encode argmin picks the first)
+        books[j, :n_eff] = cent
+        if n_eff < ksub:
+            books[j, n_eff:] = cent[0]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>[m]) — the compressed corpus: one byte per
+    subspace instead of ``dsub`` floats (m=8, nbits=8 over 64-dim float32
+    = 32× memory).  One vectorized matmul per (subspace, Arrow batch)."""
+    m, _ksub, dsub = codebooks.shape
+    books = codebooks
+    # argmin ‖xs − c‖² = argmin (‖c‖² − 2·xs·c): one GEMM per subspace
+    cnorm = (books**2).sum(-1)  # (m, ksub)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        mtx = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mtx = mtx / np.maximum(np.linalg.norm(mtx, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mtx), m), dtype=np.int32)
+        for j in range(m):
+            xs = mtx[:, j * dsub : (j + 1) * dsub]
+            codes[:, j] = (cnorm[j][None, :] - 2.0 * (xs @ books[j].T)).argmin(
+                axis=1
+            )
+        return pd.Series(list(codes))
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def knn_ivfpq(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 8,
+    refine: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    assignments: DataFrame | None = None,
+    codebooks: np.ndarray | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the 10⁹-vector memory answer.
+
+    The plan: probe the ``nprobe`` nearest inverted lists (partition-pruned
+    when codes are stored ``PARTITIONED BY (list_id)``), score ONLY the
+    probed lists' PQ codes by asymmetric-distance table lookups (the query's
+    ``(m, 2**nbits)`` distance table is broadcast; per candidate the
+    distance is m byte-indexed lookups — no float vectors are read), keep
+    the best ``refine·k`` by PQ distance, then re-rank exactly those with
+    true cosine (the standard IVFPQ+refine recipe, so the returned scores
+    are exact and directly comparable to :func:`knn_brute`).  Pass
+    precomputed ``centroids``/``assignments``/``codebooks``/``codes`` to
+    amortize training and encoding across queries.  ``refine=0`` skips the
+    exact pass and returns PQ distances (``adist`` ascending).
+    """
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            emb, n_centroids, seed=seed, vec_col=vec_col, id_col=id_col
+        )
+    if assignments is None:
+        assignments = ivf_assign(emb, centroids, id_col, vec_col)
+    if codebooks is None:
+        codebooks = pq_train(
+            emb, m=m, nbits=nbits, seed=seed, vec_col=vec_col, id_col=id_col
+        )
+    if codes is None:
+        codes = pq_encode(emb, codebooks, id_col, vec_col)
+    mm, _ksub, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(centroids @ q))
+    probes = [int(c) for c in order[:nprobe]]
+    # asymmetric distance tables: ‖q_j − c‖² per subspace centroid
+    tables = np.stack(
+        [
+            ((codebooks[j] - q[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(-1)
+            for j in range(mm)
+        ]
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(code_col: pd.Series) -> pd.Series:
+        cm = np.stack([np.asarray(c, dtype=np.int64) for c in code_col])
+        return pd.Series(
+            np.take_along_axis(tables, cm.T, axis=1).sum(axis=0)
+        )
+
+    cand = codes.join(
+        assignments.filter(F.col("list_id").isin(probes)).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    ).withColumn("adist", adc(F.col("codes")))
+    if refine <= 0:
+        from pyspark.sql import Window
+
+        topk = cand.select("vec_id", F.round("adist", 6).alias("adist")).orderBy(
+            F.asc("adist"), F.asc("vec_id")
+        ).limit(k)
+        w = F.row_number().over(Window.orderBy(F.asc("adist"), F.asc("vec_id"))) - 1
+        return topk.withColumn("rank", w.cast("int"))
+    short = cand.orderBy(F.asc("adist"), F.asc("vec_id")).limit(refine * k)
+    finalists = emb.join(
+        short.select("vec_id").withColumnRenamed("vec_id", "_f"),
+        emb[id_col] == F.col("_f"),
+        "left_semi",
+    )
+    return knn_brute(finalists, query_vec, k, id_col, vec_col)
+
+
 def knn_lsh(
     emb: DataFrame,
     query_vec,

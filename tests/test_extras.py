@@ -160,6 +160,61 @@ def test_knn_lsh_recall_on_planted_neighbors(spark):
     assert recall >= 0.9
 
 
+def test_knn_ivfpq_recall_and_refine(spark):
+    """IVF-PQ: planted near-duplicates of the query are recovered through
+    the code-only ADC scan + exact refine; with full probing and a large
+    refine window the result is exactly brute force."""
+    from lucene_spark.extras.similarity import knn_brute, knn_ivfpq
+
+    rng = np.random.default_rng(11)
+    dim = 32
+    base = rng.standard_normal((600, dim))
+    q = rng.standard_normal(dim)
+    planted = q[None, :] + 0.15 * rng.standard_normal((10, dim))
+    vecs = np.vstack([base, planted])
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = [r.vec_id for r in knn_brute(emb, q.tolist(), k=10).collect()]
+    assert set(exact) == set(range(600, 610))
+    approx = [
+        r.vec_id
+        for r in knn_ivfpq(
+            emb, q.tolist(), k=10, n_centroids=8, nprobe=4, m=8, refine=4
+        ).collect()
+    ]
+    assert len(set(exact) & set(approx)) / 10 >= 0.9
+    # full probe + wide refine degenerates to exact brute force
+    full = knn_ivfpq(
+        emb, q.tolist(), k=10, n_centroids=8, nprobe=8, m=8, refine=61
+    ).collect()
+    brute = knn_brute(emb, q.tolist(), k=10).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in brute]
+    # refine=0 returns PQ distances ascending
+    raw = knn_ivfpq(
+        emb, q.tolist(), k=5, n_centroids=8, nprobe=8, m=8, refine=0
+    ).collect()
+    assert [r.rank for r in raw] == list(range(5))
+    dists = [r.adist for r in raw]
+    assert dists == sorted(dists)
+
+
+def test_pq_encode_deterministic(spark):
+    from lucene_spark.extras.similarity import pq_encode, pq_train
+
+    rng = np.random.default_rng(2)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(rng.standard_normal((100, 16)))],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(emb, m=4, sample=100)
+    assert books.shape == (4, 256, 4)
+    c1 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert c1 == c2 and all(len(v) == 4 for v in c1.values())
+
+
 def test_lsh_near_dup_pairs_recall_and_precision(spark):
     from lucene_spark.extras.dedup import embedding_near_dup_pairs
     from lucene_spark.extras.similarity import lsh_near_dup_pairs
