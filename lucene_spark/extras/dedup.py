@@ -16,9 +16,10 @@ Spark-first and oracle-checkable (DuckDB SQL twins in
   min over (a·h+b) mod p) → banded buckets → bucket join for candidates →
   exact-Jaccard verification of candidates only.  Sub-quadratic: work is
   O(docs × hashes) + O(candidate pairs).
-* :func:`simhash_pairs` — 32-bit SimHash (token-hash sign sums), banded
-  into 4 × 8-bit chunks (any pair at Hamming distance ≤ 3 shares a chunk —
-  pigeonhole), verified with ``bit_count(xor) <= max_distance``.
+* :func:`simhash_pairs` — 64-bit SimHash (token-hash sign sums, held as two
+  32-bit halves), banded into 4 × 16-bit chunks (any pair at Hamming
+  distance ≤ 3 shares a chunk — pigeonhole), verified with
+  ``bit_count(xor) <= max_distance`` per half.
 * :func:`embedding_near_dup_pairs` — cosine near-duplicates over an
   embedding column; JVM-side ``zip_with``/``aggregate`` math (no Python),
   all-pairs via self-join (small scale) — the LSH-bucketed scale path is in

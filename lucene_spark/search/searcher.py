@@ -307,8 +307,24 @@ class IndexSearcher:
         # TermStates cache (index/TermStates.java): stats are immutable per
         # reader/snapshot, so repeated queries skip the lookup job
         self._termstats_memo: dict[tuple[str, str], tuple[int, int] | None] = {}
-        # lazy terms-dictionary bigram index (fuzzy candidate pruning)
+        # lazy terms-dictionary bigram index (fuzzy candidate pruning).
+        # Reader-snapshot contract (IndexReader immutability): a searcher
+        # wraps ONE immutable index snapshot — _termstats_memo,
+        # _fieldstats_cache and _ngram_index are all keyed to it.  A
+        # refreshed/replaced index must be wrapped in a NEW IndexSearcher
+        # (the reference's reopen-returns-new-reader discipline); call
+        # close() on the old one to release the persisted bigram index.
         self._ngram_index: DataFrame | None = None
+
+    def close(self) -> None:
+        """Release executor-cached state (the persisted terms-dictionary
+        bigram index) and drop the stats memos.  Idempotent; the searcher
+        stays usable (caches rebuild lazily against the same snapshot)."""
+        if self._ngram_index is not None:
+            self._ngram_index.unpersist()
+            self._ngram_index = None
+        self._termstats_memo.clear()
+        self._fieldstats_cache = None
 
     # ------------------------------------------------------------------ stats
 
@@ -787,15 +803,20 @@ class IndexSearcher:
         vacuous (short terms / high edit budgets fall back to the banded
         full-dictionary distance scan).
 
-        Soundness: with classic edit distance ≤ k, each edit op overlaps at
-        most n = 2 bigram slots, so it can remove at most 2 distinct grams
-        from the intersection ⇒ a true match shares ≥ distinct_grams(q) − 2k
-        of the query's bigrams (q-gram count filter).  For
-        transpositions=true the prefilter uses k = 2·max_edits since
-        OSA ≤ e ⇒ Levenshtein ≤ 2e."""
-        lev_cap = 2 * q.max_edits if q.transpositions else q.max_edits
+        Soundness (per-operation gram bound): a substitution or indel at
+        position i rewrites only the ≤ 2 bigrams covering i, so it removes
+        at most 2 distinct query grams from the intersection; an adjacent
+        transposition ab→ba rewrites the ≤ 3 bigrams (x,a)(a,b)(b,y), so it
+        removes at most 3.  Hence a true match within OSA distance
+        ``max_edits`` shares ≥ distinct_grams(q) − 3·max_edits of the
+        query's bigrams (− 2·max_edits for classic Levenshtein).  This is
+        strictly tighter than the former ``grams − 2·lev_cap`` route
+        through OSA ≤ e ⇒ Levenshtein ≤ 2e: at the Lucene defaults
+        (transpositions=true, max_edits=1) pruning now fires from 5-char
+        terms (4 distinct grams) instead of 6+."""
+        per_edit = 3 if q.transpositions else 2
         grams = sorted({q.term[i : i + 2] for i in range(len(q.term) - 1)})
-        thresh = len(grams) - 2 * lev_cap
+        thresh = len(grams) - per_edit * q.max_edits
         if thresh <= 0:
             return None
         return (
