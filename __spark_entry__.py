@@ -1033,21 +1033,29 @@ def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     or+maxgaps, containedBy, notContaining — all saturation-scored minimal
     intervals (``queries/intervals/``), each vs a set-algebra DuckDB twin.
 
-    The conjunctive shapes (ordered3 / unordered3 / contained_by) are
-    answered through the block-max WAND kernel (``interval_topk_wand`` —
-    bit-exact to the flat path, so the oracle row gates the kernel); the
-    non-conjunctive ones (or_maxgaps, not_containing) take the flat path."""
+    The conjunctive shapes (ordered3 / unordered3 / contained_by, and the
+    r5 phrase / repeat / before_within / overlapping) are answered through
+    the block-max WAND kernel (``interval_topk_wand`` — bit-exact to the
+    flat path, so the oracle row gates the kernel); the non-conjunctive
+    ones (or_maxgaps, not_containing, at_least2, prefix_near) take the
+    flat path."""
     from lucene_spark.search.intervals import (
         IContainedBy,
         IMaxGaps,
         IMaxWidth,
+        IMultiTerm,
         INotContaining,
         IOr,
         IOrdered,
+        IOverlapping,
         ITerm,
         IUnordered,
+        at_least,
+        before,
         interval_topk,
         interval_topk_wand,
+        phrase,
+        within,
     )
 
     idx = _searcher(spark, sf_dir).index
@@ -1086,8 +1094,41 @@ def _q_intervals_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 IMaxWidth(8, IOrdered((ITerm("scan"), ITerm("merge")))), ITerm("table")
             ),
         ),
+        # --- round-5 combinators ---
+        ("phrase", phrase(ITerm("table"), ITerm("value"))),
+        (
+            "at_least2",
+            at_least(2, ITerm("filter"), ITerm("group"), ITerm("sort")),
+        ),
+        (
+            "before_within",
+            within(before(ITerm("scan"), ITerm("merge")), 3, ITerm("table")),
+        ),
+        ("repeat", IMaxWidth(10, IOrdered((ITerm("scan"), ITerm("scan"))))),
+        (
+            "overlapping",
+            IOverlapping(
+                IOrdered((ITerm("scan"), ITerm("merge"))),
+                IOrdered((ITerm("table"), ITerm("value"))),
+            ),
+        ),
+        (
+            "prefix_near",
+            IMaxGaps(
+                3,
+                IOrdered((IMultiTerm(kind="prefix", pattern="s"), ITerm("merge"))),
+            ),
+        ),
     ]
-    kernel = {"ordered3", "unordered3", "contained_by"}
+    kernel = {
+        "ordered3",
+        "unordered3",
+        "contained_by",
+        "phrase",
+        "repeat",
+        "before_within",
+        "overlapping",
+    }
     parts = [
         (
             name,
@@ -1147,9 +1188,14 @@ def _q_spans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ]
-    return _union_suite(
-        [(name, _as_gate_schema(span_topk(idx, q, k=10))) for name, q in queries]
-    )
+    parts = [(name, _as_gate_schema(span_topk(idx, q, k=10))) for name, q in queries]
+    # r5: surround-syntax truncation inside a distance operator — parse
+    # `2W(s*, merge)` (ordered, slop 1) through the multi-term expansion
+    from lucene_spark.search.parser_surround import parse_surround
+
+    sq = parse_surround("2W(s*, merge)")
+    parts.append(("surround_prefix", _as_gate_schema(span_topk(idx, sq, k=10))))
+    return _union_suite(parts)
 
 
 def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1443,6 +1489,10 @@ def oracle_sql() -> dict[str, str]:
                     "containing",
                     osql.span_containing_topk_sql("table", "scan", 6, "value", 10),
                 ),
+                (
+                    "surround_prefix",
+                    osql.interval_prefix_near_topk_sql("s", "merge", 1, 10),
+                ),
             ]
         ),
         "intervals_suite": _suite_sql(
@@ -1472,6 +1522,28 @@ def oracle_sql() -> dict[str, str]:
                 (
                     "near2",
                     osql.interval_ordered_near_topk_sql("merge", "join", 8, 10),
+                ),
+                ("phrase", osql.interval_phrase_topk_sql("table", "value", 10)),
+                (
+                    "at_least2",
+                    osql.interval_at_least_topk_sql("filter", "group", "sort", 2, 10),
+                ),
+                (
+                    "before_within",
+                    osql.interval_before_within_topk_sql(
+                        "scan", "merge", "table", 3, 10
+                    ),
+                ),
+                ("repeat", osql.interval_repeat_topk_sql("scan", 10, 10)),
+                (
+                    "overlapping",
+                    osql.interval_overlapping_topk_sql(
+                        "scan", "merge", "table", "value", 10
+                    ),
+                ),
+                (
+                    "prefix_near",
+                    osql.interval_prefix_near_topk_sql("s", "merge", 3, 10),
                 ),
             ]
         ),

@@ -94,6 +94,25 @@ class IndexTables:
             b = b.filter(F.col("tbucket").isin(buckets))
         return b
 
+    def positions_for_terms(self, field: str, terms) -> DataFrame:
+        """The query terms' positional postings only.  On the bucketed
+        on-disk layout (``positions/segment=*/tbucket=*``) the tbucket
+        filter becomes a partition filter — a proximity query reads
+        O(query terms) buckets of the positional table instead of scanning
+        every file (the same terms-dictionary pruning as
+        :meth:`blocks_for_terms`)."""
+        if self.positions is None:
+            raise ValueError("positional queries need a positional index")
+        p = self.positions.filter(
+            (F.col("field") == field) & F.col("term").isin(list(terms))
+        )
+        if self.term_buckets and "tbucket" in self.positions.columns:
+            from lucene_spark.index.blocks import term_bucket_py
+
+            buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
+            p = p.filter(F.col("tbucket").isin(buckets))
+        return p
+
     def postings_for_terms(self, field: str, terms) -> DataFrame:
         """Flat postings restricted to ``terms``.  Disk-backed indexes decode
         only the matching (bucket-pruned) blocks instead of the whole

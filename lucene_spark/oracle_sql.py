@@ -1262,6 +1262,162 @@ kept AS (
 """
 
 
+# --- round-5 intervals oracles ----------------------------------------------
+# New combinators: phrase (block), atLeast, before/within composition,
+# repeats, overlapping, multi-term (prefix) sources.  Same recipe as the
+# round-4 family: an interval-set CTE `kept(doc_id, s, e)` per combinator
+# derived from the combinator's SEMANTICS (set algebra over positions, not a
+# transcription of the engine), then the shared IntervalScorer float32
+# saturation pipeline.
+
+
+def interval_phrase_topk_sql(term_a: str, term_b: str, k: int) -> str:
+    """``IntervalQuery(phrase(a, b))`` (``BlockIntervalsSource``): b exactly
+    one position after a; gaps 0; minExtent = 2 ⇒ every block contributes
+    1/1 to the scorer freq."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b})},
+kept AS (
+    SELECT a.doc_id, a.pos AS s, a.pos + 1 AS e
+    FROM pa a JOIN pb b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+)
+{_interval_score_sql(2, k)}
+"""
+
+
+def interval_at_least_topk_sql(
+    term_a: str, term_b: str, term_c: str, m: int, k: int
+) -> str:
+    """``IntervalQuery(atLeast(m, a, b, c))``
+    (``MinimumShouldMatchIntervalsSource``): containment-minimal covers of
+    every m-subset of the sub-sources (single terms here, so each 2-subset
+    contributes all (least, greatest) position pairs).  minExtent = m.
+
+    The streaming iterator can skip covers in a corner case (a sub-source
+    exhausting while leading — see test_intervals_round5) — the gate terms
+    were verified cover-exact on the gate corpora before wiring."""
+    assert m == 2, "oracle written for the m=2-of-3 gate shape"
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'c': term_c})},
+covers AS (
+    SELECT x.doc_id, least(x.pos, y.pos) AS s, greatest(x.pos, y.pos) AS e
+    FROM pa x JOIN pb y ON y.doc_id = x.doc_id
+    UNION ALL
+    SELECT x.doc_id, least(x.pos, y.pos), greatest(x.pos, y.pos)
+    FROM pa x JOIN pc y ON y.doc_id = x.doc_id
+    UNION ALL
+    SELECT x.doc_id, least(x.pos, y.pos), greatest(x.pos, y.pos)
+    FROM pb x JOIN pc y ON y.doc_id = x.doc_id
+),
+u AS (SELECT DISTINCT doc_id, s, e FROM covers),
+kept AS (
+    SELECT doc_id, s, e FROM u t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM u o
+        WHERE o.doc_id = t.doc_id AND o.s >= t.s AND o.e <= t.e
+          AND (o.s <> t.s OR o.e <> t.e)
+    )
+)
+{_interval_score_sql(m, k)}
+"""
+
+
+def interval_before_within_topk_sql(
+    term_a: str, term_b: str, term_c: str, positions: int, k: int
+) -> str:
+    """``IntervalQuery(within(before(a, b), p, c))`` — a-positions that (1)
+    end before some b interval starts (``Intervals.before`` =
+    containedBy(a, extend(PRECEDING(b), MAX, 0))) and (2) lie within p
+    positions of some c interval (``Intervals.within`` = containedBy(·,
+    extend(c, p, p))).  minExtent = 1 ⇒ each kept position adds 1.0."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'c': term_c})},
+kept AS (
+    SELECT a.doc_id, a.pos AS s, a.pos AS e FROM pa a
+    WHERE EXISTS (SELECT 1 FROM pb b
+                  WHERE b.doc_id = a.doc_id AND b.pos > a.pos)
+      AND EXISTS (SELECT 1 FROM pc c
+                  WHERE c.doc_id = a.doc_id
+                    AND a.pos >= c.pos - {positions}
+                    AND a.pos <= c.pos + {positions})
+)
+{_interval_score_sql(1, k)}
+"""
+
+
+def interval_repeat_topk_sql(term: str, max_width: int, k: int) -> str:
+    """``IntervalQuery(maxwidth(w, ordered(t, t)))`` —
+    ``RepeatingIntervalsSource`` windows over consecutive occurrence pairs.
+    minExtent = 1 (the reference's Repeating quirk: the SUB extent, not
+    count×) ⇒ each window of length L adds 1/L."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+px AS (SELECT doc_id, pos FROM tp WHERE term = '{term}'),
+win AS (
+    SELECT doc_id, pos AS s,
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS e
+    FROM px
+),
+kept AS (
+    SELECT doc_id, s, e FROM win
+    WHERE e IS NOT NULL AND e - s + 1 <= {max_width}
+)
+{_interval_score_sql(1, k)}
+"""
+
+
+def interval_overlapping_topk_sql(
+    term_a: str, term_b: str, term_c: str, term_d: str, k: int
+) -> str:
+    """``IntervalQuery(overlapping(ordered(a, b), ordered(c, d)))``
+    (``OverlappingIntervalsSource``): source pairs touching some reference
+    pair.  minExtent = 2 (the source's)."""
+    return f"""
+WITH {BASE_CTES},{_interval_tp_ctes({'a': term_a, 'b': term_b, 'c': term_c, 'd': term_d})},
+{_ordered_pair_ctes('sr', 'pa', 'pb').lstrip()},
+{_ordered_pair_ctes('rf', 'pc', 'pd').lstrip()},
+kept AS (
+    SELECT m.doc_id, m.s, m.e FROM srm m
+    WHERE EXISTS (
+        SELECT 1 FROM rfm r
+        WHERE r.doc_id = m.doc_id AND r.s <= m.e AND r.e >= m.s
+    )
+)
+{_interval_score_sql(2, k)}
+"""
+
+
+def interval_prefix_near_topk_sql(
+    prefix: str, term_b: str, max_gaps: int, k: int
+) -> str:
+    """``IntervalQuery(maxgaps(g, ordered(prefix(p), b)))`` — the multi-term
+    interval source (``Intervals.prefix`` → ``MultiTermIntervalsSource``):
+    the prefix expands to the or of every matching vocabulary term, whose
+    minimal union over single-word positions is simply every position whose
+    token matches the prefix.  Also the oracle for the surround query
+    ``(g+1)W(p*, b)``.  minExtent = 2."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+pa AS (SELECT doc_id, pos FROM tp WHERE term LIKE '{prefix}%'),
+pb AS (SELECT doc_id, pos FROM tp WHERE term = '{term_b}'),
+{_ordered_pair_ctes('mx', 'pa', 'pb').lstrip()},
+kept AS (SELECT doc_id, s, e FROM mxm WHERE e - s - 1 <= {max_gaps})
+{_interval_score_sql(2, k)}
+"""
+
+
 def term_count_sql(term: str) -> str:
     return f"""
 WITH {BASE_CTES}

@@ -131,33 +131,22 @@ class ITerm(IntervalSource):
 @_dataclass(frozen=True)
 class IOrdered(IntervalSource):
     """``Intervals.ordered`` (``OrderedIntervalsSource.java:101-185``):
-    minimal intervals of the ordered conjunction.  Repeated equal adjacent
-    sub-sources (``RepeatingIntervalsSource``) are out of envelope."""
+    minimal intervals of the ordered conjunction.  Adjacent equal
+    sub-sources collapse to :class:`IRepeat` in :func:`normalize`
+    (``OrderedIntervalsSource.build`` deduplicate →
+    ``RepeatingIntervalsSource``)."""
 
     subs: tuple
-
-    def __post_init__(self):
-        for a, b in zip(self.subs, self.subs[1:]):
-            if a == b:
-                raise ValueError(
-                    "repeated adjacent sub-sources need RepeatingIntervalsSource"
-                    " semantics (out of envelope)"
-                )
 
 
 @_dataclass(frozen=True)
 class IUnordered(IntervalSource):
     """``Intervals.unordered`` (``UnorderedIntervalsSource.java:101-191``):
-    minimal windows containing one interval from every sub-source."""
+    minimal windows containing one interval from every sub-source.
+    Duplicate sub-sources collapse to :class:`IRepeat` in
+    :func:`normalize` (``UnorderedIntervalsSource.build`` deduplicate)."""
 
     subs: tuple
-
-    def __post_init__(self):
-        if len(set(self.subs)) != len(self.subs):
-            raise ValueError(
-                "duplicate sub-sources need RepeatingIntervalsSource semantics"
-                " (out of envelope)"
-            )
 
 
 @_dataclass(frozen=True)
@@ -243,16 +232,183 @@ class INotContaining(IntervalSource):
     subtrahend: IntervalSource
 
 
+# --------------------------------------------------------------------------
+# round 5: block (phrase), atLeast, extend/offset (⇒ before/after/within/
+# notWithin), overlapping, repeats, multi-term sources, no-match sentinel
+# --------------------------------------------------------------------------
+
+
+@_dataclass(frozen=True)
+class IBlock(IntervalSource):
+    """``Intervals.phrase`` (``BlockIntervalsSource.java:28-137``): each
+    sub-source interval must start exactly one position after the previous
+    sub's end (contiguous chain); gaps are always 0.  Construct via
+    :func:`phrase` — like ``BlockIntervalsSource.build`` it pulls nested
+    disjunctions up FIRST (``Intervals.or(Disjunctions.pullUp(...))``), so
+    minimization cannot hide a longer branch inside a block."""
+
+    subs: tuple
+
+
+@_dataclass(frozen=True)
+class IAtLeast(IntervalSource):
+    """``Intervals.atLeast(m, sources)``
+    (``MinimumShouldMatchIntervalsSource.java:138-260``): minimal windows
+    spanning intervals from at least ``min_match`` of the sub-sources —
+    the unordered-AND/OR hybrid with proximity + background queues."""
+
+    min_match: int
+    subs: tuple
+
+
+@_dataclass(frozen=True)
+class IExtend(IntervalSource):
+    """``Intervals.extend`` (``ExtendedIntervalsSource``,
+    ``ExtendedIntervalIterator.java:44-76``): widen each sub interval to
+    ``[max(0, s - before), e + after]``; ``gaps()`` delegates to the inner
+    iterator (extensions never count as gaps)."""
+
+    sub: IntervalSource
+    before: int
+    after: int
+
+
+@_dataclass(frozen=True)
+class IOffset(IntervalSource):
+    """``OffsetIntervalsSource.java:51-97``: the zero-width point just
+    before each sub interval (``max(0, start - 1)``) when ``before``, else
+    just after (``end + 1``).  The building block of ``Intervals.before``/
+    ``after`` (PRECEDING/FOLLOWING)."""
+
+    sub: IntervalSource
+    before: bool
+
+
+@_dataclass(frozen=True)
+class IOverlapping(IntervalSource):
+    """``Intervals.overlapping(source, reference)``
+    (``OverlappingIntervalsSource.java:36-62``): source intervals touching
+    at least one reference interval.  A conjunction source — docs must
+    contain BOTH sides (the reference extends
+    ``ConjunctionIntervalsSource``)."""
+
+    source: IntervalSource
+    reference: IntervalSource
+
+
+@_dataclass(frozen=True)
+class IRepeat(IntervalSource):
+    """``RepeatingIntervalsSource.java:42-215`` (``DuplicateIntervalIterator``):
+    sliding windows of ``count`` consecutive sub-source intervals, no
+    minimization — how the reference matches ``ordered("a", "a")`` and
+    repeated-term phrases.  ``min_extent`` is the SUB source's extent, not
+    count× (``RepeatingIntervalsSource.minExtent:93-95`` — a scoring quirk
+    transcribed faithfully).  Gaps = span − Σ sub-interval widths (the
+    reference's ``width()`` sums ``start − end + 1``, a sign slip that only
+    cancels for single-position subs; we keep the sane sum, identical for
+    the term repeats the reference actually exercises)."""
+
+    sub: IntervalSource
+    count: int
+
+
+@_dataclass(frozen=True)
+class IMultiTerm(IntervalSource):
+    """``Intervals.prefix/wildcard/regexp/fuzzyTerm/range``
+    (``Intervals.java:160-370``, ``MultiTermIntervalsSource.java:43-105``):
+    the disjunction of every matching term's intervals, capped at
+    ``max_expansions`` (default 128, ``Intervals.DEFAULT_MAX_EXPANSIONS``)
+    — exceeding the cap raises, mirroring the IllegalStateException.
+    Resolved against the terms dictionary by :func:`resolve_multiterms`
+    before evaluation."""
+
+    kind: str  # 'prefix' | 'wildcard' | 'regexp' | 'fuzzy' | 'range'
+    pattern: str = ""
+    max_expansions: int = 128
+    # fuzzy knobs (Lucene FuzzyQuery defaults)
+    max_edits: int = 1
+    transpositions: bool = True
+    # range bounds
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
+@_dataclass(frozen=True)
+class INoMatch(IntervalSource):
+    """``NoMatchIntervalsSource``: never emits (empty multi-term expansion,
+    ``atLeast`` with too few live sources)."""
+
+    reason: str = ""
+
+
+# ------------------------------------------------------------- factory sugar
+# (mirrors the Intervals.java factory compositions, reference lines cited)
+
+_BIG = 1 << 40  # stands in for Integer.MAX_VALUE in the extend compositions
+
+
+def phrase(*subs: IntervalSource) -> IntervalSource:
+    """``Intervals.phrase`` (``Intervals.java:97-121``): single sub passes
+    through; otherwise nested disjunctions pull up at CONSTRUCTION
+    (``BlockIntervalsSource.build``) — apply :func:`normalize` afterwards
+    as usual."""
+    if len(subs) == 1:
+        return subs[0]
+    return IBlock(tuple(subs))
+
+
+def at_least(min_match: int, *subs: IntervalSource) -> IntervalSource:
+    """``Intervals.atLeast`` (``Intervals.java:561-577``): m == n degrades
+    to ``unordered``, m > n to a no-match source."""
+    if min_match == len(subs):
+        return IUnordered(tuple(subs))
+    if min_match > len(subs):
+        return INoMatch(f"too few sources to match minimum of [{min_match}]")
+    return IAtLeast(min_match, tuple(subs))
+
+
+def before(source: IntervalSource, reference: IntervalSource) -> IntervalSource:
+    """``Intervals.before`` (``Intervals.java:582-585``): source intervals
+    contained by [0, ref.start − 1] for some reference interval — i.e.
+    ending before a reference interval starts."""
+    return IContainedBy(source, IExtend(IOffset(reference, True), _BIG, 0))
+
+
+def after(source: IntervalSource, reference: IntervalSource) -> IntervalSource:
+    """``Intervals.after`` (``Intervals.java:588-593``)."""
+    return IContainedBy(source, IExtend(IOffset(reference, False), 0, _BIG))
+
+
+def within(
+    source: IntervalSource, positions: int, reference: IntervalSource
+) -> IntervalSource:
+    """``Intervals.within`` (``Intervals.java:509-513``): source intervals
+    within ``positions`` of a reference interval = containedBy the
+    reference extended both ways."""
+    return IContainedBy(source, IExtend(reference, positions, positions))
+
+
+def not_within(
+    minuend: IntervalSource, positions: int, subtrahend: IntervalSource
+) -> IntervalSource:
+    """``Intervals.notWithin`` (``Intervals.java:494-499``): minuend
+    intervals farther than ``positions`` from every subtrahend interval =
+    nonOverlapping with the subtrahend extended both ways."""
+    return INonOverlapping(minuend, IExtend(subtrahend, positions, positions))
+
+
 def leaf_terms(node: IntervalSource) -> set:
     """All terms whose position lists the evaluator needs."""
     if isinstance(node, ITerm):
         return {node.term}
-    if isinstance(node, (IOrdered, IUnordered, IOr)):
+    if isinstance(node, (IOrdered, IUnordered, IOr, IBlock, IAtLeast)):
         out = set()
         for s in node.subs:
             out |= leaf_terms(s)
         return out
-    if isinstance(node, (IMaxWidth, IMaxGaps)):
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
         return leaf_terms(node.sub)
     if isinstance(node, IContainedBy):
         return leaf_terms(node.small) | leaf_terms(node.big)
@@ -260,8 +416,15 @@ def leaf_terms(node: IntervalSource) -> set:
         return leaf_terms(node.big) | leaf_terms(node.small)
     if isinstance(node, (INotContaining, INonOverlapping)):
         return leaf_terms(node.minuend) | leaf_terms(node.subtrahend)
-    if isinstance(node, IFirst):
-        return leaf_terms(node.sub)
+    if isinstance(node, IOverlapping):
+        return leaf_terms(node.source) | leaf_terms(node.reference)
+    if isinstance(node, INoMatch):
+        return set()
+    if isinstance(node, IMultiTerm):
+        raise TypeError(
+            "multi-term interval source must be resolved against the terms"
+            " dictionary first (resolve_multiterms)"
+        )
     raise TypeError(f"unknown interval source {node!r}")
 
 
@@ -271,7 +434,7 @@ def required_terms(node: IntervalSource) -> set:
     common to every branch, a NOT-CONTAINING only its minuend's)."""
     if isinstance(node, ITerm):
         return {node.term}
-    if isinstance(node, (IOrdered, IUnordered)):
+    if isinstance(node, (IOrdered, IUnordered, IBlock)):
         out = set()
         for s in node.subs:
             out |= required_terms(s)
@@ -282,7 +445,18 @@ def required_terms(node: IntervalSource) -> set:
         for p in parts[1:]:
             out &= p
         return out
-    if isinstance(node, (IMaxWidth, IMaxGaps)):
+    if isinstance(node, IAtLeast):
+        # a term is required iff dropping it leaves fewer than min_match
+        # live sub-sources (the sources requiring it all die together)
+        n = len(node.subs)
+        reqs = [required_terms(s) for s in node.subs]
+        out = set()
+        for t in set().union(*reqs):
+            k = sum(1 for r in reqs if t in r)
+            if n - k < node.min_match:
+                out.add(t)
+        return out
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
         return required_terms(node.sub)
     if isinstance(node, IContainedBy):
         return required_terms(node.small) | required_terms(node.big)
@@ -290,20 +464,37 @@ def required_terms(node: IntervalSource) -> set:
         return required_terms(node.big) | required_terms(node.small)
     if isinstance(node, (INotContaining, INonOverlapping)):
         return required_terms(node.minuend)
-    if isinstance(node, IFirst):
-        return required_terms(node.sub)
+    if isinstance(node, IOverlapping):
+        return required_terms(node.source) | required_terms(node.reference)
+    if isinstance(node, INoMatch):
+        return set()
+    if isinstance(node, IMultiTerm):
+        raise TypeError(
+            "multi-term interval source must be resolved against the terms"
+            " dictionary first (resolve_multiterms)"
+        )
     raise TypeError(f"unknown interval source {node!r}")
 
 
 def min_extent(node: IntervalSource) -> int:
     """``IntervalsSource.minExtent`` — the scorer's length normalizer."""
-    if isinstance(node, ITerm):
+    if isinstance(node, (ITerm, IOffset, IMultiTerm)):
         return 1
-    if isinstance(node, (IOrdered, IUnordered)):
+    if isinstance(node, (IOrdered, IUnordered, IBlock)):
         return sum(min_extent(s) for s in node.subs)
     if isinstance(node, IOr):
         return min(min_extent(s) for s in node.subs)
-    if isinstance(node, (IMaxWidth, IMaxGaps)):
+    if isinstance(node, IAtLeast):
+        # sum of the min_match smallest sub extents
+        # (MinimumShouldMatchIntervalsSource.minExtent:104-115)
+        return sum(sorted(min_extent(s) for s in node.subs)[: node.min_match])
+    if isinstance(node, (IMaxWidth, IMaxGaps, IFirst)):
+        return min_extent(node.sub)
+    if isinstance(node, IExtend):
+        return node.before + min_extent(node.sub) + node.after
+    if isinstance(node, IRepeat):
+        # the reference returns the SUB extent (RepeatingIntervalsSource
+        # .minExtent:93-95), not count× — transcribed for scoring parity
         return min_extent(node.sub)
     if isinstance(node, IContainedBy):
         return min_extent(node.small)
@@ -311,9 +502,391 @@ def min_extent(node: IntervalSource) -> int:
         return min_extent(node.big)
     if isinstance(node, (INotContaining, INonOverlapping)):
         return min_extent(node.minuend)
-    if isinstance(node, IFirst):
-        return min_extent(node.sub)
+    if isinstance(node, IOverlapping):
+        return min_extent(node.source)
+    if isinstance(node, INoMatch):
+        return 0
     raise TypeError(f"unknown interval source {node!r}")
+
+
+# ---------------------------------------------------------------------------
+# Disjunction pull-up (``Disjunctions.java:34-100``) + source normalization.
+#
+# Gap-sensitive wrappers (maxgaps, phrase/block) must see disjunctions at the
+# TOP of the tree: minimal-interval iterators minimize width, so a narrow
+# disjunction branch can shadow a wide one that would have satisfied the gap
+# filter (the reference's Intervals.java class-comment example).  The
+# reference rewrites at factory-construction time; here :func:`normalize`
+# applies the same rewrite over the already-built dataclass tree — called
+# once at query entry (interval_topk / interval_topk_wand / span_topk).
+# ---------------------------------------------------------------------------
+
+
+MAX_PULLUP_CLAUSES = 1024  # IndexSearcher.getMaxClauseCount() analog
+
+
+def pull_up_disjunctions(node: IntervalSource) -> list:
+    """``IntervalsSource.pullUpDisjunctions`` per concrete type: the list of
+    disjuncts this source can split into (singleton = atomic)."""
+    if isinstance(node, IOr):
+        return list(node.subs)
+    if isinstance(node, (IOrdered, IUnordered)):
+        ctor = IOrdered if isinstance(node, IOrdered) else IUnordered
+        return _pull_up_list(list(node.subs), lambda subs: ctor(tuple(subs)))
+    if isinstance(node, IBlock):
+        return _pull_up_list(list(node.subs), _make_block)
+    if isinstance(node, IMaxWidth):
+        # FilteredIntervalsSource.MaxWidth.pullUpDisjunctions
+        return [IMaxWidth(node.width, d) for d in _split_disjunctions(node.sub)]
+    if isinstance(node, IContainedBy):
+        # only the BIG side pulls up (ContainedByIntervalsSource.java:83-85)
+        return [
+            IContainedBy(node.small, d) for d in _split_disjunctions(node.big)
+        ]
+    if isinstance(node, IContaining):
+        return [
+            IContaining(d, node.small) for d in _split_disjunctions(node.big)
+        ]
+    if isinstance(node, IOverlapping):
+        return _pull_up_list(
+            [node.source, node.reference],
+            lambda subs: IOverlapping(subs[0], subs[1]),
+        )
+    if isinstance(node, IExtend):
+        return [
+            IExtend(d, node.before, node.after)
+            for d in pull_up_disjunctions(node.sub)
+        ]
+    # Term / MultiTerm / MaxGaps / NotContaining / NonOverlapping / Repeat /
+    # AtLeast / Offset / First / NoMatch: atomic (singleton pullUp)
+    return [node]
+
+
+def _make_block(subs) -> IntervalSource:
+    """Raw block constructor with nested-block flattening
+    (``BlockIntervalsSource`` ctor → ``flatten:36-47`` — gap-0 chains
+    compose)."""
+    flat: list = []
+    for s in subs:
+        flat.extend(s.subs if isinstance(s, IBlock) else [s])
+    return flat[0] if len(flat) == 1 else IBlock(tuple(flat))
+
+
+def _split_disjunctions(node: IntervalSource) -> list:
+    """``Disjunctions.splitDisjunctions``: disjuncts with minExtent == 1 are
+    regrouped into ONE or() (length-1 intervals are interchangeable under
+    minimization); wider disjuncts stay separate."""
+    singles, non = [], []
+    for d in pull_up_disjunctions(node):
+        (singles if min_extent(d) == 1 else non).append(d)
+    out = []
+    if singles:
+        out.append(singles[0] if len(singles) == 1 else IOr(tuple(singles)))
+    out.extend(non)
+    return out
+
+
+def _pull_up_list(subs: list, ctor) -> list:
+    """``Disjunctions.pullUp(List, Function)``: cartesian expansion of each
+    slot's split disjuncts, combined by ``ctor`` (the RAW constructor — no
+    re-deduplication, matching the reference)."""
+    rewritten: list[list] = [[]]
+    for s in subs:
+        ds = _split_disjunctions(s)
+        if len(ds) == 1:
+            for lst in rewritten:
+                lst.append(ds[0])
+        else:
+            if len(rewritten) * len(ds) > MAX_PULLUP_CLAUSES:
+                raise ValueError("too many disjunctions to expand")
+            rewritten = [lst + [d] for d in ds for lst in rewritten]
+    return [ctor(lst) for lst in rewritten]
+
+
+def normalize(node: IntervalSource) -> IntervalSource:
+    """One-pass bottom-up normalization matching the reference's factory
+    builders: adjacent-equal ordered subs / duplicate unordered subs →
+    :class:`IRepeat` (``OrderedIntervalsSource.build`` /
+    ``UnorderedIntervalsSource.build``); nested or flattening + dedup
+    (``DisjunctionIntervalsSource.create``); no-match propagation; and the
+    gap-sensitive pull-up for :class:`IMaxGaps`
+    (``FilteredIntervalsSource.maxGaps``) and :class:`IBlock`
+    (``BlockIntervalsSource.build``).  Idempotent."""
+    if isinstance(node, (ITerm, IMultiTerm, INoMatch)):
+        return node
+    if isinstance(node, IOrdered):
+        subs = [normalize(s) for s in node.subs]
+        if any(isinstance(s, INoMatch) for s in subs):
+            return INoMatch("ordered over a no-match sub")
+        subs = _collapse_adjacent(subs)
+        return subs[0] if len(subs) == 1 else IOrdered(tuple(subs))
+    if isinstance(node, IUnordered):
+        subs = [normalize(s) for s in node.subs]
+        if any(isinstance(s, INoMatch) for s in subs):
+            return INoMatch("unordered over a no-match sub")
+        counts: dict = {}
+        for s in subs:
+            counts[s] = counts.get(s, 0) + 1
+        dedup = [
+            (IRepeat(s, c) if c > 1 else s) for s, c in counts.items()
+        ]
+        return dedup[0] if len(dedup) == 1 else IUnordered(tuple(dedup))
+    if isinstance(node, IBlock):
+        subs = []
+        for s in node.subs:
+            ns = normalize(s)
+            if isinstance(ns, INoMatch):
+                return INoMatch("phrase over a no-match sub")
+            subs.extend(ns.subs if isinstance(ns, IBlock) else [ns])
+        # BlockIntervalsSource.build: or(Disjunctions.pullUp(subs, Block))
+        # with nested blocks flattened by the ctor
+        blocks = _pull_up_list(subs, _make_block)
+        return blocks[0] if len(blocks) == 1 else IOr(tuple(blocks))
+    if isinstance(node, IOr):
+        flat: list = []
+        for s in node.subs:
+            ns = normalize(s)
+            if isinstance(ns, INoMatch):
+                continue
+            for d in ns.subs if isinstance(ns, IOr) else [ns]:
+                if d not in flat:
+                    flat.append(d)
+        if not flat:
+            return INoMatch("all disjuncts empty")
+        return flat[0] if len(flat) == 1 else IOr(tuple(flat))
+    if isinstance(node, IAtLeast):
+        subs = [
+            s for s in (normalize(x) for x in node.subs)
+            if not isinstance(s, INoMatch)
+        ]
+        if len(subs) < node.min_match:
+            return INoMatch("too few live sources for atLeast")
+        if len(subs) == node.min_match:
+            return normalize(IUnordered(tuple(subs)))
+        return IAtLeast(node.min_match, tuple(subs))
+    if isinstance(node, IMaxGaps):
+        sub = normalize(node.sub)
+        if isinstance(sub, INoMatch):
+            return sub
+        # FilteredIntervalsSource.maxGaps: distribute over the sub's OWN
+        # pullUpDisjunctions (one level of or; recursive hoisting of
+        # minExtent>1 branches nested under ordered/unordered/maxwidth —
+        # Disjunctions.pullUp — happens inside those sources' pullUp)
+        ds = pull_up_disjunctions(sub)
+        if len(ds) == 1:
+            return IMaxGaps(node.gaps, ds[0])
+        return IOr(tuple(IMaxGaps(node.gaps, d) for d in ds))
+    if isinstance(node, IMaxWidth):
+        sub = normalize(node.sub)
+        return sub if isinstance(sub, INoMatch) else IMaxWidth(node.width, sub)
+    if isinstance(node, IFirst):
+        sub = normalize(node.sub)
+        return sub if isinstance(sub, INoMatch) else IFirst(node.n, sub)
+    if isinstance(node, IExtend):
+        sub = normalize(node.sub)
+        return (
+            sub
+            if isinstance(sub, INoMatch)
+            else IExtend(sub, node.before, node.after)
+        )
+    if isinstance(node, IOffset):
+        sub = normalize(node.sub)
+        return sub if isinstance(sub, INoMatch) else IOffset(sub, node.before)
+    if isinstance(node, IRepeat):
+        sub = normalize(node.sub)
+        if isinstance(sub, INoMatch):
+            return sub
+        return sub if node.count == 1 else IRepeat(sub, node.count)
+    if isinstance(node, IContainedBy):
+        small, big = normalize(node.small), normalize(node.big)
+        if isinstance(small, INoMatch) or isinstance(big, INoMatch):
+            return INoMatch("containedBy over a no-match side")
+        return IContainedBy(small, big)
+    if isinstance(node, IContaining):
+        big, small = normalize(node.big), normalize(node.small)
+        if isinstance(big, INoMatch) or isinstance(small, INoMatch):
+            return INoMatch("containing over a no-match side")
+        return IContaining(big, small)
+    if isinstance(node, IOverlapping):
+        src, ref = normalize(node.source), normalize(node.reference)
+        if isinstance(src, INoMatch) or isinstance(ref, INoMatch):
+            return INoMatch("overlapping over a no-match side")
+        return IOverlapping(src, ref)
+    if isinstance(node, INotContaining):
+        minu, sub = normalize(node.minuend), normalize(node.subtrahend)
+        if isinstance(minu, INoMatch):
+            return minu
+        return minu if isinstance(sub, INoMatch) else INotContaining(minu, sub)
+    if isinstance(node, INonOverlapping):
+        minu, sub = normalize(node.minuend), normalize(node.subtrahend)
+        if isinstance(minu, INoMatch):
+            return minu
+        if isinstance(sub, INoMatch):
+            return minu
+        return INonOverlapping(minu, sub, node.pre, node.post)
+    raise TypeError(f"unknown interval source {node!r}")
+
+
+def _collapse_adjacent(subs: list) -> list:
+    """``OrderedIntervalsSource.deduplicate``: runs of equal adjacent subs
+    become one :class:`IRepeat`."""
+    out: list = []
+    run: list = []
+    for s in subs:
+        if not run or run[0] == s:
+            run.append(s)
+        else:
+            out.append(IRepeat(run[0], len(run)) if len(run) > 1 else run[0])
+            run = [s]
+    out.append(IRepeat(run[0], len(run)) if len(run) > 1 else run[0])
+    return out
+
+
+def resolve_multiterms(
+    node: IntervalSource, idx: IndexTables, field: str = "text"
+) -> IntervalSource:
+    """Expand every :class:`IMultiTerm` leaf against the index's terms
+    dictionary into an :class:`IOr` of :class:`ITerm` (the reference expands
+    per-segment from the terms enum, ``MultiTermIntervalsSource.java:57-88``;
+    the global termstats table IS this engine's terms dictionary).  The scan
+    is a driver-side lookup over the pruned vocabulary; > max_expansions
+    matching terms raises (``IllegalStateException`` analog)."""
+    mts = _collect_multiterms(node)
+    if not mts:
+        return node
+    lookup = {}
+    for mt in mts:
+        lookup[mt] = _expand_multiterm_source(mt, idx, field)
+    return _substitute_multiterms(node, lookup)
+
+
+def _collect_multiterms(node: IntervalSource) -> list:
+    if isinstance(node, IMultiTerm):
+        return [node]
+    out = []
+    for child in _children(node):
+        out.extend(_collect_multiterms(child))
+    return out
+
+
+def _children(node: IntervalSource) -> tuple:
+    if isinstance(node, (IOrdered, IUnordered, IOr, IBlock, IAtLeast)):
+        return node.subs
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
+        return (node.sub,)
+    if isinstance(node, IContainedBy):
+        return (node.small, node.big)
+    if isinstance(node, IContaining):
+        return (node.big, node.small)
+    if isinstance(node, (INotContaining, INonOverlapping)):
+        return (node.minuend, node.subtrahend)
+    if isinstance(node, IOverlapping):
+        return (node.source, node.reference)
+    return ()
+
+
+def _substitute_multiterms(node: IntervalSource, lookup: dict) -> IntervalSource:
+    if isinstance(node, IMultiTerm):
+        return lookup[node]
+    if isinstance(node, (ITerm, INoMatch)):
+        return node
+    sub = lambda n: _substitute_multiterms(n, lookup)  # noqa: E731
+    if isinstance(node, (IOrdered, IUnordered, IOr, IBlock)):
+        return type(node)(tuple(sub(s) for s in node.subs))
+    if isinstance(node, IAtLeast):
+        return IAtLeast(node.min_match, tuple(sub(s) for s in node.subs))
+    if isinstance(node, IMaxWidth):
+        return IMaxWidth(node.width, sub(node.sub))
+    if isinstance(node, IMaxGaps):
+        return IMaxGaps(node.gaps, sub(node.sub))
+    if isinstance(node, IFirst):
+        return IFirst(node.n, sub(node.sub))
+    if isinstance(node, IExtend):
+        return IExtend(sub(node.sub), node.before, node.after)
+    if isinstance(node, IOffset):
+        return IOffset(sub(node.sub), node.before)
+    if isinstance(node, IRepeat):
+        return IRepeat(sub(node.sub), node.count)
+    if isinstance(node, IContainedBy):
+        return IContainedBy(sub(node.small), sub(node.big))
+    if isinstance(node, IContaining):
+        return IContaining(sub(node.big), sub(node.small))
+    if isinstance(node, INotContaining):
+        return INotContaining(sub(node.minuend), sub(node.subtrahend))
+    if isinstance(node, INonOverlapping):
+        return INonOverlapping(
+            sub(node.minuend), sub(node.subtrahend), node.pre, node.post
+        )
+    if isinstance(node, IOverlapping):
+        return IOverlapping(sub(node.source), sub(node.reference))
+    raise TypeError(f"unknown interval source {node!r}")
+
+
+def _expand_multiterm_source(
+    mt: IMultiTerm, idx: IndexTables, field: str
+) -> IntervalSource:
+    from pyspark.sql import functions as _F
+
+    terms_df = idx.termstats.filter(_F.col("field") == field).select("term")
+    if mt.kind == "prefix":
+        cond = _F.col("term").startswith(mt.pattern)
+    elif mt.kind == "wildcard":
+        from lucene_spark.search.searcher import wildcard_to_regex
+
+        cond = _F.col("term").rlike(wildcard_to_regex(mt.pattern))
+    elif mt.kind == "regexp":
+        cond = _F.col("term").rlike("^(?:" + mt.pattern + ")$")
+    elif mt.kind == "fuzzy":
+        # JVM-side loose prefilter (OSA ≤ e ⇒ Levenshtein ≤ 2e), exact OSA
+        # cut on the collected candidates — same recipe as the searcher's
+        # FuzzyQuery expansion
+        lev_cap = 2 * mt.max_edits if mt.transpositions else mt.max_edits
+        cond = (
+            _F.length("term").between(
+                len(mt.pattern) - mt.max_edits, len(mt.pattern) + mt.max_edits
+            )
+            & (_F.levenshtein(_F.col("term"), _F.lit(mt.pattern)) <= lev_cap)
+        )
+    elif mt.kind == "range":
+        cond = _F.lit(True)
+        if mt.lower is not None:
+            cond = cond & (
+                _F.col("term") >= mt.lower
+                if mt.include_lower
+                else _F.col("term") > mt.lower
+            )
+        if mt.upper is not None:
+            cond = cond & (
+                _F.col("term") <= mt.upper
+                if mt.include_upper
+                else _F.col("term") < mt.upper
+            )
+    else:
+        raise ValueError(f"unknown multi-term kind {mt.kind!r}")
+    # fuzzy-with-transpositions prefilters LOOSELY (lev ≤ 2e ⊇ OSA ≤ e):
+    # fetch headroom before the exact cut so truncation cannot silently
+    # drop true matches (the searcher's FuzzyQuery expansion rule)
+    loose = mt.kind == "fuzzy" and mt.transpositions
+    fetch = (4 * mt.max_expansions if loose else mt.max_expansions) + 1
+    matched = sorted(r["term"] for r in terms_df.filter(cond).limit(fetch).collect())
+    if loose:
+        if len(matched) >= fetch:
+            raise ValueError(
+                f"automaton [{mt.pattern}] candidate set exceeds {fetch - 1} terms"
+            )
+        from lucene_spark.search.searcher import _osa_distance
+
+        matched = [t for t in matched if _osa_distance(t, mt.pattern) <= mt.max_edits]
+    if len(matched) > mt.max_expansions:
+        raise ValueError(
+            f"automaton [{mt.pattern}] expanded to too many terms"
+            f" (limit {mt.max_expansions})"
+        )
+    if not matched:
+        return INoMatch(f"no terms match {mt.pattern!r}")
+    if len(matched) == 1:
+        return ITerm(matched[0])
+    return IOr(tuple(ITerm(t) for t in matched))
 
 
 _EMPTY3 = (
@@ -522,6 +1095,169 @@ def _not_containing(minuend, subtrahend):
     return ms[keep], me[keep], mg[keep]
 
 
+def _block(fams):
+    """Transcription of ``BlockIntervalIterator.nextInterval``
+    (``BlockIntervalsSource.java:94-125``): forward-only chaining that
+    requires each sub interval to start exactly one position after the
+    previous sub's end; gaps are 0 by construction."""
+    n = len(fams)
+    if any(len(f[0]) == 0 for f in fams):
+        return _EMPTY3
+    S0, E0 = fams[0][0], fams[0][1]
+    ptrs = [0] * n
+    out_s, out_e = [], []
+    p0 = 0
+    exhausted = False
+    while p0 < len(S0) and not exhausted:
+        prev_end = int(E0[p0])
+        i = 1
+        while i < n:
+            sk, ek, _ = fams[i]
+            while ptrs[i] < len(sk) and sk[ptrs[i]] <= prev_end:
+                ptrs[i] += 1
+            if ptrs[i] >= len(sk):
+                exhausted = True  # a sub ran out: no more blocks anywhere
+                break
+            if sk[ptrs[i]] == prev_end + 1:
+                prev_end = int(ek[ptrs[i]])
+                i += 1
+            else:
+                break  # chain broken: advance the first iterator
+        if not exhausted and i == n:
+            out_s.append(int(S0[p0]))
+            out_e.append(prev_end)
+        p0 += 1
+    return (
+        np.asarray(out_s, dtype=np.int64),
+        np.asarray(out_e, dtype=np.int64),
+        np.zeros(len(out_s), dtype=np.int64),
+    )
+
+
+def _at_least(fams, m):
+    """Transcription of ``MinimumShouldMatchIntervalIterator``
+    (``MinimumShouldMatchIntervalsSource.java:155-260``): an OR-ordered
+    *background* queue (end asc, start desc) feeds an AND-ordered
+    *proximity* queue (start asc, end desc) of capacity m; the composite
+    right extreme (queueEnd) only ever grows; minimization pops the leading
+    member while the composite end is unchanged.  Quirks preserved: a
+    member exhausting during the leading-edge advance ends iteration even
+    if the background queue still holds intervals (``:203-213``)."""
+    import heapq
+
+    live = [i for i in range(len(fams)) if len(fams[i][0])]
+    if len(live) < m:
+        return _EMPTY3
+    ptr = {i: 0 for i in live}
+    bg: list = []  # (end, -start, i)
+    prox: list = []  # (start, -end, i)
+    queue_end = -1
+    for i in live:
+        heapq.heappush(bg, (int(fams[i][1][0]), -int(fams[i][0][0]), i))
+    for _ in range(m):
+        e, ns, i = heapq.heappop(bg)
+        heapq.heappush(prox, (-ns, -e, i))
+        queue_end = max(queue_end, e)
+
+    def _advance_to_bg(i) -> bool:
+        ptr[i] += 1
+        sk, ek, _ = fams[i]
+        if ptr[i] < len(sk):
+            heapq.heappush(bg, (int(ek[ptr[i]]), -int(sk[ptr[i]]), i))
+            return True
+        return False
+
+    def _widths_in_prox() -> int:
+        return sum((-ne) - s + 1 for s, ne, _ in prox)
+
+    start = -1
+    out_s, out_e, out_g = [], [], []
+    while True:
+        # advance past the previous start (nextInterval's leading while)
+        while len(prox) == m and prox[0][0] == start:
+            s, ne, i = heapq.heappop(prox)
+            if _advance_to_bg(i):
+                e2, ns2, j = heapq.heappop(bg)
+                heapq.heappush(prox, (-ns2, -e2, j))
+                queue_end = max(queue_end, e2)
+            # else: NO background refill — the reference's quirk
+        if len(prox) < m:
+            break
+        # minimize (the do-while)
+        while True:
+            start = prox[0][0]
+            end = queue_end
+            slop = (end - start + 1) - _widths_in_prox()
+            if -prox[0][1] == end:
+                break
+            s, ne, i = heapq.heappop(prox)
+            _advance_to_bg(i)  # lead goes back to the background if alive
+            if bg:
+                e2, ns2, j = heapq.heappop(bg)
+                heapq.heappush(prox, (-ns2, -e2, j))
+                queue_end = max(queue_end, e2)
+            if not (len(prox) == m and end == queue_end):
+                break
+        out_s.append(start)
+        out_e.append(end)
+        out_g.append(slop)
+    return (
+        np.asarray(out_s, dtype=np.int64),
+        np.asarray(out_e, dtype=np.int64),
+        np.asarray(out_g, dtype=np.int64),
+    )
+
+
+def _repeat(fam, count):
+    """``DuplicateIntervalIterator`` (``RepeatingIntervalsSource.java:126-
+    215``): sliding windows of ``count`` consecutive sub intervals, no
+    minimization.  Gaps = span − Σ window-member widths (see the
+    :class:`IRepeat` docstring for the width-sign note)."""
+    S, E, _ = fam
+    if len(S) < count:
+        return _EMPTY3
+    s_out = S[: len(S) - count + 1]
+    e_out = E[count - 1 :]
+    w = (E - S + 1).astype(np.int64)
+    cw = np.concatenate([[0], np.cumsum(w)])
+    wsum = cw[count:] - cw[:-count]
+    gaps = (e_out - s_out + 1) - wsum
+    return s_out.copy(), e_out.copy(), gaps
+
+
+def _extend(fam, before_n, after_n):
+    """``ExtendedIntervalIterator.java:44-76``: widen to
+    [max(0, s−before), e+after]; gaps delegate to the inner intervals."""
+    s, e, g = fam
+    if len(s) == 0:
+        return fam
+    return np.maximum(s - before_n, 0), e + after_n, g
+
+
+def _offset(fam, before_flag):
+    """``OffsetIntervalsSource.java:51-97``: the zero-width point
+    max(0, s−1) (PRECEDING) or e+1 (FOLLOWING) of each sub interval."""
+    s, e, _ = fam
+    if len(s) == 0:
+        return fam
+    p = np.maximum(s - 1, 0) if before_flag else e + 1
+    return p, p.copy(), np.zeros(len(p), dtype=np.int64)
+
+
+def _overlapping(src, ref):
+    """``OverlappingIntervalsSource.java:36-62``: keep source intervals a
+    for which the first reference interval with end ≥ a.start has
+    start ≤ a.end (streaming filter over sorted minimal families)."""
+    ss, se, sg = src
+    rs, re, _ = ref
+    if len(ss) == 0 or len(rs) == 0:
+        return _EMPTY3
+    j = np.searchsorted(re, ss, side="left")
+    jj = np.minimum(j, len(rs) - 1)
+    ok = (j < len(rs)) & (rs[jj] <= se)
+    return ss[ok], se[ok], sg[ok]
+
+
 def eval_intervals(node: IntervalSource, posmap: dict):
     """Evaluate the source tree for one doc.  ``posmap`` maps term -> sorted
     int64 position array; returns (starts, ends, gaps) in emission order."""
@@ -544,14 +1280,31 @@ def eval_intervals(node: IntervalSource, posmap: dict):
         m = (e - s + 1) <= node.width
         return s[m], e[m], g[m]
     if isinstance(node, IMaxGaps):
-        if isinstance(node.sub, IOr):  # FilteredIntervalsSource.maxGaps
-            return eval_intervals(
-                IOr(tuple(IMaxGaps(node.gaps, s) for s in node.sub.subs)),
-                posmap,
-            )
+        # gap-sensitive pull-up happens in normalize() (Disjunctions.pullUp
+        # — including disjunctions NESTED under ordered/unordered subs);
+        # here the filter is a plain gap cut
         s, e, g = eval_intervals(node.sub, posmap)
         m = g <= node.gaps
         return s[m], e[m], g[m]
+    if isinstance(node, IBlock):
+        return _block([eval_intervals(s, posmap) for s in node.subs])
+    if isinstance(node, IAtLeast):
+        return _at_least(
+            [eval_intervals(s, posmap) for s in node.subs], node.min_match
+        )
+    if isinstance(node, IExtend):
+        return _extend(eval_intervals(node.sub, posmap), node.before, node.after)
+    if isinstance(node, IOffset):
+        return _offset(eval_intervals(node.sub, posmap), node.before)
+    if isinstance(node, IOverlapping):
+        return _overlapping(
+            eval_intervals(node.source, posmap),
+            eval_intervals(node.reference, posmap),
+        )
+    if isinstance(node, IRepeat):
+        return _repeat(eval_intervals(node.sub, posmap), node.count)
+    if isinstance(node, INoMatch):
+        return _EMPTY3
     if isinstance(node, IContainedBy):
         return _contained_by(
             eval_intervals(node.small, posmap),
@@ -581,6 +1334,11 @@ def eval_intervals(node: IntervalSource, posmap: dict):
     raise TypeError(f"unknown interval source {node!r}")
 
 
+def _empty_interval_topk(idx: IndexTables) -> DataFrame:
+    spark = idx.postings.sparkSession
+    return spark.createDataFrame([], "doc_id long, score float, rank int")
+
+
 def interval_topk(
     idx: IndexTables,
     source: IntervalSource,
@@ -603,11 +1361,12 @@ def interval_topk(
     """
     if idx.positions is None:
         raise ValueError("interval queries need a positional index")
+    source = normalize(resolve_multiterms(source, idx, field))
+    if isinstance(source, INoMatch):
+        return _empty_interval_topk(idx)
     leafs = sorted(leaf_terms(source))
     required = required_terms(source)
-    pos = idx.positions.filter(
-        (F.col("field") == field) & F.col("term").isin(leafs)
-    )
+    pos = idx.positions_for_terms(field, leafs)
     aggs = [
         F.map_from_entries(
             F.collect_list(F.struct("term", "positions"))
@@ -676,17 +1435,22 @@ def freq_count_bound(node: IntervalSource, tfmap: dict) -> np.ndarray:
         if v is None:
             raise KeyError(node.term)
         return v
-    if isinstance(node, IOrdered):
+    if isinstance(node, (IOrdered, IBlock)):
         return np.minimum.reduce(
             [freq_count_bound(s, tfmap) for s in node.subs]
         )
-    if isinstance(node, (IUnordered, IOr)):
-        out = freq_count_bound(node.subs[0], tfmap).copy()
+    if isinstance(node, (IUnordered, IOr, IAtLeast)):
+        out = np.asarray(freq_count_bound(node.subs[0], tfmap)).copy()
         for s in node.subs[1:]:
             out = out + freq_count_bound(s, tfmap)
         return out
-    if isinstance(node, (IMaxWidth, IMaxGaps)):
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IFirst)):
         return freq_count_bound(node.sub, tfmap)
+    if isinstance(node, IRepeat):
+        # windows of `count` consecutive sub intervals: ≤ sub-family size
+        return freq_count_bound(node.sub, tfmap)
+    if isinstance(node, IOverlapping):
+        return freq_count_bound(node.source, tfmap)
     if isinstance(node, IContainedBy):
         # one big interval can contain MANY smalls: only the small family
         # size bounds the output (the fuzz test caught min(small, big))
@@ -695,8 +1459,6 @@ def freq_count_bound(node: IntervalSource, tfmap: dict) -> np.ndarray:
         return freq_count_bound(node.big, tfmap)
     if isinstance(node, (INotContaining, INonOverlapping)):
         return freq_count_bound(node.minuend, tfmap)
-    if isinstance(node, IFirst):
-        return freq_count_bound(node.sub, tfmap)
     raise TypeError(f"unknown interval source {node!r}")
 
 
@@ -902,8 +1664,11 @@ def interval_topk_wand(
     """
     if idx.positions is None or idx.blocks is None:
         raise ValueError("interval WAND needs blocks + positional index")
+    source = normalize(resolve_multiterms(source, idx, field))
+    if isinstance(source, INoMatch):
+        return _empty_interval_topk(idx)
     leafs = sorted(leaf_terms(source))
-    if required_terms(source) != set(leafs):
+    if not leafs or required_terms(source) != set(leafs):
         raise ValueError(
             "kernel path needs every leaf term required "
             "(required_terms == leaf_terms); use interval_topk"
@@ -912,9 +1677,9 @@ def interval_topk_wand(
         "segment", "term", "block_id", "first_doc", "last_doc", "num_docs",
         "doc_blob", "freq_blob", "impacts",
     )
-    ps = idx.positions.filter(
-        (F.col("field") == field) & F.col("term").isin(leafs)
-    ).select("segment", "term", "doc_id", "positions")
+    ps = idx.positions_for_terms(field, leafs).select(
+        "segment", "term", "doc_id", "positions"
+    )
 
     out_schema = "doc_id long, score float"
 

@@ -17,10 +17,12 @@ Distance expressions translate to :class:`SpanNearQuery` with
 composes (``2W(scan, OR(sort, merge))``).  Boolean operators over plain
 terms/truncations build the engine's :class:`BooleanQuery`.
 
-Envelope (documented, raising): truncations inside a distance operand need
-index-time expansion (``SpanMultiTermQueryWrapper``) and Boolean operators
-over distance subqueries need span-clause Boolean scoring — both out of
-scope; the error message names the unsupported construct.
+Truncations inside a distance operand (``2W(sca*, merge)``) expand against
+the terms dictionary through the intervals multi-term sources
+(``SpanMultiTermQueryWrapper`` analog, 128-term cap) — lifted in round 5.
+Envelope (documented, raising): Boolean operators over distance subqueries
+need span-clause Boolean scoring — out of scope; the error message names
+the unsupported construct.
 """
 
 from __future__ import annotations
@@ -190,19 +192,9 @@ class _Parser:
 
 
 def _span_near(clauses: list, slop: int, in_order: bool) -> SpanNearQuery:
-    """Build the n-ary near query, rejecting repeated operands AT PARSE
-    TIME (they would otherwise surface later as a translation ValueError —
-    RepeatingIntervalsSource semantics are out of envelope)."""
-    dup = (
-        any(a == b for a, b in zip(clauses, clauses[1:]))
-        if in_order
-        else len(set(clauses)) != len(clauses)
-    )
-    if dup:
-        raise ParseError(
-            "repeated operands in a distance operator need "
-            "RepeatingIntervalsSource semantics — out of envelope"
-        )
+    """Build the n-ary near query.  Repeated operands are fine since r5:
+    the intervals normalizer collapses them to RepeatingIntervalsSource
+    semantics (``OrderedIntervalsSource.build`` deduplicate)."""
     return SpanNearQuery(tuple(clauses), slop=slop, in_order=in_order)
 
 
@@ -231,10 +223,15 @@ def _as_span(q) -> SpanQuery:
     if isinstance(q, TermQuery):
         return SpanTermQuery(q.term)
     if isinstance(q, WildcardQuery):
-        raise ParseError(
-            "truncation inside a distance operator needs index-time "
-            "expansion (SpanMultiTermQueryWrapper) — out of envelope"
-        )
+        # r5: truncation inside a distance operand expands against the
+        # terms dictionary (SpanMultiTermQueryWrapper analog over
+        # Intervals.prefix/wildcard, 128-term default cap)
+        from lucene_spark.search.spans import SpanMultiTermQuery
+
+        pat = q.pattern
+        if pat.endswith("*") and "*" not in pat[:-1] and "?" not in pat:
+            return SpanMultiTermQuery(kind="prefix", pattern=pat[:-1])
+        return SpanMultiTermQuery(kind="wildcard", pattern=pat)
     if isinstance(q, BooleanQuery) and all(
         c.occur == Occur.SHOULD and isinstance(c.query, TermQuery)
         for c in q.clauses

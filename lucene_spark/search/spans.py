@@ -126,6 +126,26 @@ class SpanBoostQuery(SpanQuery):
     boost: float = 1.0
 
 
+@dataclass(frozen=True)
+class SpanMultiTermQuery(SpanQuery):
+    """``SpanMultiTermQueryWrapper`` analog: a multi-term query (prefix /
+    wildcard / regexp / fuzzy / term-range) usable inside span clauses —
+    translated to the intervals multi-term source
+    (``Intervals.prefix/wildcard/...``, ``MultiTermIntervalsSource``) and
+    expanded against the terms dictionary at query time, capped at
+    ``max_expansions`` (``Intervals.DEFAULT_MAX_EXPANSIONS`` = 128)."""
+
+    kind: str  # 'prefix' | 'wildcard' | 'regexp' | 'fuzzy' | 'range'
+    pattern: str = ""
+    max_expansions: int = 128
+    max_edits: int = 1
+    transpositions: bool = True
+    lower: str | None = None
+    upper: str | None = None
+    include_lower: bool = True
+    include_upper: bool = True
+
+
 def to_interval_source(q: SpanQuery) -> IntervalSource:
     """Translate a span-query tree to its intervals-algebra equivalent."""
     if isinstance(q, SpanTermQuery):
@@ -155,6 +175,20 @@ def to_interval_source(q: SpanQuery) -> IntervalSource:
         )
     if isinstance(q, SpanBoostQuery):
         return to_interval_source(q.query)  # boost applied at scoring time
+    if isinstance(q, SpanMultiTermQuery):
+        from lucene_spark.search.intervals import IMultiTerm
+
+        return IMultiTerm(
+            kind=q.kind,
+            pattern=q.pattern,
+            max_expansions=q.max_expansions,
+            max_edits=q.max_edits,
+            transpositions=q.transpositions,
+            lower=q.lower,
+            upper=q.upper,
+            include_lower=q.include_lower,
+            include_upper=q.include_upper,
+        )
     raise TypeError(f"unsupported span query {type(q).__name__}")
 
 
@@ -179,7 +213,11 @@ def span_topk(
     while isinstance(q, SpanBoostQuery):
         boost *= q.boost
         q = q.query
-    source = to_interval_source(q)
+    from lucene_spark.search.intervals import resolve_multiterms
+
+    # multi-term clauses expand against the terms dictionary up front so
+    # the kernel-eligibility check sees concrete leaf terms
+    source = resolve_multiterms(to_interval_source(q), idx, field)
     kernel_ok = (
         idx.blocks is not None
         and idx.positions is not None

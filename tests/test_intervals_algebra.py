@@ -218,11 +218,16 @@ def test_leaf_required_minextent():
     assert min_extent(cb) == 1
 
 
-def test_repeated_subsources_rejected():
-    with pytest.raises(ValueError):
-        IOrdered((ITerm("a"), ITerm("a")))
-    with pytest.raises(ValueError):
-        IUnordered((ITerm("a"), ITerm("b"), ITerm("a")))
+def test_repeated_subsources_collapse_to_repeat():
+    # r5: OrderedIntervalsSource.build / UnorderedIntervalsSource.build
+    # deduplicate into RepeatingIntervalsSource instead of raising
+    from lucene_spark.search.intervals import IRepeat, normalize
+
+    assert normalize(IOrdered((ITerm("a"), ITerm("a")))) == IRepeat(ITerm("a"), 2)
+    got = normalize(IUnordered((ITerm("a"), ITerm("b"), ITerm("a"))))
+    assert got == IUnordered((IRepeat(ITerm("a"), 2), ITerm("b")))
+    # minExtent quirk: Repeating reports the SUB extent
+    assert min_extent(normalize(IOrdered((ITerm("a"), ITerm("a"))))) == 1
 
 
 @pytest.fixture(scope="module")

@@ -73,8 +73,6 @@ def test_boolean_operators():
 
 def test_envelope_errors():
     with pytest.raises(ParseError):
-        parse_surround("mer* W scan")  # truncation inside distance
-    with pytest.raises(ParseError):
         parse_surround("(scan W merge) AND sort")  # Boolean over spans
     with pytest.raises(ParseError):
         parse_surround("")
@@ -84,10 +82,20 @@ def test_envelope_errors():
         parse_surround("3W(a)) extra")
     with pytest.raises(ParseError):
         parse_surround("a W b 3N c")  # mixed infix distance ops need parens
-    with pytest.raises(ParseError):
-        parse_surround("a W a")  # repeated operands: parse-time rejection
-    with pytest.raises(ParseError):
-        parse_surround("3N(a, b, a)")  # unordered rejects ANY duplicate
+
+
+def test_r5_lifted_envelope():
+    """Round 5: truncation inside a distance operand and repeated operands
+    both parse now (multi-term interval sources / RepeatingIntervalsSource)."""
+    from lucene_spark.search.spans import SpanMultiTermQuery, SpanNearQuery
+
+    q = parse_surround("mer* W scan")
+    assert isinstance(q, SpanNearQuery)
+    assert q.clauses[0] == SpanMultiTermQuery(kind="prefix", pattern="mer")
+    q = parse_surround("s?an 2N merge")
+    assert q.clauses[0] == SpanMultiTermQuery(kind="wildcard", pattern="s?an")
+    assert isinstance(parse_surround("a W a"), SpanNearQuery)
+    assert isinstance(parse_surround("3N(a, b, a)"), SpanNearQuery)
 
 
 def test_surround_end_to_end(spark):
