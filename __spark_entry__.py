@@ -650,10 +650,10 @@ def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_ondisk_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Term top-k served from the *on-disk* bucketed block layout: the block
-    scan is pruned to the query term's (segment, tbucket) partitions
-    (terms-dictionary role — see IndexTables.blocks_for_terms)."""
+def _ondisk_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Shared disk-resident gate index: full positional layout
+    (``with_positions`` ⇒ positions + offsets persisted under
+    ``positions/segment=*/tbucket=*``), built once per sf_dir."""
     import tempfile
 
     from lucene_spark.index.segments import build_segments, read_index
@@ -666,10 +666,73 @@ def _q_ondisk_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="lucene_spark_gate_ondisk_")
         build_segments(
             _docs_as_transcripts(spark, sf_dir), d, num_segments=8,
-            analyzer=GATE_ANALYZER,
+            analyzer=GATE_ANALYZER, with_positions=True,
         )
         _DISK_CACHE[key] = IndexSearcher(read_index(spark, d))
-    return _as_gate_schema(_DISK_CACHE[key].search("scan", k=10))
+    return _DISK_CACHE[key]
+
+
+def _q_ondisk_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term top-k served from the *on-disk* bucketed block layout: the block
+    scan is pruned to the query term's (segment, tbucket) partitions
+    (terms-dictionary role — see IndexTables.blocks_for_terms)."""
+    return _as_gate_schema(_ondisk_searcher(spark, sf_dir).search("scan", k=10))
+
+
+def _q_ondisk_positional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity queries answered from the DISK-resident positional index
+    (the round-4 verdict's top gap): exact phrase, sloppy phrase, a 3-term
+    ordered interval through the block-max kernel, and highlighting from
+    INDEXED offsets — every positions scan pruned to the query terms'
+    (segment, tbucket) partitions.  DocIDs equal the documents table's
+    doc_id (zero-padded conv_id keeps the segment build's dense rank
+    aligned), so the oracles are the same set-algebra twins the in-memory
+    gates use."""
+    from lucene_spark.search.features import unified_highlight
+    from lucene_spark.search.intervals import (
+        IMaxWidth,
+        IOrdered,
+        ITerm,
+        interval_topk_wand,
+    )
+
+    s = _ondisk_searcher(spark, sf_dir)
+
+    def pad(df):  # uniform suite schema; snippet only carries for highlight
+        return df.withColumn("snippet", F.lit(""))
+
+    parts = [
+        ("phrase", pad(_as_gate_schema(s.search('"table value"', k=10)))),
+        ("sloppy", pad(_as_gate_schema(s.search('"table value"~3', k=10)))),
+        (
+            "interval_kernel",
+            pad(
+                _as_gate_schema(
+                    interval_topk_wand(
+                        s.index,
+                        IMaxWidth(
+                            12,
+                            IOrdered((ITerm("scan"), ITerm("sort"), ITerm("merge"))),
+                        ),
+                        k=10,
+                    )
+                )
+            ),
+        ),
+    ]
+    hl = unified_highlight(
+        s.score_all("merge"),
+        _docs(spark, sf_dir),
+        ["merge"],
+        positions=s.index.positions,  # offsets read from the disk layout
+    ).select(
+        F.col("doc_id").cast("long"),
+        F.col("pscore").cast("double").alias("score"),
+        F.col("passage_idx").cast("int").alias("rank"),
+        F.col("snippet"),
+    )
+    parts.append(("highlight", hl))
+    return _union_suite(parts)
 
 
 def _q_lifecycle_merge_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1244,12 +1307,37 @@ def _q_percolator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "query_id")
 
 
+def _q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine (r4's missing oracle row), pinned to the
+    exact regime: nprobe == n_centroids (full list coverage) so the ADC
+    table-lookup shortlist + true-cosine refine provably reproduce the
+    brute-force top-k — the PQ encode/ADC/refine machinery carries an
+    oracle row while the list-PRUNED approximate regime stays covered by
+    the recall/degeneration pytest (gate corpus cosines cluster within
+    ~0.01, too tight for pruned probes to be deterministic)."""
+    from lucene_spark.extras.similarity import knn_ivfpq
+
+    from lucene_spark.session import ship_package
+
+    ship_package(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = _knn_query_vec(spark, sf_dir)
+    out = knn_ivfpq(emb, qv, k=10, n_centroids=16, nprobe=16, refine=16)
+    return out.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        F.col("cos").cast("double").alias("score"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def _q_knn_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-filtered KNN + hybrid BM25+KNN Boolean in one gate frame."""
+    """Pre-filtered KNN + hybrid BM25+KNN Boolean + IVF-PQ-with-refine in
+    one gate frame."""
     return _union_suite(
         [
             ("filtered", _q_knn_filtered_topk(spark, sf_dir)),
             ("hybrid", _q_knn_hybrid_topk(spark, sf_dir)),
+            ("ivfpq", _q_knn_ivfpq_topk(spark, sf_dir)),
         ]
     )
 
@@ -1311,7 +1399,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # EXACTLY 50 entries (the driver records the first 50): every SURVEY §2
+    # 49 entries (the driver records the first 50): every SURVEY §2
     # component and every extras operator has a gate row each round.
     return {
         "bm25_term_topk": _q_term_topk,
@@ -1351,6 +1439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolator_suite": _q_percolator_suite,
         "check_index_report": _q_check_index,
         "ondisk_term_topk": _q_ondisk_term_topk,
+        "ondisk_positional_suite": _q_ondisk_positional_suite,
         "lifecycle_merge_topk": _q_lifecycle_merge_topk,
         "lifecycle_update_topk": _q_lifecycle_update_topk,
         "knn_suite": _q_knn_suite,
@@ -1567,6 +1656,35 @@ def oracle_sql() -> dict[str, str]:
         # check_index_report intentionally has NO oracle: integrity
         # invariants are engine-internal (rows-only gate check)
         "ondisk_term_topk": osql.term_topk_sql("scan", 10),
+        "ondisk_positional_suite": _suite_sql(
+            [
+                (
+                    "phrase",
+                    "SELECT doc_id, score, rank, '' AS snippet FROM ("
+                    + osql.phrase_topk_sql(["table", "value"], 10)
+                    + ")",
+                ),
+                (
+                    "sloppy",
+                    "SELECT doc_id, score, rank, '' AS snippet FROM ("
+                    + osql.sloppy_phrase_topk_sql("table", "value", 3, 10)
+                    + ")",
+                ),
+                (
+                    "interval_kernel",
+                    "SELECT doc_id, score, rank, '' AS snippet FROM ("
+                    + osql.interval_ordered3_topk_sql("scan", "sort", "merge", 12, 10)
+                    + ")",
+                ),
+                (
+                    "highlight",
+                    "SELECT doc_id, CAST(pscore AS DOUBLE) AS score,"
+                    " CAST(passage_idx AS INT) AS rank, snippet FROM ("
+                    + osql.highlight_passages_sql("merge", 10)
+                    + ")",
+                ),
+            ]
+        ),
         "lifecycle_merge_topk": osql.term_topk_after_delete_merge_sql(
             "merge", "window", 10
         ),
@@ -1577,6 +1695,11 @@ def oracle_sql() -> dict[str, str]:
             [
                 ("filtered", osql.knn_filtered_topk_sql("merge", 0, 10)),
                 ("hybrid", osql.knn_hybrid_topk_sql("merge", 0, 50, 10)),
+                (
+                    "ivfpq",
+                    "SELECT vec_id AS doc_id, CAST(cos AS DOUBLE) AS score,"
+                    " rank FROM (" + xor.knn_cosine_topk_sql(0, 10) + ")",
+                ),
             ]
         ),
         "ann_cosine_topk": xor.knn_cosine_topk_sql(0, 10),

@@ -213,11 +213,23 @@ def build_segments(
     field: str = DEFAULT_FIELD,
     analyzer: StandardAnalyzer | None = None,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
+    with_positions: bool = False,
+    with_offsets: bool = True,
 ) -> dict:
     """Checkpointed segment build; safe to kill and re-run (idempotent).
 
     ``source`` must be the same deterministic DataFrame on every attempt
     (same parquet path / same generator args) — recorded in the lineage.
+
+    ``with_positions`` persists the positional table alongside the blocks
+    (``positions/segment=*/tbucket=*`` — the .pos/.pay sections of
+    ``codecs/lucene103/Lucene103PostingsFormat.java:43-120`` as a
+    bucket-partitioned parquet table), so a disk-resident index answers
+    phrase/sloppy/interval/span/highlight queries with the positions scan
+    pruned to the query terms' buckets.  ``with_offsets`` additionally
+    embeds character-offset arrays (``..._AND_OFFSETS``) for the
+    highlighter.  The decision is stamped in the plan once — resumed
+    builds keep the recorded layout.
     """
     spark = source.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -232,6 +244,14 @@ def build_segments(
         # discovery.  term_buckets=None is that recorded decision.
         legacy = os.path.isdir(os.path.join(index_dir, "blocks"))
         plan["term_buckets"] = None if legacy else int(term_buckets)
+        _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
+    if "positions" not in plan:
+        # Same stamp-once rule for the positional layout (IndexOptions is
+        # an index-time decision in the reference too): a resumed build
+        # keeps writing — or keeps not writing — the positions table.
+        plan["positions"] = (
+            {"with_offsets": bool(with_offsets)} if with_positions else None
+        )
         _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
     analyzer = analyzer or StandardAnalyzer()
     states = segment_states(index_dir, num_segments)
@@ -360,8 +380,47 @@ def _build_batch(
         blocks.write.mode("overwrite").partitionBy("segment").parquet(
             os.path.join(index_dir, "blocks")
         )
+    if plan.get("positions"):
+        _write_positions(
+            docmap, index_dir, plan, text_col, field, analyzer
+        )
     inverted.unpersist()
     return sum(plan["counts"][seg_lo:seg_hi])
+
+
+def _write_positions(
+    docmap: DataFrame,
+    index_dir: str,
+    plan: dict,
+    text_col: str,
+    field: str,
+    analyzer: StandardAnalyzer,
+) -> None:
+    """Persist the positional table for one batch's segments — partitioned
+    like the blocks ((segment, tbucket)), so proximity queries prune the
+    positions file scan to the query terms' buckets (the same
+    terms-dictionary pruning the block scan gets).  Dynamic partition
+    overwrite keeps the write idempotent per batch."""
+    from lucene_spark.index.builder import build_positions
+
+    pos = build_positions(
+        docmap,
+        text_col,
+        field,
+        analyzer,
+        with_offsets=bool(plan["positions"].get("with_offsets", True)),
+    )
+    nb = plan.get("term_buckets")
+    if nb:
+        pos.withColumn("tbucket", term_bucket_col(F.col("term"), nb)).write.mode(
+            "overwrite"
+        ).partitionBy("segment", "tbucket").parquet(
+            os.path.join(index_dir, "positions")
+        )
+    else:
+        pos.write.mode("overwrite").partitionBy("segment").parquet(
+            os.path.join(index_dir, "positions")
+        )
 
 
 def resolve_term_buckets(index_dir: str, blocks: DataFrame | None = None) -> int | None:
@@ -477,7 +536,11 @@ def _load_deletes(spark: SparkSession, index_dir: str) -> DataFrame | None:
 
 
 def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
-    """Open the on-disk index as queryable DataFrames."""
+    """Open the on-disk index as queryable DataFrames.  The positional
+    table (when the index was built ``with_positions``) loads alongside, so
+    phrase/interval/span/highlight queries run against the disk layout —
+    their scans pruned to the query terms' (segment, tbucket) partitions
+    via :meth:`IndexTables.positions_for_terms`."""
     docmap = spark.read.parquet(os.path.join(index_dir, "docmap"))
     doclens = spark.read.parquet(os.path.join(index_dir, "doclens"))
     blocks = spark.read.parquet(os.path.join(index_dir, "blocks"))
@@ -491,6 +554,8 @@ def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
     )
     postings = decode_blocks_to_postings(blocks)
     term_buckets = resolve_term_buckets(index_dir, blocks)
+    pos_path = os.path.join(index_dir, "positions")
+    positions = spark.read.parquet(pos_path) if os.path.isdir(pos_path) else None
     return IndexTables(
         docmap=docmap,
         doclens=doclens,
@@ -498,6 +563,7 @@ def read_index(spark: SparkSession, index_dir: str) -> IndexTables:
         termstats=termstats,
         fieldstats=fieldstats,
         blocks=blocks,
+        positions=positions,
         deletes=_load_deletes(spark, index_dir),
         term_buckets=term_buckets,
         disk_backed=True,
@@ -618,6 +684,23 @@ def merge_segments(
         os.replace(os.path.join(index_dir, name), os.path.join(index_dir, name + "_pre"))
         os.replace(os.path.join(index_dir, name + "_merged"), os.path.join(index_dir, name))
         shutil.rmtree(os.path.join(index_dir, name + "_pre"))
+
+    # positional table rides the merge unchanged except for the segment
+    # remap + physical delete drop (positions are per-(term, doc) rows, not
+    # block-packed — concatenation needs no re-encode; tbucket = hash(term)
+    # is segment-independent and survives as-is)
+    pos_path = os.path.join(index_dir, "positions")
+    if os.path.isdir(pos_path):
+        positions = spark.read.parquet(pos_path).withColumn("segment", map_col)
+        if deletes is not None:
+            positions = positions.join(deletes, "doc_id", "left_anti")
+        part_cols = ["segment", "tbucket"] if nb else ["segment"]
+        positions.write.mode("overwrite").partitionBy(*part_cols).parquet(
+            pos_path + "_merged"
+        )
+        os.replace(pos_path, pos_path + "_pre")
+        os.replace(pos_path + "_merged", pos_path)
+        shutil.rmtree(pos_path + "_pre")
 
     docmap = spark.read.parquet(os.path.join(index_dir, "docmap")).withColumn(
         "segment", map_col
@@ -742,6 +825,31 @@ def check_index(idx: IndexTables) -> dict:
             ).count()
             assert misplaced == 0, f"{misplaced} blocks outside their term bucket"
             report["term_buckets_consistent"] = True
+
+    if idx.positions is not None:
+        # 8. positional consistency (CheckIndex's term-vector/postings
+        # cross-check analog): per (field, term, doc) the positions array
+        # is strictly increasing and its length equals the posting freq —
+        # null-safe full join so an orphan row on either side counts
+        unsorted = idx.positions.filter(
+            (F.expr("positions != array_sort(positions)"))
+            | (F.expr("size(array_distinct(positions)) != size(positions)"))
+        ).count()
+        assert unsorted == 0, f"{unsorted} unsorted/duplicated position lists"
+        pmism = (
+            idx.positions.select(
+                "field", "term", "doc_id", F.size("positions").alias("np")
+            )
+            .join(
+                idx.postings.select("field", "term", "doc_id", "freq"),
+                ["field", "term", "doc_id"],
+                "full",
+            )
+            .filter(~F.col("np").eqNullSafe(F.col("freq")))
+            .count()
+        )
+        assert pmism == 0, f"{pmism} (term, doc) rows with positions != freq"
+        report["positions_consistent"] = True
 
     report["n_docs"] = n_docs
     return report

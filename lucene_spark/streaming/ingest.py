@@ -109,6 +109,19 @@ def append_batch(
         nb = DEFAULT_TERM_BUCKETS
     state["term_buckets"] = nb
 
+    # positional layout follows the same must-match rule: an index built
+    # with_positions must get positions for every appended segment too, or
+    # disk-resident proximity queries would silently miss streamed docs
+    if plan is not None and "positions" in plan:
+        pos_layout = plan["positions"]
+    elif "positions" in state:
+        pos_layout = state["positions"]
+    elif os.path.isdir(os.path.join(index_dir, "positions")):
+        pos_layout = {"with_offsets": True}  # pre-record index: assume full
+    else:
+        pos_layout = None
+    state["positions"] = pos_layout
+
     arranged = batch.repartition(1).sortWithinPartitions(*key_cols)
     out_schema = T.StructType(
         [T.StructField("doc_id", T.LongType(), False)]
@@ -163,6 +176,25 @@ def append_batch(
         blocks.write.mode("overwrite").partitionBy("segment").parquet(
             os.path.join(index_dir, "blocks")
         )
+    if pos_layout:
+        from lucene_spark.index.builder import build_positions
+
+        pos = build_positions(
+            docmap,
+            text_col,
+            field,
+            analyzer,
+            with_offsets=bool(pos_layout.get("with_offsets", True)),
+        )
+        if nb:
+            pos = pos.withColumn("tbucket", term_bucket_col(F.col("term"), nb))
+            pos.write.mode("overwrite").partitionBy("segment", "tbucket").parquet(
+                os.path.join(index_dir, "positions")
+            )
+        else:
+            pos.write.mode("overwrite").partitionBy("segment").parquet(
+                os.path.join(index_dir, "positions")
+            )
     n_rows = spark.read.parquet(os.path.join(index_dir, "docmap")).filter(
         F.col("segment") == seg
     ).count()
