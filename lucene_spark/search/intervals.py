@@ -1339,6 +1339,108 @@ def _empty_interval_topk(idx: IndexTables) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, score float, rank int")
 
 
+def batch_near_freqs(
+    pa_col, pb_col, ordered: bool, max_width: int | None
+) -> np.ndarray:
+    """Vectorized-across-docs 2-term NEAR scorer frequencies (float32),
+    bit-identical to the per-doc ``ordered/unordered_interval_lengths`` +
+    ``interval_freq`` pipeline.
+
+    One Arrow batch of per-doc position arrays becomes ONE flat int64
+    workspace: each doc's positions shift by ``doc_index · 2⁴⁰`` so a
+    single global ``searchsorted`` (ordered) or merge-argsort (unordered)
+    replaces the per-doc Python loop — the ``block_uppers`` trick applied
+    to proximity.  The float32 accumulation folds in emission order via a
+    per-rank sweep (``freq = f32(f64(freq) + 1/max(len−1, 1))``, Java
+    compound-assignment semantics), so scores stay bit-equal to
+    :func:`interval_freq`.
+    """
+    n = len(pa_col)
+    out = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return out
+    pa_lists = [np.asarray(v, dtype=np.int64) for v in pa_col]
+    pb_lists = [np.asarray(v, dtype=np.int64) for v in pb_col]
+    ca = np.array([len(v) for v in pa_lists], dtype=np.int64)
+    cb = np.array([len(v) for v in pb_lists], dtype=np.int64)
+    if not ca.sum() or not cb.sum():
+        return out
+    OFF = np.int64(1) << 40  # beyond any real position; doc separator
+    doc_a = np.repeat(np.arange(n, dtype=np.int64), ca)
+    doc_b = np.repeat(np.arange(n, dtype=np.int64), cb)
+    pa = np.concatenate(pa_lists) + doc_a * OFF
+    pb = np.concatenate(pb_lists) + doc_b * OFF
+
+    if ordered:
+        j = np.searchsorted(pb, pa, side="right")
+        ok = j < len(pb)
+        jj = np.minimum(j, len(pb) - 1)
+        ok &= doc_b[jj] == doc_a  # the next B must be in the same doc
+        s = pa[ok]
+        e = pb[jj[ok]]
+        docs = doc_a[ok]
+        if len(e) == 0:
+            return out
+        # minimality: last (largest) start per distinct end — runs cannot
+        # span docs because of the OFF separation
+        keep = np.concatenate([e[1:] != e[:-1], [True]])
+        s, e, docs = s[keep], e[keep], docs[keep]
+    else:
+        pos = np.concatenate([pa, pb])
+        lab = np.concatenate(
+            [np.zeros(len(pa), np.int8), np.ones(len(pb), np.int8)]
+        )
+        dall = np.concatenate([doc_a, doc_b])
+        order = np.argsort(pos, kind="stable")
+        pos, lab, dall = pos[order], lab[order], dall[order]
+        adj = (lab[1:] != lab[:-1]) & (dall[1:] == dall[:-1])
+        s, e, docs = pos[:-1][adj], pos[1:][adj], dall[:-1][adj]
+
+    lengths = e - s + 1  # offsets cancel within a doc
+    if max_width is not None:
+        m = lengths <= max_width
+        lengths, docs = lengths[m], docs[m]
+    if len(lengths) == 0:
+        return out
+    # emission order within each doc is position-ascending == array order;
+    # fold rank-by-rank: the r-th interval of every doc adds in one
+    # vectorized float32 step (exact Java compound-assignment semantics)
+    terms = 1.0 / np.maximum(lengths - 1, 1).astype(np.float64)
+    counts = np.bincount(docs, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(terms), dtype=np.int64) - starts[docs]
+    order = np.argsort(rank, kind="stable")
+    terms_o, docs_o, rank_o = terms[order], docs[order], rank[order]
+    bounds = np.searchsorted(rank_o, np.arange(int(rank_o[-1]) + 2))
+    for r in range(len(bounds) - 1):
+        lo, hi = bounds[r], bounds[r + 1]
+        if lo == hi:
+            continue
+        d = docs_o[lo:hi]
+        out[d] = (out[d].astype(np.float64) + terms_o[lo:hi]).astype(np.float32)
+    return out
+
+
+def _near2_shape(source: IntervalSource):
+    """Detect the vectorizable 2-term NEAR shapes: (max)width/gaps filters
+    over an ordered/unordered pair of DISTINCT single terms.  Returns
+    (term_a, term_b, ordered, max_width) or None.  Pair slop identity:
+    ``maxgaps(g, pair) ⇔ maxwidth(g + 2, pair)`` (width − 2 internal
+    gaps for two single-position sub-sources)."""
+    mw = None
+    node = source
+    if isinstance(node, IMaxWidth):
+        mw, node = node.width, node.sub
+    elif isinstance(node, IMaxGaps):
+        mw, node = node.gaps + 2, node.sub
+    if not isinstance(node, (IOrdered, IUnordered)) or len(node.subs) != 2:
+        return None
+    a, b = node.subs
+    if not (isinstance(a, ITerm) and isinstance(b, ITerm)) or a == b:
+        return None
+    return a.term, b.term, isinstance(node, IOrdered), mw
+
+
 def interval_topk(
     idx: IndexTables,
     source: IntervalSource,
@@ -1364,6 +1466,15 @@ def interval_topk(
     source = normalize(resolve_multiterms(source, idx, field))
     if isinstance(source, INoMatch):
         return _empty_interval_topk(idx)
+    near2 = _near2_shape(source)
+    if near2 is not None:
+        # vectorized-across-docs fast path for the workhorse 2-term NEAR
+        # (bit-identical scores; see batch_near_freqs)
+        ta, tb, is_ordered, mw = near2
+        return interval_near_topk(
+            idx, ta, tb, k=k, max_width=mw, ordered=is_ordered,
+            field=field, pivot=pivot, boost=boost,
+        )
     leafs = sorted(leaf_terms(source))
     required = required_terms(source)
     pos = idx.positions_for_terms(field, leafs)
@@ -1717,7 +1828,7 @@ def interval_near_topk(
     """
     if idx.positions is None:
         raise ValueError("interval queries need a positional index")
-    pos = idx.positions.filter(F.col("field") == field)
+    pos = idx.positions_for_terms(field, [term_a, term_b])
     pa = pos.filter(F.col("term") == term_a).select(
         "doc_id", F.col("positions").alias("_pa")
     )
@@ -1726,23 +1837,21 @@ def interval_near_topk(
     )
     joined = pa.join(pb, "doc_id")
 
-    lengths_of = ordered_interval_lengths if ordered else unordered_interval_lengths
     mw = max_width
+    is_ordered = ordered
     p32 = np.float32(pivot)
     b32 = np.float32(boost)
 
     @F.pandas_udf(T.FloatType())
     def sat_score(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
-        out = np.zeros(len(a_col), dtype=np.float32)
-        for r in range(len(a_col)):
-            lens = lengths_of(
-                np.asarray(a_col[r], dtype=np.int64),
-                np.asarray(b_col[r], dtype=np.int64),
-                mw,
-            )
-            fr = interval_freq(lens)
-            if fr > 0:
-                out[r] = b32 * (np.float32(1.0) - p32 / (p32 + fr))
+        # r5: ONE vectorized kernel per Arrow batch instead of a per-doc
+        # Python loop — same minimal intervals, same float32 fold
+        fr = batch_near_freqs(a_col, b_col, is_ordered, mw)
+        out = np.where(
+            fr > 0,
+            (b32 * (np.float32(1.0) - p32 / (p32 + fr))).astype(np.float32),
+            np.float32(0.0),
+        ).astype(np.float32)
         return pd.Series(out, dtype="float32")
 
     scored = (

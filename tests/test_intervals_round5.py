@@ -375,6 +375,60 @@ def test_maxgaps_pullup_fuzz_vs_manual_expansion():
         assert got == _pairs(_minimal_or(fams))
 
 
+# --------------------------------------------- vectorized 2-term NEAR kernel
+
+
+def test_batch_near_freqs_bit_equal_to_per_doc_loop():
+    """The r5 across-docs kernel must reproduce the per-doc pipeline
+    (ordered/unordered_interval_lengths + interval_freq) bit-for-bit —
+    including the float32 compound-assignment accumulation order."""
+    from lucene_spark.search.intervals import (
+        batch_near_freqs,
+        interval_freq,
+        ordered_interval_lengths,
+        unordered_interval_lengths,
+    )
+
+    rng = np.random.default_rng(53)
+    for trial in range(80):
+        n_docs = int(rng.integers(1, 40))
+        pa_col, pb_col = [], []
+        for _ in range(n_docs):
+            pa_col.append(
+                np.sort(rng.choice(200, size=rng.integers(0, 30), replace=False))
+            )
+            pb_col.append(
+                np.sort(rng.choice(200, size=rng.integers(0, 30), replace=False))
+            )
+        for is_ordered in (True, False):
+            for mw in (None, int(rng.integers(2, 12))):
+                got = batch_near_freqs(pa_col, pb_col, is_ordered, mw)
+                f = ordered_interval_lengths if is_ordered else unordered_interval_lengths
+                want = np.array(
+                    [
+                        interval_freq(f(pa_col[i], pb_col[i], mw))
+                        for i in range(n_docs)
+                    ],
+                    dtype=np.float32,
+                )
+                assert np.array_equal(got, want), (trial, is_ordered, mw)
+
+
+def test_near2_shape_detection():
+    from lucene_spark.search.intervals import IMaxGaps, _near2_shape
+
+    assert _near2_shape(IMaxWidth(8, IOrdered((ITerm("a"), ITerm("b"))))) == (
+        "a", "b", True, 8,
+    )
+    # pair slop identity: maxgaps(g) == maxwidth(g + 2)
+    assert _near2_shape(IMaxGaps(3, IUnordered((ITerm("a"), ITerm("b"))))) == (
+        "a", "b", False, 5,
+    )
+    assert _near2_shape(IOrdered((ITerm("a"), ITerm("b")))) == ("a", "b", True, None)
+    assert _near2_shape(IOrdered((ITerm("a"), ITerm("b"), ITerm("c")))) is None
+    assert _near2_shape(normalize(IOrdered((ITerm("a"), ITerm("a"))))) is None
+
+
 # ----------------------------------------------------- spark end-to-end
 
 
