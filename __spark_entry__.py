@@ -817,17 +817,29 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data curation pass over the dup-injected corpus:
     per-doc keep/reason (exact_dup > near_dup > length > lang > quality) —
-    thresholds chosen so every rule fires at sf0.01."""
+    thresholds chosen so every rule fires at sf0.01.  Two near-dup
+    policies gate side by side: greedy keep-first and r5's
+    connected-components clustering (exactly one survivor per near-dup
+    component, label propagation vs a recursive-CTE oracle)."""
     from lucene_spark.extras.curation import curate
 
-    return curate(
-        _docs_with_dups(spark, sf_dir),
+    kwargs = dict(
         near_threshold=0.5,
         min_words=15,
         max_words=95,
         allowed_langs=("en",),
         min_quality=0.62,
-    ).orderBy("doc_id")
+    )
+    d = _docs_with_dups(spark, sf_dir)
+    return _union_suite(
+        [
+            ("keep_first", curate(d, **kwargs).orderBy("doc_id")),
+            (
+                "components",
+                curate(d, near_policy="components", **kwargs).orderBy("doc_id"),
+            ),
+        ]
+    )
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1704,12 +1716,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_topk": xor.knn_cosine_topk_sql(0, 10),
         "dedup_exact_groups": xor.exact_dup_groups_sql(),
-        "curation_pipeline": xor.curation_sql(
-            near_threshold=0.5,
-            min_words=15,
-            max_words=95,
-            allowed_langs=("en",),
-            min_quality=0.62,
+        "curation_pipeline": _suite_sql(
+            [
+                (
+                    "keep_first",
+                    xor.curation_sql(
+                        near_threshold=0.5,
+                        min_words=15,
+                        max_words=95,
+                        allowed_langs=("en",),
+                        min_quality=0.62,
+                    ),
+                ),
+                (
+                    "components",
+                    xor.curation_sql(
+                        near_threshold=0.5,
+                        min_words=15,
+                        max_words=95,
+                        allowed_langs=("en",),
+                        min_quality=0.62,
+                        near_policy="components",
+                    ),
+                ),
+            ]
         ),
         "dedup_pairs_suite": (
             "SELECT 'jaccard' AS qkind, CAST(doc_a AS BIGINT) AS doc_a,"

@@ -11,11 +11,19 @@ near-dup drops: the MinHash-LSH candidate pipeline, verified pairs only;
 quality / language / token counts: pure column math).  The final frame is
 ``docs ⋈ sides`` on doc_id — no corpus² anywhere, no driver collect.
 
-Near-dup policy is **keep-first** (greedy): a doc is dropped when it is the
-GREATER doc_id of any verified near-duplicate pair.  This is the standard
-single-pass web-dedup policy (drop later crawls); it is NOT transitive
-clustering — a full connected-components pass would need iterative label
-propagation and is out of scope (documented envelope).
+Near-dup policies:
+
+* ``near_policy="keep_first"`` (default, greedy): a doc is dropped when it
+  is the GREATER doc_id of any verified near-duplicate pair — the standard
+  single-pass web-dedup policy (drop later crawls).  Not transitive: in a
+  star A~C, B~C the center C drops but A and B both survive.
+* ``near_policy="components"`` (round 5): connected components over the
+  verified-pair graph via iterated min-label propagation
+  (:func:`near_dup_components`); exactly ONE doc (the smallest doc_id)
+  survives per component — cluster-level dedup.  The propagation runs over
+  the PAIR graph only (≪ corpus; docs with no near-dup pair never enter
+  it), and each round is one broadcast-joinable aggregation, so the loop
+  costs O(diameter) tiny jobs, not corpus passes.
 
 Rule precedence (first failing rule names the reason):
 ``exact_dup > near_dup > length > lang > quality > kept``.
@@ -30,6 +38,59 @@ from lucene_spark.extras.dedup import minhash_lsh_pairs
 from lucene_spark.extras.textstats import lang_id, quality_scores
 
 
+def near_dup_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """(doc_id, component) — per pair-graph member, the smallest doc_id
+    reachable through verified near-duplicate pairs (connected components
+    by iterated min-label propagation; converges in ≤ diameter rounds,
+    checked each round, hard-capped at ``max_rounds``)."""
+    edges = pairs.select(
+        F.col("doc_a").cast("long").alias("a"),
+        F.col("doc_b").cast("long").alias("b"),
+    )
+    edges = (
+        edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_rounds):
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new = (
+            labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new.withColumnRenamed("component", "_c")
+            .join(labels, "doc_id")
+            .filter(F.col("_c") != F.col("component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(
+        f"near_dup_components did not converge in {max_rounds} rounds"
+    )
+
+
 def curate(
     docs: DataFrame,
     text_col: str = "text",
@@ -38,8 +99,11 @@ def curate(
     max_words: int = 1_000_000,
     allowed_langs: tuple = ("en",),
     min_quality: float = 0.0,
+    near_policy: str = "keep_first",
 ) -> DataFrame:
     """(doc_id, keep boolean, reason string) per input document."""
+    if near_policy not in ("keep_first", "components"):
+        raise ValueError(f"unknown near_policy {near_policy!r}")
     d = docs.select("doc_id", F.col(text_col).alias("text"))
 
     keepers = d.groupBy(F.md5("text").alias("_h")).agg(
@@ -49,12 +113,20 @@ def curate(
         "doc_id", (F.col("doc_id") != F.col("_keeper")).alias("_exact_dup")
     )
 
-    near_drops = (
-        minhash_lsh_pairs(d, threshold=near_threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("_near_dup", F.lit(True))
-    )
+    pairs = minhash_lsh_pairs(d, threshold=near_threshold)
+    if near_policy == "components":
+        near_drops = (
+            near_dup_components(pairs)
+            .filter(F.col("doc_id") != F.col("component"))
+            .select("doc_id")
+            .withColumn("_near_dup", F.lit(True))
+        )
+    else:
+        near_drops = (
+            pairs.select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+            .withColumn("_near_dup", F.lit(True))
+        )
 
     q = quality_scores(d).select("doc_id", "n_words", "quality")
     lang = lang_id(d).select("doc_id", "lang")

@@ -132,21 +132,51 @@ def curation_sql(
     num_hashes: int = 32,
     bands: int = 16,
     seed: int = 42,
+    near_policy: str = "keep_first",
 ) -> str:
     """The composed curation pipeline (extras/curation.py ``curate``):
     per-doc keep/reason with precedence exact_dup > near_dup > length >
-    lang > quality, over the dup-injected corpus."""
+    lang > quality, over the dup-injected corpus.
+
+    ``near_policy="components"``: near-dup drops are every pair-graph
+    member except its connected component's smallest doc_id — the
+    transitive closure computed INDEPENDENTLY by a recursive CTE (not by
+    label propagation), so the oracle checks the engine's iterative
+    algorithm against the declarative definition."""
     best_lang, best_hits = _lang_exprs()
     langs = ", ".join(f"'{lg}'" for lg in allowed_langs)
-    return f"""
-WITH {DOCS_WITH_DUPS}, {_SHINGLES},
-{_minhash_cand_ctes(num_hashes, bands, seed).lstrip()},
-{_JACCARD.strip().lstrip()},
+    if near_policy == "components":
+        near_cte = f"""
+vp AS (
+    SELECT j.doc_a, j.doc_b
+    FROM jac j SEMI JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    WHERE j.jaccard >= {near_threshold}
+),
+eg AS (
+    SELECT doc_a AS a, doc_b AS b FROM vp
+    UNION SELECT doc_b, doc_a FROM vp
+),
+reach(a, b) AS (
+    SELECT a, b FROM eg
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN eg e ON r.b = e.a
+),
+comp AS (
+    SELECT a AS doc_id, least(a, min(b)) AS component FROM reach GROUP BY a
+),
+near_drops AS (SELECT doc_id FROM comp WHERE doc_id <> component)"""
+    else:
+        near_cte = f"""
 near_drops AS (
     SELECT DISTINCT j.doc_b AS doc_id
     FROM jac j SEMI JOIN cand c ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
     WHERE j.jaccard >= {near_threshold}
-),
+)"""
+    return f"""
+WITH RECURSIVE {DOCS_WITH_DUPS}, {_SHINGLES},
+{_minhash_cand_ctes(num_hashes, bands, seed).lstrip()},
+{_JACCARD.strip().lstrip()},
+{near_cte.strip()},
 keepers AS (
     SELECT md5(text) AS h, min(doc_id) AS keeper FROM docs GROUP BY 1
 ),

@@ -435,6 +435,48 @@ def test_curation_pipeline(spark):
                    "length": 1, "lang": 1, "quality": 1}
 
 
+def test_near_dup_components_label_propagation(spark):
+    """Connected components over a pair graph: chain, star, singleton-free
+    (docs without pairs never enter), converges to min-id labels."""
+    from lucene_spark.extras.curation import near_dup_components
+
+    # components: {1,2,3,9} (chain 1-2, 2-3 + edge 3-9), {5,6}, {7,8}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 6), (8, 7)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in near_dup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5, 7: 7, 8: 7}
+
+
+def test_curate_components_keeps_one_per_cluster(spark):
+    """The star A~C, B~C (A≁B): keep-first keeps BOTH A and B (drops only
+    the greater pair member C), components keeps exactly ONE doc — the
+    round-4 verdict's cluster-level dedup ask."""
+    from lucene_spark.extras.curation import curate
+    from lucene_spark.extras.dedup import minhash_lsh_pairs
+
+    shared_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    shared_b = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    rows = [
+        (10, shared_a + " left tail"),  # A
+        (20, shared_b + " right tail"),  # B
+        (30, shared_a + " " + shared_b),  # C: near-dup of both A and B
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, threshold=0.3).collect()
+    }
+    assert (10, 30) in pairs and (20, 30) in pairs and (10, 20) not in pairs
+    kw = dict(near_threshold=0.3, min_words=1, allowed_langs=("en", "und"))
+    kf = {r.doc_id: r.reason for r in curate(df, **kw).collect()}
+    assert kf == {10: "kept", 20: "kept", 30: "near_dup"}
+    cc = {r.doc_id: r.reason for r in curate(
+        df, near_policy="components", **kw
+    ).collect()}
+    assert cc == {10: "kept", 20: "near_dup", 30: "near_dup"}
+
+
 def test_knn_ivf_recall(spark):
     """IVF-flat ANN: ≥0.9 recall@10 vs brute force on the test embeddings;
     nprobe == n_centroids degenerates to exact."""
