@@ -27,6 +27,9 @@ from __future__ import annotations
 import json
 import os
 import re
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution under
+# `from __future__ import annotations` needs pd in module globals
 import statistics
 import subprocess
 import sys
@@ -221,7 +224,101 @@ def run_bench() -> dict:
         t1 = time.perf_counter()
         interval_topk_wand(idx_pos, node, k=10).collect()
         q_times["wand_q_intervals"] = round(time.perf_counter() - t1, 4)
+
+        # r5 A/B: the same NEAR through the pre-r5 per-doc Python loop
+        # (reconstructed here, bench-only) vs the across-docs batch kernel
+        # now wired into interval_topk — identical plan, identical scores
+        import numpy as _np
+        from pyspark.sql import Window as _W
+        from pyspark.sql import functions as _Fq
+        from pyspark.sql import types as _Tq
+
+        from lucene_spark.search.intervals import (
+            interval_freq,
+            ordered_interval_lengths,
+        )
+
+        def _legacy_near(ta, tb, mw, k):
+            p = idx_pos.positions_for_terms("text", [ta, tb])
+            pa = p.filter(_Fq.col("term") == ta).select(
+                "doc_id", _Fq.col("positions").alias("_pa")
+            )
+            pb = p.filter(_Fq.col("term") == tb).select(
+                "doc_id", _Fq.col("positions").alias("_pb")
+            )
+
+            @_Fq.pandas_udf(_Tq.FloatType())
+            def sat(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
+                out = _np.zeros(len(a_col), dtype=_np.float32)
+                for r in range(len(a_col)):
+                    lens = ordered_interval_lengths(
+                        _np.asarray(a_col[r], dtype=_np.int64),
+                        _np.asarray(b_col[r], dtype=_np.int64),
+                        mw,
+                    )
+                    fr = interval_freq(lens)
+                    if fr > 0:
+                        out[r] = _np.float32(1.0) - _np.float32(1.0) / (
+                            _np.float32(1.0) + fr
+                        )
+                return pd.Series(out, dtype="float32")
+
+            scored = (
+                pa.join(pb, "doc_id")
+                .withColumn("score", sat(_Fq.col("_pa"), _Fq.col("_pb")))
+                .filter(_Fq.col("score") > 0)
+            )
+            return scored.orderBy(
+                _Fq.desc("score"), _Fq.asc("doc_id")
+            ).limit(k)
+
+        t1 = time.perf_counter()
+        _legacy_near("index", "query", 12, 10).collect()
+        q_times["q_intervals_flat_perdoc_loop"] = round(
+            time.perf_counter() - t1, 4
+        )
         pos.unpersist()
+
+    # r5: disk-resident proximity — a positional segment build (positions +
+    # offsets partitioned by (segment, tbucket)) and phrase/NEAR queries
+    # answered entirely from the disk layout with bucket-pruned scans
+    ondisk_pos_build_sec = None
+    if os.environ.get("SPARK_GRAFT_SKIP_EXTRAS") != "1":
+        import shutil as _sh
+        import tempfile as _tf
+
+        from lucene_spark.index.segments import (
+            build_segments as _bseg,
+            read_index as _ridx,
+        )
+        from lucene_spark.search.intervals import interval_topk as _itopk
+
+        d2 = _tf.mkdtemp(
+            prefix="lucene_spark_bench_posidx_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        try:
+            turns.persist()
+            t0 = time.perf_counter()
+            _bseg(turns, d2, num_segments=CPUS, batch_size=CPUS, with_positions=True)
+            ondisk_pos_build_sec = round(time.perf_counter() - t0, 3)
+            dsk = IndexSearcher(_ridx(spark, d2))
+            t1 = time.perf_counter()
+            dsk.search('"index query"', k=10).collect()
+            q_times["ondisk_q_phrase"] = round(time.perf_counter() - t1, 4)
+            from lucene_spark.search.intervals import (
+                IMaxWidth as _MW,
+                IOrdered as _IO,
+                ITerm as _IT,
+            )
+
+            t1 = time.perf_counter()
+            _itopk(
+                dsk.index, _MW(12, _IO((_IT("index"), _IT("query")))), k=10
+            ).collect()
+            q_times["ondisk_q_near"] = round(time.perf_counter() - t1, 4)
+        finally:
+            _sh.rmtree(d2, ignore_errors=True)
 
     # training-data extras: candidate-driven MinHash dedup + brute ANN
     extras = {}
