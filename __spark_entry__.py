@@ -546,7 +546,7 @@ def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.score_all("merge"),
         _docs(spark, sf_dir),
         ["merge"],
-        positions=s.index.positions,  # OffsetSource POSTINGS (indexed offsets)
+        positions=s.index.positions_for_terms("text", ["merge"]),  # OffsetSource POSTINGS, bucket-pruned
     )
     return out.withColumn("pscore", F.col("pscore").cast("double"))
 
@@ -724,7 +724,7 @@ def _q_ondisk_positional_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.score_all("merge"),
         _docs(spark, sf_dir),
         ["merge"],
-        positions=s.index.positions,  # offsets read from the disk layout
+        positions=s.index.positions_for_terms("text", ["merge"]),  # indexed offsets from disk, (segment, tbucket)-pruned scan
     ).select(
         F.col("doc_id").cast("long"),
         F.col("pscore").cast("double").alias("score"),

@@ -584,7 +584,9 @@ class IndexSearcher:
         leaf = self.similarity.leaf_scorer_from_weight(weight, doc_count, sttf)
         score_udf = _make_leaf_udf(leaf)
 
-        pos = self.index.positions.filter(F.col("field") == q.field)
+        # term+tbucket-pruned positional scan (partition filter on the
+        # bucketed on-disk layout — see positions_for_terms)
+        pos = self.index.positions_for_terms(q.field, list(q.terms))
 
         def shift_by(off: int):
             # single-arg lambda (2-arg transform lambdas receive the index)
@@ -1052,7 +1054,10 @@ class IndexSearcher:
         leaf = self.similarity.leaf_scorer_from_weight(weight, doc_count, sttf)
         score_udf = _make_leaf_udf(leaf)
 
-        pos = self.index.positions.filter(F.col("field") == q.field)
+        # term+tbucket-pruned positional scan (on the bucketed on-disk
+        # layout this is a partition filter — a phrase reads only its own
+        # terms' buckets, not the whole positional table)
+        pos = self.index.positions_for_terms(q.field, list(q.terms))
 
         def shift_by(off: int):
             # single-arg lambda: a 2-arg lambda would receive the ARRAY INDEX
