@@ -239,6 +239,17 @@ class INotContaining(IntervalSource):
 
 
 @_dataclass(frozen=True)
+class INotContainedBy(IntervalSource):
+    """``Intervals.notContainedBy(small, big)``
+    (``NotContainedByIntervalsSource.java:70-85``): small intervals NOT
+    lying inside any big interval — the streaming complement of
+    :class:`IContainedBy` (first big ending at/after the small decides)."""
+
+    small: IntervalSource
+    big: IntervalSource
+
+
+@_dataclass(frozen=True)
 class IBlock(IntervalSource):
     """``Intervals.phrase`` (``BlockIntervalsSource.java:28-137``): each
     sub-source interval must start exactly one position after the previous
@@ -410,7 +421,7 @@ def leaf_terms(node: IntervalSource) -> set:
         return out
     if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
         return leaf_terms(node.sub)
-    if isinstance(node, IContainedBy):
+    if isinstance(node, (IContainedBy, INotContainedBy)):
         return leaf_terms(node.small) | leaf_terms(node.big)
     if isinstance(node, IContaining):
         return leaf_terms(node.big) | leaf_terms(node.small)
@@ -460,6 +471,8 @@ def required_terms(node: IntervalSource) -> set:
         return required_terms(node.sub)
     if isinstance(node, IContainedBy):
         return required_terms(node.small) | required_terms(node.big)
+    if isinstance(node, INotContainedBy):
+        return required_terms(node.small)
     if isinstance(node, IContaining):
         return required_terms(node.big) | required_terms(node.small)
     if isinstance(node, (INotContaining, INonOverlapping)):
@@ -496,7 +509,7 @@ def min_extent(node: IntervalSource) -> int:
         # the reference returns the SUB extent (RepeatingIntervalsSource
         # .minExtent:93-95), not count× — transcribed for scoring parity
         return min_extent(node.sub)
-    if isinstance(node, IContainedBy):
+    if isinstance(node, (IContainedBy, INotContainedBy)):
         return min_extent(node.small)
     if isinstance(node, IContaining):
         return min_extent(node.big)
@@ -702,6 +715,11 @@ def normalize(node: IntervalSource) -> IntervalSource:
         if isinstance(small, INoMatch) or isinstance(big, INoMatch):
             return INoMatch("containedBy over a no-match side")
         return IContainedBy(small, big)
+    if isinstance(node, INotContainedBy):
+        small, big = normalize(node.small), normalize(node.big)
+        if isinstance(small, INoMatch):
+            return small
+        return small if isinstance(big, INoMatch) else INotContainedBy(small, big)
     if isinstance(node, IContaining):
         big, small = normalize(node.big), normalize(node.small)
         if isinstance(big, INoMatch) or isinstance(small, INoMatch):
@@ -774,7 +792,7 @@ def _children(node: IntervalSource) -> tuple:
         return node.subs
     if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
         return (node.sub,)
-    if isinstance(node, IContainedBy):
+    if isinstance(node, (IContainedBy, INotContainedBy)):
         return (node.small, node.big)
     if isinstance(node, IContaining):
         return (node.big, node.small)
@@ -809,6 +827,8 @@ def _substitute_multiterms(node: IntervalSource, lookup: dict) -> IntervalSource
         return IRepeat(sub(node.sub), node.count)
     if isinstance(node, IContainedBy):
         return IContainedBy(sub(node.small), sub(node.big))
+    if isinstance(node, INotContainedBy):
+        return INotContainedBy(sub(node.small), sub(node.big))
     if isinstance(node, IContaining):
         return IContaining(sub(node.big), sub(node.small))
     if isinstance(node, INotContaining):
@@ -1037,6 +1057,21 @@ def _contained_by(small, big):
     jj = np.minimum(j, len(bs) - 1)
     ok &= bs[jj] <= ss
     return ss[ok], se[ok], sg[ok]
+
+
+def _not_contained_by(small, big):
+    """``NotContainedByIntervalsSource.java:70-85``: the streaming
+    complement of :func:`_contained_by` — keep small intervals for which
+    the first big ending at/after them starts AFTER them."""
+    ss, se, sg = small
+    bs, be, _ = big
+    if len(ss) == 0 or len(bs) == 0:
+        return small
+    j = np.searchsorted(be, se, side="left")
+    jj = np.minimum(j, len(bs) - 1)
+    contained = (j < len(bs)) & (bs[jj] <= ss)
+    keep = ~contained
+    return ss[keep], se[keep], sg[keep]
 
 
 def _containing(big, small):
@@ -1310,6 +1345,11 @@ def eval_intervals(node: IntervalSource, posmap: dict):
             eval_intervals(node.small, posmap),
             eval_intervals(node.big, posmap),
         )
+    if isinstance(node, INotContainedBy):
+        return _not_contained_by(
+            eval_intervals(node.small, posmap),
+            eval_intervals(node.big, posmap),
+        )
     if isinstance(node, IContaining):
         return _containing(
             eval_intervals(node.big, posmap),
@@ -1562,7 +1602,7 @@ def freq_count_bound(node: IntervalSource, tfmap: dict) -> np.ndarray:
         return freq_count_bound(node.sub, tfmap)
     if isinstance(node, IOverlapping):
         return freq_count_bound(node.source, tfmap)
-    if isinstance(node, IContainedBy):
+    if isinstance(node, (IContainedBy, INotContainedBy)):
         # one big interval can contain MANY smalls: only the small family
         # size bounds the output (the fuzz test caught min(small, big))
         return freq_count_bound(node.small, tfmap)

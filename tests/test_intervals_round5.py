@@ -301,6 +301,25 @@ def test_overlapping_matches_exists_semantics():
         assert got == exp
 
 
+def test_not_contained_by_complements_contained_by():
+    """notContainedBy keeps exactly the small intervals containedBy drops
+    (``NotContainedByIntervalsSource`` vs ``ContainedByIntervalsSource``)."""
+    from lucene_spark.search.intervals import INotContainedBy
+
+    rng = np.random.default_rng(59)
+    for _ in range(300):
+        pm = _rand_positions(rng, 3, npos=10, span=30)
+        small = ITerm("t0")
+        big = IOrdered((ITerm("t1"), ITerm("t2")))
+        inside = _pairs(eval_intervals(IContainedBy(small, big), pm))
+        outside = _pairs(eval_intervals(INotContainedBy(small, big), pm))
+        alls = _pairs(eval_intervals(small, pm))
+        assert sorted(inside + outside) == alls
+        # EXISTS semantics for the positive side already fuzz-covered; the
+        # complement must be the literal set difference
+        assert set(outside) == set(alls) - set(inside)
+
+
 # --------------------------------------------------- Disjunctions.pullUp
 
 
