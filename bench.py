@@ -436,6 +436,8 @@ def run_bench() -> dict:
         result["ondisk_build_sec"] = ondisk_build_sec
     if positions_build_sec is not None:
         result["positions_build_sec"] = positions_build_sec
+    if ondisk_pos_build_sec is not None:
+        result["ondisk_pos_build_sec"] = ondisk_pos_build_sec
     if extras:
         result["extras"] = extras
     spark.stop()
