@@ -35,6 +35,19 @@ def main(argv=None) -> dict:
     p.add_argument("--index-dir", required=True)
     p.add_argument("--num-segments", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument(
+        "--with-positions",
+        action="store_true",
+        help="persist the positional table (positions + offsets, "
+        "(segment, tbucket)-partitioned) so the disk index answers "
+        "phrase/interval/span/highlight queries",
+    )
+    p.add_argument(
+        "--no-offsets",
+        action="store_true",
+        help="with --with-positions: skip character-offset arrays "
+        "(phrase-only deployments halve the positional payload)",
+    )
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -58,6 +71,8 @@ def main(argv=None) -> dict:
         args.index_dir,
         num_segments=args.num_segments,
         batch_size=args.batch_size,
+        with_positions=args.with_positions,
+        with_offsets=not args.no_offsets,
     )
     wall = time.perf_counter() - t0
     out = {
