@@ -1309,6 +1309,8 @@ def _q_percolator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             9: "s?an",
             10: "batch AND megre~1",
             11: '"table value"~2',
+            12: "3W(scan, merge)",  # r5: ordered NEAR span clause (slop 2)
+            13: "2N(filter, sort)",  # r5: unordered NEAR span clause (slop 1)
         },
         analyzer=GATE_ANALYZER,
         key_cols=("doc_id",),

@@ -192,8 +192,12 @@ def percolator_suite_sql() -> str:
     """Every supported percolator shape in one gate: terms / Booleans /
     MUST_NOT (1-4), exact phrases (5-6), prefix term-acceptors (7-8),
     wildcard (9), distance-1 fuzzy (10; OSA ≤ 1 == Damerau-Levenshtein
-    ≤ 1, so DuckDB's ``damerau_levenshtein`` is the exact twin), and a
-    sloppy phrase (11).  For TWO distinct terms a SloppyPhraseMatcher
+    ≤ 1, so DuckDB's ``damerau_levenshtein`` is the exact twin), a
+    sloppy phrase (11), and r5 two-term NEAR span clauses (12 ordered:
+    some pair with b after a and gaps ≤ slop; 13 unordered: some
+    distinct-position pair with window gaps ≤ slop — a minimal interval
+    within maxgaps exists iff ANY such pair does).  For TWO distinct terms
+    a SloppyPhraseMatcher
     match with matchLength ≤ slop exists iff SOME pair of shifted
     positions lies within slop: every chain leader matches its closest
     predecessor, and for the globally closest pair (F, L) either L itself
@@ -242,6 +246,14 @@ UNION
 SELECT DISTINCT a.doc_id, 11 FROM tp a JOIN tp b ON b.doc_id = a.doc_id
 WHERE a.term = 'table' AND b.term = 'value'
   AND abs((b.pos - 1) - a.pos) <= 2
+UNION
+SELECT DISTINCT a.doc_id, 12 FROM tp a JOIN tp b ON b.doc_id = a.doc_id
+WHERE a.term = 'scan' AND b.term = 'merge'
+  AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+UNION
+SELECT DISTINCT a.doc_id, 13 FROM tp a JOIN tp b ON b.doc_id = a.doc_id
+WHERE a.term = 'filter' AND b.term = 'sort'
+  AND a.pos <> b.pos AND abs(b.pos - a.pos) - 1 <= 1
 ORDER BY doc_id, query_id
 """
 

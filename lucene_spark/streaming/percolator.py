@@ -23,7 +23,10 @@ Design (SURVEY.md §2.9):
   broadcast LIKE join), distance-1 fuzzy (OSA ≤ 1 with the transposition
   branch, broadcast non-equi join), phrases at any slop (exact via the
   shifted-position SQL; sloppy via the engine's SloppyPhraseMatcher
-  transcription per candidate doc), and one-level Booleans
+  transcription per candidate doc), r5: two-term NEAR span clauses in
+  surround syntax (``3W(scan, merge)`` / ``2N(filter, sort)`` — presearch
+  MUST of both terms, positional verify via the interval minimal-pair
+  functions), and one-level Booleans
   of them (MUST / SHOULD / MUST_NOT / FILTER, minimumNumberShouldMatch) —
   the envelope Lucene's presearcher optimizes well; anything else would
   need a per-batch scoring pass with
@@ -134,6 +137,50 @@ class _Registered:
     # (presearch approximates a phrase by MUST of its distinct terms — the
     # Presearcher's term-based pruning — then positions verify the candidates)
     phrases: list[tuple[str, ...]] = field(default_factory=list)
+    # r5: two-term NEAR span clauses (term_a, term_b, ordered, slop) —
+    # presearched as MUST of both terms, positionally verified
+    nears: list[tuple[str, str, bool, int]] = field(default_factory=list)
+
+
+def _decompose_span(query_id: int, q) -> _Registered:
+    """Two-term SpanNearQuery → presearch MUST rows + a NEAR verify spec
+    (the percolator's span envelope; wider span algebra would need a
+    per-batch IndexSearcher pass)."""
+    from lucene_spark.search.spans import SpanNearQuery, SpanTermQuery
+
+    if not (
+        isinstance(q, SpanNearQuery)
+        and len(q.clauses) == 2
+        and all(isinstance(c, SpanTermQuery) for c in q.clauses)
+        and q.clauses[0] != q.clauses[1]
+    ):
+        raise ValueError(
+            f"query {query_id}: percolator span clauses are two-distinct-"
+            f"term NEAR only, got {q!r}"
+        )
+    ta, tb = q.clauses[0].term, q.clauses[1].term
+    rows = [(t, "must", i, "term") for i, t in enumerate(sorted({ta, tb}))]
+    return _Registered(
+        query_id,
+        rows,
+        len(rows),
+        0,
+        False,
+        nears=[(ta, tb, bool(q.in_order), int(q.slop))],
+    )
+
+
+_SURROUND_HINT = __import__("re").compile(r"(^|[\s(])\d*[WwNn]\s*\(|\s\d*[WwNn]\s")
+
+
+def _parse_monitor(query_id: int, qs: str):
+    """Classic syntax by default; strings using surround W/N distance
+    operators route through the surround parser → span decomposition."""
+    if _SURROUND_HINT.search(qs):
+        from lucene_spark.search.parser_surround import parse_surround
+
+        return _decompose_span(query_id, parse_surround(qs))
+    return _decompose(query_id, parse(qs))
 
 
 def _phrase_parts(q: PhraseQuery, query_id: int, cid0: int):
@@ -230,7 +277,7 @@ class Monitor:
         self.text_col = text_col
 
         self._regs: dict[int, _Registered] = {
-            qid: _decompose(qid, parse(qs)) for qid, qs in sorted(queries.items())
+            qid: _parse_monitor(qid, qs) for qid, qs in sorted(queries.items())
         }
         self._rebuild()
 
@@ -250,8 +297,12 @@ class Monitor:
         kinds = {k for r in regs for _t, _cl, _c, k in r.terms}
         self._has_wild = "wild" in kinds
         self._has_fuzzy = "fuzzy" in kinds
+        # n_phrases counts EVERY positional check (phrases + NEAR spans)
         self.query_reqs = self.spark.createDataFrame(
-            [(r.query_id, r.n_must, r.min_should, len(r.phrases)) for r in regs],
+            [
+                (r.query_id, r.n_must, r.min_should, len(r.phrases) + len(r.nears))
+                for r in regs
+            ],
             "query_id int, n_must int, min_should int, n_phrases int",
         )
         phrase_rows = [
@@ -273,11 +324,28 @@ class Monitor:
         self._has_exact_phrase = any(
             s == 0 for _q, _p, _t, _o, _l, s in phrase_rows
         )
+        # NEAR verify table: one row per (clause, side) — check ids live in
+        # a disjoint namespace (10000+) so phrase_ok can count them together
+        near_rows = [
+            (r.query_id, 10_000 + nid, t, side, ordered, slop)
+            for r in regs
+            for nid, (ta, tb, ordered, slop) in enumerate(r.nears)
+            for side, t in (("a", ta), ("b", tb))
+        ]
+        self.query_near_terms = (
+            self.spark.createDataFrame(
+                near_rows,
+                "query_id int, phrase_id int, term string, side string,"
+                " ordered boolean, slop int",
+            )
+            if near_rows
+            else None
+        )
 
     def register(self, query_id: int, query_str: str) -> None:
         """Monitor.register (``monitor/Monitor.java``): add or replace a
         query; takes effect for the next batch."""
-        self._regs[query_id] = _decompose(query_id, parse(query_str))
+        self._regs[query_id] = _parse_monitor(query_id, query_str)
         self._rebuild()
 
     def unregister(self, query_id: int) -> None:
@@ -289,7 +357,11 @@ class Monitor:
         """(key_cols..., query_id) pairs for documents matching each query."""
         keys = [F.col(c) for c in self.key_cols]
         tpos = None
-        if self.query_phrase_terms is not None:
+        needs_positions = (
+            self.query_phrase_terms is not None
+            or self.query_near_terms is not None
+        )
+        if needs_positions:
             # ONE analysis pass serves both steps when phrases are
             # registered: the positional stream is computed once and the
             # term presearch is a projection of it
@@ -377,7 +449,7 @@ class Monitor:
             )
             .select(*self.key_cols, "query_id", "n_phrases")
         )
-        if self.query_phrase_terms is None:
+        if not needs_positions:
             return verified.select(*self.key_cols, "query_id")
 
         # positional verification of phrase candidates (the MemoryIndex
@@ -392,7 +464,7 @@ class Monitor:
         # positional work is restricted to docs containing phrase terms.
         pt = self.query_phrase_terms
         hits_parts = []
-        if self._has_exact_phrase:
+        if pt is not None and self._has_exact_phrase:
             ph = tpos.join(F.broadcast(pt.filter(F.col("slop") == 0)), "term")
             starts = ph.groupBy(
                 *self.key_cols,
@@ -406,7 +478,7 @@ class Monitor:
                 .select(*self.key_cols, "query_id", "phrase_id")
                 .distinct()
             )
-        if self._has_sloppy:
+        if pt is not None and self._has_sloppy:
             sp = tpos.join(F.broadcast(pt.filter(F.col("slop") > 0)), "term")
             key_schema = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}"
@@ -448,6 +520,47 @@ class Monitor:
                 sp.groupBy(*self.key_cols, "query_id", "phrase_id").applyInPandas(
                     verify, out_schema
                 )
+            )
+        if self.query_near_terms is not None:
+            # r5 NEAR span verify: per candidate (doc, clause) group run the
+            # interval minimal-pair functions (maxgaps(slop) over the pair
+            # ⇔ width ≤ slop + 2) — the same machinery span_topk uses
+            nt = self.query_near_terms
+            np_cand = tpos.join(F.broadcast(nt), "term")
+            key_schema = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in tpos.schema
+                if f.name in self.key_cols
+            )
+            near_schema = key_schema + ", query_id int, phrase_id int"
+            near_keys = self.key_cols
+
+            def near_verify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                import numpy as np
+
+                from lucene_spark.search.intervals import (
+                    ordered_interval_lengths,
+                    unordered_interval_lengths,
+                )
+
+                empty = pdf.iloc[0:0][near_keys + ["query_id", "phrase_id"]]
+                pa = np.sort(pdf.loc[pdf["side"] == "a", "pos"].to_numpy(np.int64))
+                pb = np.sort(pdf.loc[pdf["side"] == "b", "pos"].to_numpy(np.int64))
+                if len(pa) == 0 or len(pb) == 0:
+                    return empty
+                slop = int(pdf["slop"].iloc[0])
+                fn = (
+                    ordered_interval_lengths
+                    if bool(pdf["ordered"].iloc[0])
+                    else unordered_interval_lengths
+                )
+                if len(fn(pa, pb, slop + 2)):
+                    return pdf.iloc[0:1][near_keys + ["query_id", "phrase_id"]]
+                return empty
+
+            hits_parts.append(
+                np_cand.groupBy(*self.key_cols, "query_id", "phrase_id")
+                .applyInPandas(near_verify, near_schema)
             )
         phrase_hit = hits_parts[0]
         for extra in hits_parts[1:]:

@@ -127,6 +127,49 @@ def test_percolator_sloppy_phrase_clauses(spark):
     }
 
 
+def test_percolator_near_span_clauses(spark):
+    """r5: two-term NEAR span clauses in surround syntax — presearch MUST
+    of both terms, interval-pair verify (ordered gaps ≤ slop; unordered
+    distinct-position window)."""
+    mon = Monitor(
+        spark,
+        {
+            1: "2W(scan, merge)",  # ordered, slop 1
+            2: "2N(filter, sort)",  # unordered, slop 1
+        },
+    )
+    batch = _batch(
+        spark,
+        [
+            ("c0", 0, "scan then merge now"),    # scan@0 merge@2: gaps 1 ✓
+            ("c0", 1, "scan a b merge"),         # gaps 2 > 1 ✗
+            ("c0", 2, "merge scan"),             # reversed: ordered ✗
+            ("c1", 0, "sort the filter"),        # unordered gaps 1 ✓
+            ("c1", 1, "filter sort"),            # adjacent ✓
+            ("c1", 2, "filter a b c sort"),      # gaps 3 ✗
+            ("c1", 3, "filter only"),            # presearch kills (no sort)
+        ],
+    )
+    got = {
+        (r.conv_id, r.turn_idx, r.query_id) for r in mon.match_batch(batch).collect()
+    }
+    assert got == {("c0", 0, 1), ("c1", 0, 2), ("c1", 1, 2)}
+    # register/unregister cycle keeps working with span clauses
+    mon.register(3, "1W(scan, merge)")  # slop 0: adjacency only
+    got2 = {
+        (r.conv_id, r.turn_idx, r.query_id) for r in mon.match_batch(batch).collect()
+    }
+    assert ("c0", 0, 3) not in got2  # scan..merge has a gap
+    mon.unregister(1)
+    got3 = {r.query_id for r in mon.match_batch(batch).collect()}
+    assert 1 not in got3
+    # envelope: >2 clauses / repeated operands stay rejected
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        Monitor(spark, {9: "2W(a, b, c)"})
+
+
 def test_percolator_wildcard_clauses(spark):
     """General wildcard acceptors ('s?an' shapes): broadcast LIKE join;
     prefix-shaped wildcards keep riding the cheaper substring equi-join."""
