@@ -1322,13 +1322,14 @@ def _q_percolator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with exact refine (r4's missing oracle row), pinned to the
-    exact regime: nprobe == n_centroids (full list coverage) so the ADC
-    table-lookup shortlist + true-cosine refine provably reproduce the
-    brute-force top-k — the PQ encode/ADC/refine machinery carries an
-    oracle row while the list-PRUNED approximate regime stays covered by
-    the recall/degeneration pytest (gate corpus cosines cluster within
-    ~0.01, too tight for pruned probes to be deterministic)."""
+    """IVF-PQ with exact refine (r4's missing oracle row).  nprobe ==
+    n_centroids removes list-pruning variance (full coverage); the ADC
+    shortlist (refine·k = 160) then feeds the true-cosine refine.
+    Exactness is STRUCTURAL only for corpora ≤ refine·k — on the larger
+    deterministic gate corpora it is EMPIRICAL (the true top-10's ADC
+    ranks sit well inside 160; verified bit-equal to brute force at
+    sf0.001 and sf0.01 before wiring).  The list-pruned approximate
+    regime stays covered by the recall/degeneration pytest."""
     from lucene_spark.extras.similarity import knn_ivfpq
 
     from lucene_spark.session import ship_package

@@ -40,9 +40,15 @@ from lucene_spark.extras.textstats import lang_id, quality_scores
 
 def near_dup_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     """(doc_id, component) — per pair-graph member, the smallest doc_id
-    reachable through verified near-duplicate pairs (connected components
-    by iterated min-label propagation; converges in ≤ diameter rounds,
-    checked each round, hard-capped at ``max_rounds``)."""
+    reachable through verified near-duplicate pairs.
+
+    Connected components by min-label propagation WITH path halving: each
+    round takes the min over (own label, neighbors' labels, label of the
+    current label-node).  The pointer-jumping step makes convergence
+    O(log·diameter) rounds instead of O(diameter) — a 52-doc chain cluster
+    (versioned/crawled pages edited incrementally) converges in ~7 rounds,
+    not 51 — so the ``max_rounds`` guard is a genuine runaway backstop,
+    not a cliff real data can hit.  Convergence is checked every round."""
     edges = pairs.select(
         F.col("doc_a").cast("long").alias("a"),
         F.col("doc_b").cast("long").alias("b"),
@@ -65,15 +71,28 @@ def near_dup_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
             .groupBy("a")
             .agg(F.min("component").alias("_nmin"))
         )
+        # path halving: the label of my current label (component is always
+        # a member doc_id, so the self-join is total for non-root members)
+        hop = labels.select(
+            F.col("doc_id").alias("component"), F.col("component").alias("_cc")
+        )
         new = (
             labels.join(neigh, labels["doc_id"] == neigh["a"], "left")
+            .join(hop, "component", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                    F.col("component"),
+                    F.coalesce(F.col("_nmin"), F.col("component")),
+                    F.coalesce(F.col("_cc"), F.col("component")),
                 ).alias("component"),
             )
-            .persist()
+            # localCheckpoint (eager) TRUNCATES the lineage — without it
+            # each round's plan nests every previous round's joins and the
+            # optimizer blows up exponentially after a handful of rounds
+            # (the standard iterative-algorithm discipline; a cluster job
+            # would checkpoint to reliable storage instead)
+            .localCheckpoint(eager=True)
         )
         changed = (
             new.withColumnRenamed("component", "_c")
@@ -86,6 +105,8 @@ def near_dup_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
         if changed == 0:
             edges.unpersist()
             return labels
+    labels.unpersist()
+    edges.unpersist()
     raise RuntimeError(
         f"near_dup_components did not converge in {max_rounds} rounds"
     )

@@ -77,41 +77,34 @@ class IndexTables:
     disk_backed: bool = False  # True when read via segments.read_index
     vectors: DataFrame | None = None  # doc_id, <vector col> — per-doc KNN vectors
 
+    def _term_pruned(self, df: DataFrame, field: str, terms) -> DataFrame:
+        """Shared terms-dictionary pruning: term filter + (on the bucketed
+        on-disk layout) the tbucket PARTITION filter, so a query scan reads
+        O(query terms) buckets instead of every file.  The bucket hash here
+        MUST stay in lockstep with the layout writer's ``term_bucket_col``
+        — this is the single place that computes query-side buckets."""
+        out = df.filter((F.col("field") == field) & F.col("term").isin(list(terms)))
+        if self.term_buckets and "tbucket" in df.columns:
+            from lucene_spark.index.blocks import term_bucket_py
+
+            buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
+            out = out.filter(F.col("tbucket").isin(buckets))
+        return out
+
     def blocks_for_terms(self, field: str, terms) -> DataFrame | None:
-        """The query terms' blocks only.  On a bucketed on-disk layout the
-        tbucket partition filter prunes the file scan to O(query terms)
-        buckets — the terms-dictionary lookup, Catalyst-partition-pruning
-        edition (the fix for 'a query reads every segment's every file')."""
+        """The query terms' blocks only (bucket-pruned — the
+        terms-dictionary lookup, Catalyst-partition-pruning edition; the
+        fix for 'a query reads every segment's every file')."""
         if self.blocks is None:
             return None
-        b = self.blocks.filter(
-            (F.col("field") == field) & F.col("term").isin(list(terms))
-        )
-        if self.term_buckets:
-            from lucene_spark.index.blocks import term_bucket_py
-
-            buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
-            b = b.filter(F.col("tbucket").isin(buckets))
-        return b
+        return self._term_pruned(self.blocks, field, terms)
 
     def positions_for_terms(self, field: str, terms) -> DataFrame:
-        """The query terms' positional postings only.  On the bucketed
-        on-disk layout (``positions/segment=*/tbucket=*``) the tbucket
-        filter becomes a partition filter — a proximity query reads
-        O(query terms) buckets of the positional table instead of scanning
-        every file (the same terms-dictionary pruning as
-        :meth:`blocks_for_terms`)."""
+        """The query terms' positional postings only — the same pruning as
+        :meth:`blocks_for_terms` over ``positions/segment=*/tbucket=*``."""
         if self.positions is None:
             raise ValueError("positional queries need a positional index")
-        p = self.positions.filter(
-            (F.col("field") == field) & F.col("term").isin(list(terms))
-        )
-        if self.term_buckets and "tbucket" in self.positions.columns:
-            from lucene_spark.index.blocks import term_bucket_py
-
-            buckets = sorted({term_bucket_py(t, self.term_buckets) for t in terms})
-            p = p.filter(F.col("tbucket").isin(buckets))
-        return p
+        return self._term_pruned(self.positions, field, terms)
 
     def postings_for_terms(self, field: str, terms) -> DataFrame:
         """Flat postings restricted to ``terms``.  Disk-backed indexes decode

@@ -39,6 +39,7 @@ proportional to candidate pairs, never to corpus size.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,12 +171,19 @@ def _decompose_span(query_id: int, q) -> _Registered:
     )
 
 
-_SURROUND_HINT = __import__("re").compile(r"(^|[\s(])\d*[WwNn]\s*\(|\s\d*[WwNn]\s")
+# Surround routing requires an EXPLICIT digit on the distance operator
+# (``3W(a, b)`` / ``a 2N b``): a bare W/N is ambiguous with classic queries
+# containing literal w/n tokens ('"rock n roll"' is a valid classic phrase
+# and must stay one), so percolator registrations write distance-1 as
+# 1W/1N.  The prefix form needs the operator at the start or after
+# whitespace/'('; the infix form needs whitespace on both sides.
+_SURROUND_HINT = re.compile(r"(?:^|[\s(])\d+[WwNn]\s*\(|\s\d+[WwNn]\s")
 
 
 def _parse_monitor(query_id: int, qs: str):
-    """Classic syntax by default; strings using surround W/N distance
-    operators route through the surround parser → span decomposition."""
+    """Classic syntax by default; strings using explicitly-numbered
+    surround W/N distance operators route through the surround parser →
+    span decomposition."""
     if _SURROUND_HINT.search(qs):
         from lucene_spark.search.parser_surround import parse_surround
 
