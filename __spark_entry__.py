@@ -26,13 +26,19 @@ from pyspark.sql import types as T
 from lucene_spark import oracle_sql as osql
 from lucene_spark.extras import oracles as xor
 from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_spark.analysis.filters import token_offset_payload
 from lucene_spark.analysis.smallfloat import byte4_to_int_np
 from lucene_spark.index.builder import IndexTables, build_index
 from lucene_spark.search.searcher import IndexSearcher
 
 _CACHE: dict[str, IndexSearcher] = {}
 
-GATE_ANALYZER = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+# r5: the gate index stores per-position payloads (start character offset —
+# filters.token_offset_payload), exercising FieldInfo.storePayloads on every
+# positional gate; payload_suite consumes them
+GATE_ANALYZER = StandardAnalyzer(
+    stop_words=ENGLISH_STOP_WORDS, payload_fn=token_offset_payload
+)
 
 
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
@@ -1273,6 +1279,67 @@ def _q_spans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _union_suite(parts)
 
 
+def _q_payload_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payloads (``queries/payloads`` + ``Intervals.payloadFilteredTerm``)
+    in one gate: the index stores per-position float32 payloads (token
+    start offsets — the PayloadDecoder.FLOAT convention), scored by
+    PayloadScoreQuery max/avg and filtered inside the intervals algebra —
+    alone and composed under an ordered NEAR."""
+    from lucene_spark.search.intervals import (
+        IMaxWidth,
+        IOrdered,
+        IPayloadFilteredTerm,
+        ITerm,
+        interval_topk,
+    )
+    from lucene_spark.search.payloads import payload_score_topk
+
+    idx = _searcher(spark, sf_dir).index
+    parts = [
+        (
+            "score_max",
+            _as_gate_schema(payload_score_topk(idx, "merge", "max", k=10)),
+        ),
+        (
+            "score_avg",
+            _as_gate_schema(payload_score_topk(idx, "merge", "avg", k=10)),
+        ),
+        (
+            "filtered",
+            _as_gate_schema(
+                interval_topk(idx, IPayloadFilteredTerm("merge", "<", 40.0), k=10)
+            ),
+        ),
+        (
+            "filtered_ordered",
+            _as_gate_schema(
+                interval_topk(
+                    idx,
+                    IMaxWidth(
+                        10,
+                        IOrdered(
+                            (IPayloadFilteredTerm("scan", "<", 60.0), ITerm("merge"))
+                        ),
+                    ),
+                    k=10,
+                )
+            ),
+        ),
+        (
+            # payloads round-tripped through the DISK layout (the .pay
+            # section persists with the positional table; scan pruned to
+            # the term's (segment, tbucket) partitions)
+            "score_max_disk",
+            _as_gate_schema(
+                payload_score_topk(
+                    _ondisk_searcher(spark, sf_dir).index, "merge", "max", k=10
+                )
+            ),
+        ),
+    ]
+    return _union_suite(parts)
+
+
 def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spell suggestions + prefix autocomplete in one gate frame."""
     sp = _q_suggest(spark, sf_dir).select(
@@ -1442,6 +1509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_merge_join": _q_rrf,
         "scoring_suite": _q_scoring_suite,
         "intervals_suite": _q_intervals_suite,
+        "payload_suite": _q_payload_suite,
         "spans_suite": _q_spans_suite,
         "highlight_passages": _q_highlight,
         "suggest_suite": _q_suggest_suite,
@@ -1648,6 +1716,23 @@ def oracle_sql() -> dict[str, str]:
                 (
                     "prefix_near",
                     osql.interval_prefix_near_topk_sql("s", "merge", 3, 10),
+                ),
+            ]
+        ),
+        "payload_suite": _suite_sql(
+            [
+                ("score_max", osql.payload_score_topk_sql("merge", "max", 10)),
+                ("score_avg", osql.payload_score_topk_sql("merge", "avg", 10)),
+                ("filtered", osql.payload_filtered_topk_sql("merge", 40.0, 10)),
+                (
+                    "filtered_ordered",
+                    osql.payload_filtered_ordered_topk_sql(
+                        "scan", 60.0, "merge", 10, 10
+                    ),
+                ),
+                (
+                    "score_max_disk",
+                    osql.payload_score_topk_sql("merge", "max", 10),
                 ),
             ]
         ),

@@ -172,6 +172,7 @@ class StandardAnalyzer:
         post_stop_filters: tuple = (),
         stream_filters: tuple = (),
         sea_segmenter=None,
+        payload_fn=None,
     ):
         """``token_filters`` / ``post_stop_filters``: extra ``str -> str |
         None`` filters (the TokenFilter extension point,
@@ -188,13 +189,25 @@ class StandardAnalyzer:
 
         ``sea_segmenter``: optional ``str -> list[str]`` word-break for
         SOUTHEAST_ASIAN runs (see :func:`make_dictionary_segmenter`);
-        without it a run is one token, StandardTokenizer's behavior."""
+        without it a run is one token, StandardTokenizer's behavior.
+
+        ``payload_fn``: optional ``(term, pos, start_offset, end_offset) ->
+        float`` — the PayloadAttribute producer
+        (``analysis/tokenattributes/PayloadAttribute.java``; producer
+        filters live in ``analysis/common/.../payloads/``, e.g.
+        ``TokenOffsetPayloadTokenFilter.java``).  Lucene payloads are
+        opaque per-position ``byte[]`` that scoring consumers decode —
+        almost always as a 4-byte float (``queries/payloads/
+        PayloadDecoder.java:34`` FLOAT_DECODER); this engine stores the
+        decoded float32 directly (same 4 bytes, no encode/decode hop).
+        See :mod:`lucene_spark.analysis.filters` for stock producers."""
         self.stop_words = frozenset(stop_words) if stop_words else frozenset()
         self.max_token_length = max_token_length
         self.token_filters = tuple(token_filters)
         self.post_stop_filters = tuple(post_stop_filters)
         self.stream_filters = tuple(stream_filters)
         self.sea_segmenter = sea_segmenter
+        self.payload_fn = payload_fn
 
     def _iter_raw(self, text: str):
         """(raw_token, start, end) stream — the tokenizer with the optional
@@ -300,6 +313,37 @@ class StandardAnalyzer:
 
     def analyze_with_offsets_series(self, texts: pd.Series) -> pd.Series:
         f = self.analyze_with_offsets
+        return texts.map(f)
+
+    def analyze_with_payloads(
+        self, text: str
+    ) -> list[tuple[str, int, int, int, float]]:
+        """(token, position, start_offset, end_offset, payload) — the
+        positions+offsets stream with the per-position payload attached
+        (``IndexOptions`` positions + ``FieldInfo.storePayloads``,
+        ``index/PostingsEnum.java:58`` PAYLOADS).  The payload is computed
+        by ``payload_fn`` on the POST-FILTER term and the tokenizer's raw
+        offsets — the attribute-pipeline order (offset/payload attributes
+        survive downstream filters untouched)."""
+        if self.payload_fn is None:
+            raise ValueError("analyzer has no payload_fn configured")
+        if self.stream_filters:
+            raise ValueError("payloads are not supported with whole-stream filters")
+        if not isinstance(text, str) or not text:
+            return []
+        pf = self.payload_fn
+        out = []
+        for pos, (t, so, eo) in enumerate(self._iter_raw(text)):
+            if len(t) > self.max_token_length:
+                continue
+            lt = self._post(t)
+            if lt is None:
+                continue
+            out.append((lt, pos, so, eo, float(pf(lt, pos, so, eo))))
+        return out
+
+    def analyze_with_payloads_series(self, texts: pd.Series) -> pd.Series:
+        f = self.analyze_with_payloads
         return texts.map(f)
 
 

@@ -22,7 +22,44 @@ from __future__ import annotations
 import re
 import unicodedata
 
-__all__ = ["english_possessive", "ascii_fold", "porter_stem"]
+__all__ = [
+    "english_possessive",
+    "ascii_fold",
+    "porter_stem",
+    "token_offset_payload",
+    "position_payload",
+    "token_length_payload",
+]
+
+
+# ------------------------------------------------------- payload producers
+#
+# The PayloadAttribute producer shape (``analysis/common/.../payloads/``):
+# a pure ``(term, pos, start_offset, end_offset) -> float`` attached to
+# :class:`~lucene_spark.analysis.analyzer.StandardAnalyzer` via
+# ``payload_fn``.  Payloads are stored per position as float32 (the decoded
+# form of Lucene's 4-byte-float payload convention, ``queries/payloads/
+# PayloadDecoder.java:34``).
+
+
+def token_offset_payload(term: str, pos: int, so: int, eo: int) -> float:
+    """Payload = the token's start character offset
+    (``TokenOffsetPayloadTokenFilter.java`` behavior, float-decoded):
+    lets queries score or filter by where in the document a term occurs."""
+    return float(so)
+
+
+def position_payload(term: str, pos: int, so: int, eo: int) -> float:
+    """Payload = the token's position (increment-accumulated, stop holes
+    included) — a positional variant of the same producer shape."""
+    return float(pos)
+
+
+def token_length_payload(term: str, pos: int, so: int, eo: int) -> float:
+    """Payload = the raw surface length in chars (offset span; a
+    ``NumericPayloadTokenFilter``-style constant-per-class producer's
+    simplest useful cousin)."""
+    return float(eo - so)
 
 
 def english_possessive(token: str) -> str:

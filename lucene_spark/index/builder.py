@@ -302,6 +302,26 @@ def make_analyze_off_udf(analyzer: StandardAnalyzer):
     return analyze_off
 
 
+def make_analyze_pay_udf(analyzer: StandardAnalyzer):
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("term", T.StringType(), False),
+                T.StructField("pos", T.IntegerType(), False),
+                T.StructField("so", T.IntegerType(), False),
+                T.StructField("eo", T.IntegerType(), False),
+                T.StructField("pay", T.FloatType(), False),
+            ]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def analyze_pay(texts: pd.Series) -> pd.Series:
+        return analyzer.analyze_with_payloads_series(texts)
+
+    return analyze_pay
+
+
 def build_positions(
     docmap: DataFrame,
     text_col: str,
@@ -327,9 +347,58 @@ def build_positions(
     (term, pos) pairs — one per surviving token, identical to the inversion
     UDF's count), so phrase scoring never joins the corpus-sized doclens
     table.
+
+    When the analyzer carries a ``payload_fn``, a ``payloads float[]``
+    column aligned with ``positions`` rides along — the .pay section of
+    the reference's postings files (``Lucene103PostingsFormat.java:43-120``,
+    ``FieldInfo.storePayloads``), float32-decoded per the PayloadDecoder
+    convention.  Consumers: :func:`lucene_spark.search.payloads.
+    payload_score_topk` and :class:`lucene_spark.search.intervals.
+    IPayloadFilteredTerm`.
     """
     if with_offsets and analyzer.stream_filters:
         with_offsets = False
+    if analyzer.payload_fn is not None:
+        analyze_pay = make_analyze_pay_udf(analyzer)
+        pairs = docmap.select(
+            "doc_id",
+            "segment",
+            analyze_pay(F.col(text_col)).alias("tps"),
+        ).select(
+            "doc_id",
+            "segment",
+            norm_byte_sql("size(tps)").alias("norm_byte"),
+            F.explode("tps").alias("tp"),
+        )
+        cols = [
+            F.lit(field).alias("field"),
+            "term",
+            "doc_id",
+            "segment",
+            F.expr("transform(_pse, x -> x.pos)").alias("positions"),
+            "norm_byte",
+        ]
+        if with_offsets:
+            cols += [
+                F.expr("transform(_pse, x -> x.so)").alias("start_offsets"),
+                F.expr("transform(_pse, x -> x.eo)").alias("end_offsets"),
+            ]
+        cols.append(F.expr("transform(_pse, x -> x.pay)").alias("payloads"))
+        return (
+            pairs.select(
+                "doc_id",
+                "segment",
+                "norm_byte",
+                F.col("tp.term").alias("term"),
+                F.struct("tp.pos", "tp.so", "tp.eo", "tp.pay").alias("pse"),
+            )
+            .groupBy("term", "doc_id", "segment")
+            .agg(
+                F.sort_array(F.collect_list("pse")).alias("_pse"),
+                F.min("norm_byte").alias("norm_byte"),
+            )
+            .select(*cols)
+        )
     if not with_offsets:
         analyze_pos = make_analyze_pos_udf(analyzer)
         pairs = docmap.select(

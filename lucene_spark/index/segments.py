@@ -245,15 +245,30 @@ def build_segments(
         legacy = os.path.isdir(os.path.join(index_dir, "blocks"))
         plan["term_buckets"] = None if legacy else int(term_buckets)
         _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
+    analyzer = analyzer or StandardAnalyzer()
     if "positions" not in plan:
         # Same stamp-once rule for the positional layout (IndexOptions is
         # an index-time decision in the reference too): a resumed build
         # keeps writing — or keeps not writing — the positions table.
+        # ``store_payloads`` (FieldInfo.storePayloads) is part of the stamp:
+        # a resume with a mismatched analyzer would silently write a
+        # different positions schema into the same parquet table.
         plan["positions"] = (
-            {"with_offsets": bool(with_offsets)} if with_positions else None
+            {
+                "with_offsets": bool(with_offsets),
+                "store_payloads": analyzer.payload_fn is not None,
+            }
+            if with_positions
+            else None
         )
         _write_json_atomic(os.path.join(_manifest_dir(index_dir), "plan.json"), plan)
-    analyzer = analyzer or StandardAnalyzer()
+    if plan.get("positions") is not None:
+        recorded = bool(plan["positions"].get("store_payloads", False))
+        if recorded != (analyzer.payload_fn is not None):
+            raise ValueError(
+                "this index's positional layout was stamped with"
+                f" store_payloads={recorded}; resume with a matching analyzer"
+            )
     states = segment_states(index_dir, num_segments)
 
     for lo in range(0, num_segments, batch_size):
@@ -850,6 +865,18 @@ def check_index(idx: IndexTables) -> dict:
         )
         assert pmism == 0, f"{pmism} (term, doc) rows with positions != freq"
         report["positions_consistent"] = True
+
+        # 9. payload alignment (CheckIndex.checkPayloads analog): when the
+        # index stores payloads, every row's payload array is exactly
+        # position-aligned — a misalignment would silently shift which
+        # occurrence a payload filter/score reads
+        if "payloads" in idx.positions.columns:
+            paymism = idx.positions.filter(
+                F.col("payloads").isNull()
+                | (F.size("payloads") != F.size("positions"))
+            ).count()
+            assert paymism == 0, f"{paymism} rows with payloads misaligned"
+            report["payloads_aligned"] = True
 
     report["n_docs"] = n_docs
     return report

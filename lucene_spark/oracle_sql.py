@@ -2065,3 +2065,87 @@ combined AS (
 )
 {_topk('combined', k)}
 """
+
+
+# --- payload oracles (round 5) ----------------------------------------------
+# The gate index stores per-position payloads produced by
+# ``filters.token_offset_payload`` (payload = the token's start character
+# offset).  The corpus text is space-joined, so the offset of 1-based raw
+# token i reconstructs as ``len(join(ws[1:i-1], ' ')) + 1`` (0 for i = 1) —
+# the same reconstruction the highlighter oracle uses.  ``pos`` keeps stop
+# holes (i indexes the RAW token array; the WHERE only filters emissions).
+
+
+def _payload_tpo_ctes() -> str:
+    """tpo(doc_id, term, pos, pay): kept tokens with positional holes and
+    the float32 start-offset payload."""
+    return f"""
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tpo AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos,
+           CAST(CASE WHEN i = 1 THEN 0
+                ELSE length(array_to_string(ws[1:i-1], ' ')) + 1
+           END AS FLOAT) AS pay
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+)"""
+
+
+def payload_score_topk_sql(term: str, function: str, k: int) -> str:
+    """``PayloadScoreQuery(SpanTermQuery, fn, includeSpanScore=false)``
+    (``queries/payloads/PayloadScoreQuery.java:47-75``): score = payload
+    aggregate over the term's positions.  min/max exact; sum a float32
+    fold in position order; avg = double division of the float32 sum by
+    the count, rounded to float32 (the engine's documented envelope)."""
+    if function == "max":
+        agg = "CAST(max(pay) AS FLOAT)"
+    elif function == "min":
+        agg = "CAST(min(pay) AS FLOAT)"
+    elif function in ("sum", "avg"):
+        agg = (
+            "list_reduce(list_prepend(CAST(0 AS FLOAT),"
+            " list(pay ORDER BY pos)), (acc, x) -> CAST(acc + x AS FLOAT))"
+        )
+        if function == "avg":
+            agg = f"CAST(CAST({agg} AS DOUBLE) / count(*) AS FLOAT)"
+    else:
+        raise ValueError(function)
+    return f"""
+WITH {_payload_tpo_ctes()},
+sc AS (
+    SELECT doc_id, {agg} AS score
+    FROM tpo WHERE term = '{term}' GROUP BY doc_id
+)
+{_topk('sc', k)}
+"""
+
+
+def payload_filtered_topk_sql(term: str, max_pay: float, k: int) -> str:
+    """``IntervalQuery(payloadFilteredTerm(term, pay < max_pay))``
+    (``Intervals.java:82-90``): surviving positions are [p, p] intervals,
+    minExtent 1, saturation-scored."""
+    return f"""
+WITH {_payload_tpo_ctes()},
+kept AS (
+    SELECT doc_id, pos AS s, pos AS e FROM tpo
+    WHERE term = '{term}' AND pay < CAST({max_pay} AS FLOAT)
+)
+{_interval_score_sql(1, k)}
+"""
+
+
+def payload_filtered_ordered_topk_sql(
+    term_a: str, max_pay_a: float, term_b: str, max_width: int, k: int
+) -> str:
+    """``IntervalQuery(maxwidth(w, ordered(payloadFilteredTerm(a, pay <
+    lim), b)))`` — the payload filter composed under the ordered minimal-
+    interval algebra (minExtent 2)."""
+    return f"""
+WITH {_payload_tpo_ctes()},
+pa AS (SELECT doc_id, pos FROM tpo
+       WHERE term = '{term_a}' AND pay < CAST({max_pay_a} AS FLOAT)),
+pb AS (SELECT doc_id, pos FROM tpo WHERE term = '{term_b}'),
+{_ordered_pair_ctes('o', 'pa', 'pb').lstrip()},
+kept AS (SELECT doc_id, s, e FROM om WHERE e - s + 1 <= {max_width})
+{_interval_score_sql(2, k)}
+"""

@@ -128,6 +128,31 @@ class ITerm(IntervalSource):
     term: str
 
 
+_PAYLOAD_OPS = ("<", "<=", ">", ">=", "==")
+
+
+@_dataclass(frozen=True)
+class IPayloadFilteredTerm(IntervalSource):
+    """``Intervals.payloadFilteredTerm(term, filter)``
+    (``Intervals.java:82-90`` → ``PayloadFilteredTermIntervalsSource``):
+    the term's positions whose indexed payload satisfies the predicate —
+    each surviving position p is the interval [p, p].
+
+    The reference's predicate is opaque (``Predicate<BytesRef>``); here it
+    is a comparison ``payload <op> value`` over the float32-decoded payload
+    (the PayloadDecoder.FLOAT convention the index stores directly), which
+    keeps the leaf oracle-expressible.  Requires an index built with an
+    analyzer ``payload_fn`` (``FieldInfo.storePayloads``)."""
+
+    term: str
+    op: str
+    value: float
+
+    def __post_init__(self):
+        if self.op not in _PAYLOAD_OPS:
+            raise ValueError(f"payload op must be one of {_PAYLOAD_OPS}")
+
+
 @_dataclass(frozen=True)
 class IOrdered(IntervalSource):
     """``Intervals.ordered`` (``OrderedIntervalsSource.java:101-185``):
@@ -412,7 +437,7 @@ def not_within(
 
 def leaf_terms(node: IntervalSource) -> set:
     """All terms whose position lists the evaluator needs."""
-    if isinstance(node, ITerm):
+    if isinstance(node, (ITerm, IPayloadFilteredTerm)):
         return {node.term}
     if isinstance(node, (IOrdered, IUnordered, IOr, IBlock, IAtLeast)):
         out = set()
@@ -442,8 +467,10 @@ def leaf_terms(node: IntervalSource) -> set:
 def required_terms(node: IntervalSource) -> set:
     """Terms a doc MUST contain to emit any interval — drives the candidate
     prefilter join (conjunctive pushdown; an OR requires only the terms
-    common to every branch, a NOT-CONTAINING only its minuend's)."""
-    if isinstance(node, ITerm):
+    common to every branch, a NOT-CONTAINING only its minuend's).  A
+    payload-filtered leaf still REQUIRES its term present (presence is
+    necessary, not sufficient — sound for a prefilter)."""
+    if isinstance(node, (ITerm, IPayloadFilteredTerm)):
         return {node.term}
     if isinstance(node, (IOrdered, IUnordered, IBlock)):
         out = set()
@@ -491,7 +518,7 @@ def required_terms(node: IntervalSource) -> set:
 
 def min_extent(node: IntervalSource) -> int:
     """``IntervalsSource.minExtent`` — the scorer's length normalizer."""
-    if isinstance(node, (ITerm, IOffset, IMultiTerm)):
+    if isinstance(node, (ITerm, IPayloadFilteredTerm, IOffset, IMultiTerm)):
         return 1
     if isinstance(node, (IOrdered, IUnordered, IBlock)):
         return sum(min_extent(s) for s in node.subs)
@@ -625,7 +652,7 @@ def normalize(node: IntervalSource) -> IntervalSource:
     gap-sensitive pull-up for :class:`IMaxGaps`
     (``FilteredIntervalsSource.maxGaps``) and :class:`IBlock`
     (``BlockIntervalsSource.build``).  Idempotent."""
-    if isinstance(node, (ITerm, IMultiTerm, INoMatch)):
+    if isinstance(node, (ITerm, IPayloadFilteredTerm, IMultiTerm, INoMatch)):
         return node
     if isinstance(node, IOrdered):
         subs = [normalize(s) for s in node.subs]
@@ -806,7 +833,7 @@ def _children(node: IntervalSource) -> tuple:
 def _substitute_multiterms(node: IntervalSource, lookup: dict) -> IntervalSource:
     if isinstance(node, IMultiTerm):
         return lookup[node]
-    if isinstance(node, (ITerm, INoMatch)):
+    if isinstance(node, (ITerm, IPayloadFilteredTerm, INoMatch)):
         return node
     sub = lambda n: _substitute_multiterms(n, lookup)  # noqa: E731
     if isinstance(node, (IOrdered, IUnordered, IOr, IBlock)):
@@ -1293,83 +1320,109 @@ def _overlapping(src, ref):
     return ss[ok], se[ok], sg[ok]
 
 
-def eval_intervals(node: IntervalSource, posmap: dict):
+def eval_intervals(node: IntervalSource, posmap: dict, paymap: dict | None = None):
     """Evaluate the source tree for one doc.  ``posmap`` maps term -> sorted
-    int64 position array; returns (starts, ends, gaps) in emission order."""
+    int64 position array; returns (starts, ends, gaps) in emission order.
+    ``paymap`` (term -> float32 payload array aligned with the positions)
+    is needed only when the tree has :class:`IPayloadFilteredTerm` leaves."""
     if isinstance(node, ITerm):
         p = posmap.get(node.term)
         if p is None or len(p) == 0:
             return _EMPTY3
         p = np.asarray(p, dtype=np.int64)
         return p, p, np.zeros(len(p), dtype=np.int64)
+    if isinstance(node, IPayloadFilteredTerm):
+        p = posmap.get(node.term)
+        if p is None or len(p) == 0:
+            return _EMPTY3
+        if paymap is None or node.term not in paymap:
+            raise ValueError(
+                "payload-filtered intervals need a payload-indexed"
+                " positional table (analyzer payload_fn)"
+            )
+        p = np.asarray(p, dtype=np.int64)
+        w = np.asarray(paymap[node.term], dtype=np.float32)
+        v = np.float32(node.value)
+        if node.op == "<":
+            m = w < v
+        elif node.op == "<=":
+            m = w <= v
+        elif node.op == ">":
+            m = w > v
+        elif node.op == ">=":
+            m = w >= v
+        else:
+            m = w == v
+        p = p[m]
+        return p, p, np.zeros(len(p), dtype=np.int64)
     if isinstance(node, IOrdered):
-        return _minimal_ordered([eval_intervals(s, posmap) for s in node.subs])
+        return _minimal_ordered([eval_intervals(s, posmap, paymap) for s in node.subs])
     if isinstance(node, IUnordered):
         return _minimal_unordered(
-            [eval_intervals(s, posmap) for s in node.subs]
+            [eval_intervals(s, posmap, paymap) for s in node.subs]
         )
     if isinstance(node, IOr):
-        return _minimal_or([eval_intervals(s, posmap) for s in node.subs])
+        return _minimal_or([eval_intervals(s, posmap, paymap) for s in node.subs])
     if isinstance(node, IMaxWidth):
-        s, e, g = eval_intervals(node.sub, posmap)
+        s, e, g = eval_intervals(node.sub, posmap, paymap)
         m = (e - s + 1) <= node.width
         return s[m], e[m], g[m]
     if isinstance(node, IMaxGaps):
         # gap-sensitive pull-up happens in normalize() (Disjunctions.pullUp
         # — including disjunctions NESTED under ordered/unordered subs);
         # here the filter is a plain gap cut
-        s, e, g = eval_intervals(node.sub, posmap)
+        s, e, g = eval_intervals(node.sub, posmap, paymap)
         m = g <= node.gaps
         return s[m], e[m], g[m]
     if isinstance(node, IBlock):
-        return _block([eval_intervals(s, posmap) for s in node.subs])
+        return _block([eval_intervals(s, posmap, paymap) for s in node.subs])
     if isinstance(node, IAtLeast):
         return _at_least(
-            [eval_intervals(s, posmap) for s in node.subs], node.min_match
+            [eval_intervals(s, posmap, paymap) for s in node.subs], node.min_match
         )
     if isinstance(node, IExtend):
-        return _extend(eval_intervals(node.sub, posmap), node.before, node.after)
+        return _extend(eval_intervals(node.sub, posmap, paymap), node.before, node.after)
     if isinstance(node, IOffset):
-        return _offset(eval_intervals(node.sub, posmap), node.before)
+        return _offset(eval_intervals(node.sub, posmap, paymap), node.before)
     if isinstance(node, IOverlapping):
         return _overlapping(
-            eval_intervals(node.source, posmap),
-            eval_intervals(node.reference, posmap),
+            eval_intervals(node.source, posmap, paymap),
+            eval_intervals(node.reference, posmap, paymap),
         )
     if isinstance(node, IRepeat):
-        return _repeat(eval_intervals(node.sub, posmap), node.count)
+        return _repeat(eval_intervals(node.sub, posmap, paymap), node.count)
     if isinstance(node, INoMatch):
         return _EMPTY3
     if isinstance(node, IContainedBy):
         return _contained_by(
-            eval_intervals(node.small, posmap),
-            eval_intervals(node.big, posmap),
+            eval_intervals(node.small, posmap, paymap),
+            eval_intervals(node.big, posmap, paymap),
         )
     if isinstance(node, INotContainedBy):
         return _not_contained_by(
-            eval_intervals(node.small, posmap),
-            eval_intervals(node.big, posmap),
+            eval_intervals(node.small, posmap, paymap),
+            eval_intervals(node.big, posmap, paymap),
         )
     if isinstance(node, IContaining):
         return _containing(
-            eval_intervals(node.big, posmap),
-            eval_intervals(node.small, posmap),
+            eval_intervals(node.big, posmap, paymap),
+            eval_intervals(node.small, posmap, paymap),
         )
     if isinstance(node, INonOverlapping):
         return _non_overlapping(
-            eval_intervals(node.minuend, posmap),
-            eval_intervals(node.subtrahend, posmap),
+            eval_intervals(node.minuend, posmap, paymap),
+            eval_intervals(node.subtrahend, posmap, paymap),
             node.pre,
             node.post,
         )
     if isinstance(node, IFirst):
-        s, e, g = eval_intervals(node.sub, posmap)
+        s, e, g = eval_intervals(node.sub, posmap, paymap)
         m = e < node.n  # exclusive end ≤ n
         return s[m], e[m], g[m]
     if isinstance(node, INotContaining):
         return _not_containing(
-            eval_intervals(node.minuend, posmap),
-            eval_intervals(node.subtrahend, posmap),
+            eval_intervals(node.minuend, posmap, paymap),
+            eval_intervals(node.subtrahend, posmap, paymap),
         )
     raise TypeError(f"unknown interval source {node!r}")
 
@@ -1461,6 +1514,18 @@ def batch_near_freqs(
     return out
 
 
+def payload_terms(node: IntervalSource) -> set:
+    """Terms whose PAYLOAD arrays the evaluator needs (the
+    :class:`IPayloadFilteredTerm` leaves) — drives the optional ``_paymap``
+    aggregation in :func:`interval_topk`."""
+    if isinstance(node, IPayloadFilteredTerm):
+        return {node.term}
+    out = set()
+    for child in _children(node):
+        out |= payload_terms(child)
+    return out
+
+
 def _near2_shape(source: IntervalSource):
     """Detect the vectorizable 2-term NEAR shapes: (max)width/gaps filters
     over an ordered/unordered pair of DISTINCT single terms.  Returns
@@ -1517,12 +1582,31 @@ def interval_topk(
         )
     leafs = sorted(leaf_terms(source))
     required = required_terms(source)
+    payterms = payload_terms(source)
     pos = idx.positions_for_terms(field, leafs)
+    if payterms and "payloads" not in pos.columns:
+        raise ValueError(
+            "payload-filtered intervals need a payload-indexed positional"
+            " table (build the index with an analyzer payload_fn)"
+        )
     aggs = [
         F.map_from_entries(
             F.collect_list(F.struct("term", "positions"))
         ).alias("_posmap")
     ]
+    if payterms:
+        # payload arrays ship only for the payload-filtered leaves — the
+        # plain leaves' (larger) payload arrays are pruned out of the shuffle
+        aggs.append(
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        F.col("term").isin(sorted(payterms)),
+                        F.struct("term", "payloads"),
+                    )
+                )
+            ).alias("_paymap")
+        )
     if required:
         aggs.append(
             F.sum(
@@ -1551,8 +1635,32 @@ def interval_topk(
                 out[r] = b32 * (np.float32(1.0) - p32 / (p32 + fr))
         return pd.Series(out, dtype="float32")
 
+    @F.pandas_udf(T.FloatType())
+    def sat_score_pay(maps: pd.Series, pays: pd.Series) -> pd.Series:
+        out = np.zeros(len(maps), dtype=np.float32)
+        for r in range(len(maps)):
+            pm = {
+                t: np.asarray(v, dtype=np.int64)
+                for t, v in maps.iloc[r].items()
+            }
+            wm = {
+                t: np.asarray(v, dtype=np.float32)
+                for t, v in pays.iloc[r].items()
+                if v is not None
+            }
+            s, e, _ = eval_intervals(source, pm, wm)
+            fr = interval_freq(e - s + 1, min_extent=mext)
+            if fr > 0:
+                out[r] = b32 * (np.float32(1.0) - p32 / (p32 + fr))
+        return pd.Series(out, dtype="float32")
+
+    scorer = (
+        sat_score_pay(F.col("_posmap"), F.col("_paymap"))
+        if payterms
+        else sat_score(F.col("_posmap"))
+    )
     scored = (
-        grouped.withColumn("score", sat_score(F.col("_posmap")))
+        grouped.withColumn("score", scorer)
         .filter(F.col("score") > 0)
         .select("doc_id", "score")
     )
@@ -1581,7 +1689,8 @@ def freq_count_bound(node: IntervalSource, tfmap: dict) -> np.ndarray:
     ≤ its small family.  Each interval contributes ≤ 1 to the scorer's freq
     (``1/max(len - minExtent + 1, 1)``), so freq ≤ this count.
     """
-    if isinstance(node, ITerm):
+    if isinstance(node, (ITerm, IPayloadFilteredTerm)):
+        # payload filtering only DROPS positions: tf stays a sound bound
         v = tfmap.get(node.term)
         if v is None:
             raise KeyError(node.term)
@@ -1818,6 +1927,12 @@ def interval_topk_wand(
     source = normalize(resolve_multiterms(source, idx, field))
     if isinstance(source, INoMatch):
         return _empty_interval_topk(idx)
+    if payload_terms(source):
+        # the kernel cogroup ships (term, doc, positions) only; payload
+        # arrays ride the flat path's _paymap aggregation instead
+        return interval_topk(
+            idx, source, k=k, field=field, pivot=pivot, boost=boost
+        )
     leafs = sorted(leaf_terms(source))
     if not leafs or required_terms(source) != set(leafs):
         raise ValueError(

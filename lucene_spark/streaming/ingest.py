@@ -117,10 +117,19 @@ def append_batch(
     elif "positions" in state:
         pos_layout = state["positions"]
     elif os.path.isdir(os.path.join(index_dir, "positions")):
-        pos_layout = {"with_offsets": True}  # pre-record index: assume full
+        # pre-record index: assume the full offsets layout, no payloads
+        pos_layout = {"with_offsets": True, "store_payloads": False}
     else:
         pos_layout = None
     state["positions"] = pos_layout
+    if pos_layout is not None and bool(pos_layout.get("store_payloads", False)) != (
+        analyzer.payload_fn is not None
+    ):
+        raise ValueError(
+            "this index's positional layout was stamped with store_payloads="
+            f"{bool(pos_layout.get('store_payloads', False))};"
+            " append with a matching analyzer"
+        )
 
     arranged = batch.repartition(1).sortWithinPartitions(*key_cols)
     out_schema = T.StructType(

@@ -40,7 +40,7 @@ def disk_idx(spark, source, tmp_path_factory):
     plan = seg.build_segments(
         source, d, num_segments=4, batch_size=2, with_positions=True
     )
-    assert plan["positions"] == {"with_offsets": True}
+    assert plan["positions"] == {"with_offsets": True, "store_payloads": False}
     return d, seg.read_index(spark, d)
 
 
