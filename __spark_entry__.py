@@ -1276,6 +1276,13 @@ def _q_spans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sq = parse_surround("2W(s*, merge)")
     parts.append(("surround_prefix", _as_gate_schema(span_topk(idx, sq, k=10))))
+    # r5: complexPhrase syntax — an OR-group inside a sloppy phrase
+    # ("(scan sort) merge"~2 → SpanNear([SpanOr(scan, sort), merge], 2,
+    # inOrder), ComplexPhraseQueryParser.rewrite semantics)
+    from lucene_spark.search.parser_complex import parse_complex
+
+    cq = parse_complex('"(scan sort) merge"~2', GATE_ANALYZER)
+    parts.append(("complex_phrase", _as_gate_schema(span_topk(idx, cq, k=10))))
     return _union_suite(parts)
 
 
@@ -1664,6 +1671,12 @@ def oracle_sql() -> dict[str, str]:
                 (
                     "surround_prefix",
                     osql.interval_prefix_near_topk_sql("s", "merge", 1, 10),
+                ),
+                (
+                    "complex_phrase",
+                    osql.complex_phrase_group_topk_sql(
+                        ["scan", "sort"], "merge", 2, 10
+                    ),
                 ),
             ]
         ),

@@ -2149,3 +2149,30 @@ pb AS (SELECT doc_id, pos FROM tpo WHERE term = '{term_b}'),
 kept AS (SELECT doc_id, s, e FROM om WHERE e - s + 1 <= {max_width})
 {_interval_score_sql(2, k)}
 """
+
+
+def complex_phrase_group_topk_sql(
+    terms_a: list, term_b: str, slop: int, k: int
+) -> str:
+    """``ComplexPhraseQueryParser`` or-group phrase oracle — e.g.
+    ``"(scan sort) merge"~slop``: minimal ordered intervals of
+    (or(a1, a2, ...), b) with internal gaps ≤ slop (for two point
+    sub-sources, gaps = e - s - 1), minExtent 2, saturation-scored.  The
+    or() of single terms is just the merged position list, so the
+    ordered-pair set algebra applies with pa = positions of ANY group
+    member."""
+    in_list = ", ".join(f"'{t}'" for t in terms_a)
+    return f"""
+WITH
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+pa AS (SELECT doc_id, pos FROM tp WHERE term IN ({in_list})),
+pb AS (SELECT doc_id, pos FROM tp WHERE term = '{term_b}'),
+{_ordered_pair_ctes('o', 'pa', 'pb').lstrip()},
+kept AS (SELECT doc_id, s, e FROM om WHERE e - s - 1 <= {slop})
+{_interval_score_sql(2, k)}
+"""

@@ -1546,16 +1546,24 @@ def _near2_shape(source: IntervalSource):
     return a.term, b.term, isinstance(node, IOrdered), mw
 
 
-def interval_topk(
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(doc_id, score) → top-k with TopDocs tie-breaking + dense rank."""
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return topk.withColumn("rank", w.cast("int"))
+
+
+def interval_scores(
     idx: IndexTables,
     source: IntervalSource,
-    k: int = 10,
     field: str = "text",
     pivot: float = 1.0,
     boost: float = 1.0,
 ) -> DataFrame:
-    """Top-k docs for ``IntervalQuery(field, source)`` over the positional
-    index — the general algebra entry point.
+    """All matching docs' saturation scores (doc_id, score float > 0) for
+    ``IntervalQuery(field, source)`` — the Weight/Scorer form, used both by
+    :func:`interval_topk` and when an interval/span query rides as a clause
+    inside a Boolean tree (the complexPhrase parser's rewrite target).
 
     Plan shape (designed for the 100-TB corpus): the positions scan is
     pruned to the query's leaf terms (predicate pushdown on ``term``), one
@@ -1564,20 +1572,21 @@ def interval_topk(
     *required* term inside the same aggregation (no extra join), and the
     saturation score (``IntervalScorer.java:59-68``,
     ``IntervalScoreFunction.java:66-74``) is computed by one Arrow-batched
-    pandas UDF before a distributed TakeOrderedAndProject.
+    pandas UDF.
     """
     if idx.positions is None:
         raise ValueError("interval queries need a positional index")
     source = normalize(resolve_multiterms(source, idx, field))
     if isinstance(source, INoMatch):
-        return _empty_interval_topk(idx)
+        spark = idx.postings.sparkSession
+        return spark.createDataFrame([], "doc_id long, score float")
     near2 = _near2_shape(source)
     if near2 is not None:
         # vectorized-across-docs fast path for the workhorse 2-term NEAR
         # (bit-identical scores; see batch_near_freqs)
         ta, tb, is_ordered, mw = near2
-        return interval_near_topk(
-            idx, ta, tb, k=k, max_width=mw, ordered=is_ordered,
+        return interval_near_scores(
+            idx, ta, tb, max_width=mw, ordered=is_ordered,
             field=field, pivot=pivot, boost=boost,
         )
     leafs = sorted(leaf_terms(source))
@@ -1659,14 +1668,27 @@ def interval_topk(
         if payterms
         else sat_score(F.col("_posmap"))
     )
-    scored = (
+    return (
         grouped.withColumn("score", scorer)
         .filter(F.col("score") > 0)
         .select("doc_id", "score")
     )
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
-    return topk.withColumn("rank", w.cast("int"))
+
+
+def interval_topk(
+    idx: IndexTables,
+    source: IntervalSource,
+    k: int = 10,
+    field: str = "text",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Top-k docs for ``IntervalQuery(field, source)`` — the general algebra
+    entry point: :func:`interval_scores` + a distributed
+    TakeOrderedAndProject collector (TopDocs tie-breaking)."""
+    return _rank_topk(
+        interval_scores(idx, source, field=field, pivot=pivot, boost=boost), k
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1965,22 +1987,19 @@ def interval_topk_wand(
     return topk.withColumn("rank", w.cast("int"))
 
 
-def interval_near_topk(
+def interval_near_scores(
     idx: IndexTables,
     term_a: str,
     term_b: str,
-    k: int = 10,
     max_width: int | None = None,
     ordered: bool = True,
     field: str = "text",
     pivot: float = 1.0,
     boost: float = 1.0,
 ) -> DataFrame:
-    """Top-k docs for ``IntervalQuery(maxwidth(w, ordered/unordered(a, b)))``.
-
-    Returns (doc_id, score float, rank int) — saturation-scored interval
-    frequency, ties broken by doc_id ascending (TopDocs order).
-    """
+    """All matching docs' scores (doc_id, score float > 0) for the 2-term
+    NEAR fast path — the Scorer form; :func:`interval_near_topk` adds the
+    top-k collector."""
     if idx.positions is None:
         raise ValueError("interval queries need a positional index")
     pos = idx.positions_for_terms(field, [term_a, term_b])
@@ -2009,11 +2028,31 @@ def interval_near_topk(
         ).astype(np.float32)
         return pd.Series(out, dtype="float32")
 
-    scored = (
+    return (
         joined.withColumn("score", sat_score(F.col("_pa"), F.col("_pb")))
         .filter(F.col("score") > 0)
         .select("doc_id", "score")
     )
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
-    return topk.withColumn("rank", w.cast("int"))
+
+
+def interval_near_topk(
+    idx: IndexTables,
+    term_a: str,
+    term_b: str,
+    k: int = 10,
+    max_width: int | None = None,
+    ordered: bool = True,
+    field: str = "text",
+    pivot: float = 1.0,
+    boost: float = 1.0,
+) -> DataFrame:
+    """Top-k docs for ``IntervalQuery(maxwidth(w, ordered/unordered(a, b)))``.
+
+    Returns (doc_id, score float, rank int) — saturation-scored interval
+    frequency, ties broken by doc_id ascending (TopDocs order).
+    """
+    scored = interval_near_scores(
+        idx, term_a, term_b, max_width=max_width, ordered=ordered,
+        field=field, pivot=pivot, boost=boost,
+    )
+    return _rank_topk(scored, k)

@@ -87,29 +87,45 @@ class _Parser:
             return parts[0]
         return BooleanQuery(tuple(BooleanClause(Occur.SHOULD, p) for p in parts))
 
-    # and_expr := unary (AND unary)*
+    # and_expr := unary ((AND)? unary)* — juxtaposed clauses without an
+    # operator are SHOULD (the classic parser's default-OR operator,
+    # ``QueryParser.jj`` Query := Clause (Conjunction? Modifiers Clause)*)
+    _CLAUSE_STARTERS = frozenset(
+        ["NOT", "PLUS", "MINUS", "LPAREN", "QUOTED", "RANGE", "TERM"]
+    )
+
     def parse_and(self) -> Query | None:
+        # AND binds its two OPERANDS (both become MUST); juxtaposed clauses
+        # keep the default SHOULD — so "a AND b c" is (+a +b c), like the
+        # reference's conjunction handling
         parts = [self.parse_unary()]
-        had_and = False
-        while self.peek()[0] == "AND":
-            had_and = True
-            self.next()
-            parts.append(self.parse_unary())
+        musts = [False]
+        while True:
+            kind = self.peek()[0]
+            if kind == "AND":
+                self.next()
+                musts[-1] = True
+                parts.append(self.parse_unary())
+                musts.append(True)
+            elif kind in self._CLAUSE_STARTERS:
+                parts.append(self.parse_unary())
+                musts.append(False)
+            else:
+                break
         clauses: list[BooleanClause] = []
-        for p in parts:
+        for p, must in zip(parts, musts):
             if p is None:
                 continue
             if isinstance(p, tuple):  # (occur, query) from +/-/NOT
                 clauses.append(BooleanClause(p[0], p[1]))
             else:
                 clauses.append(
-                    BooleanClause(Occur.MUST if had_and else Occur.SHOULD, p)
+                    BooleanClause(Occur.MUST if must else Occur.SHOULD, p)
                 )
         if not clauses:
             return None
         if len(clauses) == 1 and clauses[0].occur == Occur.SHOULD:
             return clauses[0].query
-        # a sequence of bare terms without AND: each SHOULD; with AND: all MUST
         return BooleanQuery(tuple(clauses))
 
     # unary := (NOT|+|-)? primary — returns Query or (Occur, Query)
@@ -149,14 +165,10 @@ class _Parser:
         if kind == "QUOTED":
             self.next()
             m = re.match(r'"([^"]*)"(?:~(\d+))?', val)
-            text, slop = m.group(1), int(m.group(2) or 0)
-            terms = tuple(self.analyzer.analyze(text))
-            if not terms:
-                return None
-            q: Query = (
-                TermQuery(terms[0], field) if len(terms) == 1 else PhraseQuery(terms, slop, field)
+            return self._maybe_boost(
+                self._phrase_query(m.group(1), int(m.group(2) or 0), field)
             )
-            return self._maybe_boost(q)
+
         if kind == "RANGE":
             self.next()
             m = re.match(r"([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])", val)
@@ -186,6 +198,17 @@ class _Parser:
                 q = FuzzyQuery(analyzed[0], min(fuzzy, 2), field)
             return self._maybe_boost(q)
         return None
+
+    def _phrase_query(self, text: str, slop: int, field: str) -> Query | None:
+        """The quoted-phrase production (``QueryParserBase.getFieldQuery``
+        with slop) — overridden by the complexPhrase parser to give phrase
+        contents their richer grammar."""
+        terms = tuple(self.analyzer.analyze(text))
+        if not terms:
+            return None
+        if len(terms) == 1:
+            return TermQuery(terms[0], field)
+        return PhraseQuery(terms, slop, field)
 
     def _maybe_boost(self, q: Query | None) -> Query | None:
         if q is None:

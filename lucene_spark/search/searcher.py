@@ -986,6 +986,17 @@ class IndexSearcher:
             return self._score_phrase(q, stats, boost)
         if isinstance(q, KnnFloatVectorQuery):
             return self._score_knn(q, stats, boost)
+        from lucene_spark.search.spans import SpanQuery, to_interval_source
+
+        if isinstance(q, SpanQuery):
+            # span clauses inside Boolean trees (the complexPhrase parser's
+            # rewrite target): interval saturation scores, the engine's
+            # documented span-scoring envelope (spans.py module docstring)
+            from lucene_spark.search.intervals import interval_scores
+
+            return interval_scores(
+                self.index, to_interval_source(q), boost=boost
+            )
         raise TypeError(f"unsupported query type: {type(q).__name__}")
 
     def _score_knn(self, q: KnnFloatVectorQuery, stats, boost: float) -> DataFrame:

@@ -64,6 +64,14 @@ class SpanQuery:
 
     __slots__ = ()
 
+    def rewrite(self):
+        """Identity — spans rewrite at translation time
+        (:func:`to_interval_source` + ``normalize``); this satisfies the
+        ``Query.rewrite`` fixpoint contract so a span query can ride as a
+        clause inside a ``BooleanQuery`` tree (the complexPhrase parser's
+        output shape)."""
+        return self
+
 
 @dataclass(frozen=True)
 class SpanTermQuery(SpanQuery):
