@@ -1283,6 +1283,19 @@ def _q_spans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cq = parse_complex('"(scan sort) merge"~2', GATE_ANALYZER)
     parts.append(("complex_phrase", _as_gate_schema(span_topk(idx, cq, k=10))))
+    # r5: LEGACY SpanScorer ranking (pre-intervals spans semantics) — the
+    # same NEAR shape as near_ordered but scored with NearSpansOrdered's
+    # per-anchor enumeration + BM25 over the fractional sloppy freq
+    parts.append(
+        (
+            "near_legacy",
+            _as_gate_schema(
+                _searcher(spark, sf_dir).span_near_topk_legacy(
+                    ["scan", "merge"], slop=3, k=10
+                )
+            ),
+        )
+    )
     return _union_suite(parts)
 
 
@@ -1677,6 +1690,10 @@ def oracle_sql() -> dict[str, str]:
                     osql.complex_phrase_group_topk_sql(
                         ["scan", "sort"], "merge", 2, 10
                     ),
+                ),
+                (
+                    "near_legacy",
+                    osql.span_near_legacy_topk_sql("scan", "merge", 3, 10),
                 ),
             ]
         ),

@@ -2176,3 +2176,65 @@ pb AS (SELECT doc_id, pos FROM tp WHERE term = '{term_b}'),
 kept AS (SELECT doc_id, s, e FROM om WHERE e - s - 1 <= {slop})
 {_interval_score_sql(2, k)}
 """
+
+
+def span_near_legacy_topk_sql(term_a: str, term_b: str, slop: int, k: int) -> str:
+    """Legacy ``SpanScorer`` ranking for ``SpanNearQuery([a, b], slop,
+    inOrder)`` (``spans/NearSpansOrdered.java:62-120`` +
+    ``SpanScorer.java:112``): EVERY a-position anchors one greedy chain to
+    the first b strictly after it (width = b − a − 1); matches with width
+    ≤ slop contribute ``f32(1/(1+width))`` to a float32 running freq in
+    anchor order — no minimal-interval filtering, unlike the intervals
+    path.  BM25 scores the fractional freq with weight = Σ idf of the
+    span's distinct terms (``SpanWeight.buildSimWeight``)."""
+    return f"""
+WITH {BASE_CTES},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+pa AS (SELECT doc_id, pos FROM tp WHERE term = '{term_a}'),
+pb AS (SELECT doc_id, pos FROM tp WHERE term = '{term_b}'),
+cand AS (
+    SELECT a.doc_id, a.pos AS s,
+           (SELECT min(b.pos) FROM pb b
+            WHERE b.doc_id = a.doc_id AND b.pos > a.pos) AS e
+    FROM pa a
+),
+kept AS (
+    SELECT doc_id, s, e - s - 1 AS w FROM cand
+    WHERE e IS NOT NULL AND e - s - 1 <= {slop}
+),
+fr AS (
+    SELECT doc_id, list(CAST(w AS INT) ORDER BY s) AS widths
+    FROM kept GROUP BY doc_id
+),
+mm AS (
+    SELECT doc_id,
+           list_reduce(
+               list_transform(widths, m -> CAST({F1} / ({F1} + CAST(m AS FLOAT)) AS FLOAT)),
+               (acc, x) -> CAST(acc + x AS FLOAT)
+           ) AS freq
+    FROM fr WHERE len(widths) > 0
+),
+w AS (
+    SELECT CAST(
+        CAST(CAST(ln(1 + (fs.n - (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_a}') + 0.5)
+             / ((SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_a}') + 0.5)) AS FLOAT) AS DOUBLE)
+      + CAST(CAST(ln(1 + (fs.n - (SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_b}') + 0.5)
+             / ((SELECT count(DISTINCT doc_id) FROM toks WHERE term = '{term_b}') + 0.5)) AS FLOAT) AS DOUBLE)
+      AS FLOAT) AS w,
+      CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs
+),
+sc AS (
+    SELECT mm.doc_id,
+           CAST(w.w - w.w / ({F1} + CAST(mm.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(nm.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM mm JOIN norm nm USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""

@@ -142,6 +142,51 @@ def _osa_distance(a: str, b: str) -> int:
     return d[n][m]
 
 
+def near_spans_ordered_freq(plists: list[np.ndarray], slop: int) -> np.float32:
+    """Legacy ``NearSpansOrdered`` + ``SpanScorer`` sloppy freq, per doc.
+
+    Enumeration (``spans/NearSpansOrdered.java:62-120``): every position of
+    the FIRST term anchors one match attempt; ``stretchToOrder`` advances
+    each later sub-span to the first position at/after the previous span's
+    end (term spans: end = start + 1, so strictly after), accumulating
+    ``matchWidth = Σ (start_i − end_{i−1})``; matches with width ≤ slop
+    emit in anchor order.  Sub-spans never retreat — but the greedy
+    earliest-after chain is monotone in the anchor, so per-anchor
+    independent chaining is equivalent (and once a later stream exhausts
+    for one anchor it is exhausted for every later anchor, matching the
+    reference's early loop exit).  Unlike ``SloppyPhraseMatcher`` there is
+    no repeat-group collision algebra: repeated terms are independent
+    sub-spans over the same postings.
+
+    Freq (``SpanScorer.java:112``): float32 running sum of
+    ``1f/(1f + width)`` in emission order — the same fold convention as
+    :func:`sloppy_phrase_freq`.
+    """
+    anchors = plists[0]
+    n = len(anchors)
+    if n == 0:
+        return np.float32(0.0)
+    prev_end = anchors + 1
+    width = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    for lst in plists[1:]:
+        if len(lst) == 0:
+            return np.float32(0.0)
+        j = np.searchsorted(lst, prev_end, side="left")
+        alive &= j < len(lst)
+        if not alive.any():
+            return np.float32(0.0)
+        j = np.minimum(j, len(lst) - 1)
+        starts = lst[j]
+        width = np.where(alive, width + starts - prev_end, width)
+        prev_end = np.where(alive, starts + 1, prev_end)
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+    for w in width[alive & (width <= slop)]:
+        freq = freq + one / (one + np.float32(w))
+    return freq
+
+
 def sloppy_phrase_freq(
     plists: list[np.ndarray], slop: int, rpt_groups: tuple = ()
 ) -> np.float32:
@@ -625,6 +670,84 @@ class IndexSearcher:
         return self._with_norms(matched, q.field).select(
             "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
         )
+
+    def span_near_topk_legacy(
+        self,
+        terms: list[str] | tuple[str, ...],
+        slop: int,
+        k: int = 10,
+        field: str = "text",
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """Top-k for ``SpanNearQuery(terms, slop, inOrder=true)`` under the
+        LEGACY ``SpanScorer`` similarity scoring — the pre-intervals span
+        semantics (``spans/SpanWeight.java:98-124`` builds one SimScorer
+        over ALL the query's term statistics, so weight = Σ idf; freq =
+        :func:`near_spans_ordered_freq`'s sloppy accumulation; score =
+        BM25(freq, norm) with a fractional float32 freq).
+
+        This complements ``span_topk``'s interval-saturation scoring (the
+        envelope the reference itself moved to): callers wanting the
+        classic SpanScorer ranking get it here.  Envelope: ordered NEAR of
+        single-term clauses — the dominant legacy spans shape; composite
+        clauses keep the intervals path.
+        """
+        terms = list(terms)
+        if not terms:
+            return self._empty_scored()
+        stats = self._termstats([(field, t) for t in terms])
+        if any((field, t) not in stats for t in terms):
+            return self._empty_scored()
+        doc_count, sttf = self._fieldstats()[field]
+        # SpanWeight's termStates is a Map<Term, ...>: a repeated term
+        # contributes its idf ONCE (SpanWeight.java:101-118)
+        idfs = [
+            self.similarity.idf(stats[(field, t)][0], doc_count)
+            for t in dict.fromkeys(terms)
+        ]
+        weight = np.float32(boost) * bm25.sum_idf(idfs)
+        leaf = self.similarity.leaf_scorer_from_weight(weight, doc_count, sttf)
+        score_udf = _make_leaf_udf(leaf)
+
+        pos = self.index.positions_for_terms(field, terms)
+        has_norm = "norm_byte" in pos.columns
+        joined: DataFrame | None = None
+        for i, t in enumerate(terms):
+            sel = ["doc_id", F.col("positions").alias(f"_s{i}")]
+            if i == 0 and has_norm:
+                sel.append(F.col("norm_byte"))
+            p = pos.filter(F.col("term") == t).select(*sel)
+            joined = p if joined is None else joined.join(p, "doc_id")
+
+        n_terms = len(terms)
+        slop_i = int(slop)
+
+        @F.pandas_udf(T.FloatType())
+        def span_freq(*cols: pd.Series) -> pd.Series:
+            out = np.zeros(len(cols[0]), dtype=np.float32)
+            for r in range(len(cols[0])):
+                plists = [
+                    np.asarray(cols[i][r], dtype=np.int64) for i in range(n_terms)
+                ]
+                out[r] = near_spans_ordered_freq(plists, slop_i)
+            return pd.Series(out, dtype="float32")
+
+        out_cols = ["doc_id", "freq"] + (["norm_byte"] if has_norm else [])
+        matched = (
+            joined.withColumn(
+                "freq", span_freq(*[F.col(f"_s{i}") for i in range(n_terms)])
+            )
+            .filter(F.col("freq") > 0)
+            .select(*out_cols)
+        )
+        scored = self._with_norms(matched, field).select(
+            "doc_id", score_udf(F.col("freq"), F.col("norm_byte")).alias("score")
+        )
+        if self.index.deletes is not None:
+            scored = scored.join(self.index.deletes, "doc_id", "left_anti")
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+        return topk.withColumn("rank", w.cast("int"))
 
     # ------------------------------------------------------------- WAND path
 

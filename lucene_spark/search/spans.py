@@ -31,7 +31,10 @@ Scoring: the translated query scores with the interval saturation function
 (``IntervalQuery`` semantics), not the legacy ``SpanScorer`` sloppy-freq —
 the envelope choice the reference itself made when it moved proximity
 scoring to intervals.  Callers needing Boolean-only semantics can treat
-the scores as a match ranking.
+the scores as a match ranking.  The LEGACY SpanScorer ranking (per-anchor
+NearSpansOrdered enumeration + BM25 over the fractional float32 sloppy
+freq) is available for ordered term NEARs via
+``IndexSearcher.span_near_topk_legacy``.
 """
 
 from __future__ import annotations
