@@ -1514,6 +1514,76 @@ def batch_near_freqs(
     return out
 
 
+def batch_ordered_freqs(cols: list, max_width: int | None) -> np.ndarray:
+    """Vectorized-across-docs n-ary ordered scorer frequencies (float32),
+    bit-identical to the per-doc ``_minimal_ordered`` + ``interval_freq``
+    pipeline for an all-single-term ordered chain (minExtent = n terms).
+
+    The :func:`batch_near_freqs` trick generalized: every doc's per-term
+    position arrays shift by ``doc_index · 2⁴⁰`` into ONE global int64
+    workspace per term; the greedy chain is then n−1 global
+    ``searchsorted`` passes with a same-doc validity check per level,
+    minimality is the global last-of-each-distinct-end cut (ends are
+    non-decreasing within a doc's anchor run and doc offsets separate
+    runs), and the float32 fold sweeps rank-by-rank in emission order.
+    """
+    k = len(cols)
+    n = len(cols[0])
+    out = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return out
+    OFF = np.int64(1) << 40
+    docs_of = []
+    glob = []
+    for c in cols:
+        lists = [np.asarray(v, dtype=np.int64) for v in c]
+        cnt = np.array([len(v) for v in lists], dtype=np.int64)
+        if not cnt.sum():
+            return out
+        d = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        docs_of.append(d)
+        glob.append(np.concatenate(lists) + d * OFF)
+    S = glob[0]
+    E = glob[0].copy()
+    docs = docs_of[0]
+    valid = np.ones(len(S), dtype=bool)
+    for t in range(1, k):
+        pt, dt = glob[t], docs_of[t]
+        j = np.searchsorted(pt, E, side="right")
+        valid &= j < len(pt)
+        jj = np.minimum(j, len(pt) - 1)
+        valid &= dt[jj] == docs
+        E = pt[jj]
+    S, E, docs = S[valid], E[valid], docs[valid]
+    if len(E) == 0:
+        return out
+    # minimality: last (max-start) chain per distinct end; E is
+    # non-decreasing inside each doc's (sorted) anchor run, and the OFF
+    # separation keeps runs from spanning docs
+    keep = np.concatenate([E[1:] != E[:-1], [True]])
+    S, E, docs = S[keep], E[keep], docs[keep]
+    lengths = E - S + 1
+    if max_width is not None:
+        m = lengths <= max_width
+        lengths, docs = lengths[m], docs[m]
+    if len(lengths) == 0:
+        return out
+    terms = 1.0 / np.maximum(lengths - k + 1, 1).astype(np.float64)
+    counts = np.bincount(docs, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(terms), dtype=np.int64) - starts[docs]
+    order = np.argsort(rank, kind="stable")
+    terms_o, docs_o, rank_o = terms[order], docs[order], rank[order]
+    bounds = np.searchsorted(rank_o, np.arange(int(rank_o[-1]) + 2))
+    for r in range(len(bounds) - 1):
+        lo, hi = bounds[r], bounds[r + 1]
+        if lo == hi:
+            continue
+        d = docs_o[lo:hi]
+        out[d] = (out[d].astype(np.float64) + terms_o[lo:hi]).astype(np.float32)
+    return out
+
+
 def payload_terms(node: IntervalSource) -> set:
     """Terms whose PAYLOAD arrays the evaluator needs (the
     :class:`IPayloadFilteredTerm` leaves) — drives the optional ``_paymap``
@@ -1524,6 +1594,29 @@ def payload_terms(node: IntervalSource) -> set:
     for child in _children(node):
         out |= payload_terms(child)
     return out
+
+
+def _nary_ordered_shape(source: IntervalSource):
+    """Detect the vectorizable n-ary (≥ 3) ordered chain of single terms
+    under an optional width/gaps filter.  Returns (terms, max_width) or
+    None.  For all-single-term chains ``gaps = width − n``, so
+    ``maxgaps(g) ⇔ maxwidth(g + n)``."""
+    mw = None
+    node = source
+    if isinstance(node, (IMaxWidth, IMaxGaps)):
+        inner = node.sub
+        if not isinstance(inner, IOrdered):
+            return None
+        if isinstance(node, IMaxWidth):
+            mw = node.width
+        else:
+            mw = node.gaps + len(inner.subs)
+        node = inner
+    if not isinstance(node, IOrdered) or len(node.subs) < 3:
+        return None
+    if not all(type(s) is ITerm for s in node.subs):
+        return None
+    return [s.term for s in node.subs], mw
 
 
 def _near2_shape(source: IntervalSource):
@@ -1663,11 +1756,32 @@ def interval_scores(
                 out[r] = b32 * (np.float32(1.0) - p32 / (p32 + fr))
         return pd.Series(out, dtype="float32")
 
-    scorer = (
-        sat_score_pay(F.col("_posmap"), F.col("_paymap"))
-        if payterms
-        else sat_score(F.col("_posmap"))
-    )
+    naryo = _nary_ordered_shape(source)
+    nary_terms, nary_mw = naryo if naryo is not None else (None, None)
+
+    @F.pandas_udf(T.FloatType())
+    def sat_score_nary(maps: pd.Series) -> pd.Series:
+        # r5: all-single-term ordered chains evaluate ALL the batch's docs
+        # through ONE numpy kernel (the batch_near_freqs trick, n-ary) —
+        # same grouped single-shuffle plan, no per-doc Python loop.  The
+        # required-terms prefilter guarantees every map has every term.
+        cols = [
+            [maps.iloc[r][t] for r in range(len(maps))] for t in nary_terms
+        ]
+        fr = batch_ordered_freqs(cols, nary_mw)
+        out = np.where(
+            fr > 0,
+            (b32 * (np.float32(1.0) - p32 / (p32 + fr))).astype(np.float32),
+            np.float32(0.0),
+        ).astype(np.float32)
+        return pd.Series(out, dtype="float32")
+
+    if payterms:
+        scorer = sat_score_pay(F.col("_posmap"), F.col("_paymap"))
+    elif naryo is not None:
+        scorer = sat_score_nary(F.col("_posmap"))
+    else:
+        scorer = sat_score(F.col("_posmap"))
     return (
         grouped.withColumn("score", scorer)
         .filter(F.col("score") > 0)
