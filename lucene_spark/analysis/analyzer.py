@@ -83,15 +83,29 @@ _SEA = (
 )
 _W = rf"(?:(?![{_CJK}{_SEA}])\w)"  # \w minus the CJK/SEA script classes
 # EMOJI token class (StandardTokenizer.java:43-64 EMOJI type): an emoji
-# base + optional skin-tone modifier / VS16, extended by ZWJ joins into one
-# token; regional-indicator PAIRS (flags) are one token.  (Envelope: the
-# common pictographic blocks; the full UTS#51 property set is out of scope.)
+# base + optional skin-tone modifier / VS16, extended by ZWJ joins and
+# (r5) Unicode tag characters (subdivision-flag tag sequences, e.g. the
+# England flag 1F3F4 + E0067..E007F) into one token; regional-indicator
+# PAIRS (flags) are one token; (r5) keycap sequences ``[0-9#*] (FE0F)
+# 20E3`` are one EMOJI token (``TestStandardAnalyzer.testEmojiVariation
+# Sequence``), tried before the NUM class so "3️⃣" does not split as a
+# number.  (Envelope: the common pictographic blocks stand in for the
+# Extended_Pictographic property; text-presentation selectors FE0E after
+# a base are left untokenized — "⭕︎" still yields the EMOJI "⭕" — but
+# WB:Extend absorption into ALPHANUM/NUM tokens ("3︎" keeping its FE0E)
+# is out of scope.)
 _EMOJI_BASE = "[\U0001f000-\U0001faff☀-➿⬀-⯿①-⓿]"
 _EMOJI_MOD = "[\U0001f3fb-\U0001f3ff️]"
-_EMOJI_SEQ = rf"{_EMOJI_BASE}{_EMOJI_MOD}*(?:‍{_EMOJI_BASE}{_EMOJI_MOD}*)*"
+_EMOJI_TAGS = "[\U000e0020-\U000e007f]*"
+_EMOJI_SEQ = (
+    rf"{_EMOJI_BASE}{_EMOJI_MOD}*{_EMOJI_TAGS}"
+    rf"(?:‍{_EMOJI_BASE}{_EMOJI_MOD}*{_EMOJI_TAGS})*"
+)
+_KEYCAP = "[0-9#*]️?⃣"
 _REGIONAL = "[\U0001f1e6-\U0001f1ff]"
 _TOKEN_RE = re.compile(
-    rf"{_W}+"
+    rf"{_KEYCAP}"  # EMOJI keycap sequence (before NUM: "3️⃣" is one emoji)
+    rf"|{_W}+"
     r"(?:"
     rf"(?<=[^\W\d_])['’.·](?=[^\W\d_]){_W}+"  # ALetter MidLetter/MidNumLet ALetter
     rf"|(?<=\d)[,.;'’](?=\d){_W}+"  # Numeric MidNum/MidNumLet Numeric
@@ -102,7 +116,7 @@ _TOKEN_RE = re.compile(
     rf"|[{_IDEO}]"  # single IDEOGRAPHIC
     rf"|[{_SEA}]+"  # SOUTHEAST_ASIAN runs (dictionary-segmentable)
     rf"|{_REGIONAL}{_REGIONAL}"  # flag = regional-indicator pair
-    rf"|{_EMOJI_SEQ}",  # EMOJI (ZWJ sequences, modifiers)
+    rf"|{_EMOJI_SEQ}",  # EMOJI (ZWJ sequences, modifiers, tag sequences)
     re.UNICODE,
 )
 

@@ -134,3 +134,31 @@ def test_emoji_token_class():
         "thumbs", "\U0001F44D\U0001F3FD", "done",
     ]
     assert a.analyze("mixed\U0001F600emoji") == ["mixed", "\U0001F600", "emoji"]
+
+
+def test_emoji_keycap_and_tag_sequences():
+    """r5 UTS#51 tail (golden cases from
+    ``TestStandardAnalyzer.testEmojiVariationSequence/testEmojiTagSequence``):
+    keycap sequences are ONE EMOJI token (not a NUM), subdivision-flag tag
+    sequences ride the base emoji, a text-presentation selector after a
+    base leaves the bare emoji token, and '#' with a text selector yields
+    nothing."""
+    from lucene_spark.analysis.analyzer import StandardAnalyzer, tokenize
+
+    a = StandardAnalyzer()
+    assert a.analyze("#️⃣") == ["#️⃣"]
+    assert a.analyze("3️⃣") == ["3️⃣"]
+    assert tokenize("#︎") == []
+    assert tokenize("⭕︎") == ["⭕"]
+    # England flag: black flag + tag letters + tag terminator
+    tag_flag = (
+        "\U0001f3f4\U000e0067\U000e0062\U000e0065\U000e006e"
+        "\U000e0067\U000e007f"
+    )
+    assert a.analyze(f"go {tag_flag} go") == ["go", tag_flag, "go"]
+    # keycap must not eat ordinary numerics
+    assert a.analyze("3,000 and #5") == ["3,000", "and", "5"]
+    # offsets stay aligned through the keycap form
+    assert a.analyze_with_offsets("x 3️⃣ y") == [
+        ("x", 0, 0, 1), ("3️⃣", 1, 2, 5), ("y", 2, 6, 7),
+    ]
