@@ -287,6 +287,11 @@ class Monitor:
         self._regs: dict[int, _Registered] = {
             qid: _parse_monitor(qid, qs) for qid, qs in sorted(queries.items())
         }
+        # MonitorQuery keeps the original string + opaque metadata alongside
+        # the parsed form (``monitor/MonitorQuery.java:34-60``)
+        self._sources: dict[int, tuple[str, dict]] = {
+            qid: (qs, {}) for qid, qs in sorted(queries.items())
+        }
         self._rebuild()
 
     def _rebuild(self) -> None:
@@ -350,16 +355,60 @@ class Monitor:
             else None
         )
 
-    def register(self, query_id: int, query_str: str) -> None:
+    def register(
+        self, query_id: int, query_str: str, metadata: dict | None = None
+    ) -> None:
         """Monitor.register (``monitor/Monitor.java``): add or replace a
-        query; takes effect for the next batch."""
+        query; takes effect for the next batch.  ``metadata`` is the
+        MonitorQuery's opaque per-query map (owner, routing key, …),
+        stored verbatim and returned by :meth:`get_query`."""
         self._regs[query_id] = _parse_monitor(query_id, query_str)
+        self._sources[query_id] = (query_str, dict(metadata or {}))
         self._rebuild()
 
     def unregister(self, query_id: int) -> None:
         """Monitor.deleteById: remove a registered query."""
         self._regs.pop(query_id, None)
+        self._sources.pop(query_id, None)
         self._rebuild()
+
+    # ---- registry introspection (Monitor.getQuery/getQueryIds/
+    # getQueryCount, ``monitor/Monitor.java:238-270``)
+
+    def get_query(self, query_id: int) -> tuple[str, dict] | None:
+        """(query_string, metadata) for a registered id, or None."""
+        src = self._sources.get(query_id)
+        return (src[0], dict(src[1])) if src is not None else None
+
+    def get_query_ids(self) -> list[int]:
+        return sorted(self._regs)
+
+    def get_query_count(self) -> int:
+        return len(self._regs)
+
+    def match_batch_with_stats(self, batch: DataFrame):
+        """(matches, stats) — the QueryTimeListener/MatchingQueries analog
+        (``monitor/Monitor.java`` match telemetry): stats carries the wall
+        time, registered-query count, total match pairs, per-query match
+        counts, and how many registered queries matched at least one doc.
+        One extra aggregation over the (small) match output; the match
+        plan itself is unchanged."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        matches = self.match_batch(batch).persist()  # stats + caller share one run
+        per_query = {
+            r["query_id"]: r["n"]
+            for r in matches.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        stats = {
+            "wall_sec": round(_time.perf_counter() - t0, 4),
+            "queries_registered": self.get_query_count(),
+            "queries_matched": len(per_query),
+            "match_pairs": int(sum(per_query.values())),
+            "per_query_matches": per_query,
+        }
+        return matches, stats
 
     def match_batch(self, batch: DataFrame) -> DataFrame:
         """(key_cols..., query_id) pairs for documents matching each query."""

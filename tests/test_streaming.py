@@ -86,6 +86,34 @@ def test_percolator_prefix_clauses(spark):
     }
 
 
+def test_percolator_metadata_and_stats(spark, monitor):
+    """MonitorQuery metadata + registry introspection + match telemetry
+    (``monitor/MonitorQuery.java:34-60``, ``Monitor.java:238-270``)."""
+    mon = Monitor(spark, {1: "spark", 2: "index AND query"})
+    assert mon.get_query_count() == 2
+    assert mon.get_query_ids() == [1, 2]
+    assert mon.get_query(1) == ("spark", {})
+    mon.register(3, "vector", metadata={"owner": "alerts", "tier": "p1"})
+    assert mon.get_query(3) == ("vector", {"owner": "alerts", "tier": "p1"})
+    assert mon.get_query_count() == 3
+    mon.unregister(3)
+    assert mon.get_query(3) is None and mon.get_query_count() == 2
+    batch = _batch(
+        spark,
+        [
+            ("c0", 0, "spark makes the index fast"),
+            ("c0", 1, "index query planning"),
+            ("c2", 0, "nothing relevant"),
+        ],
+    )
+    matches, stats = mon.match_batch_with_stats(batch)
+    assert stats["queries_registered"] == 2
+    assert stats["per_query_matches"] == {1: 1, 2: 1}
+    assert stats["queries_matched"] == 2
+    assert stats["match_pairs"] == 2 == matches.count()
+    assert stats["wall_sec"] > 0
+
+
 def test_percolator_rejects_unsupported(spark):
     # fuzzy acceptors (round 4) are distance-1 only
     with pytest.raises(ValueError):
