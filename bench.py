@@ -224,6 +224,15 @@ def run_bench() -> dict:
         t1 = time.perf_counter()
         interval_topk_wand(idx_pos, node, k=10).collect()
         q_times["wand_q_intervals"] = round(time.perf_counter() - t1, 4)
+        # r5 second pass: hot 3-term ordered chain through the across-docs
+        # batched kernel (batch_ordered_freqs; stopwords are not stopped in
+        # this corpus, so (of, and, to) is the worst-case candidate set)
+        node3 = IMaxWidth(
+            12, IOrdered((ITerm("of"), ITerm("and"), ITerm("to")))
+        )
+        t1 = time.perf_counter()
+        interval_topk(idx_pos, node3, k=10).collect()
+        q_times["q_intervals_ordered3_hot"] = round(time.perf_counter() - t1, 4)
 
         # r5 A/B: the same NEAR through the pre-r5 per-doc Python loop
         # (reconstructed here, bench-only) vs the across-docs batch kernel

@@ -187,6 +187,10 @@ def test_ondisk_payload_roundtrip(spark, tmp_path):
     assert plan["positions"]["store_payloads"] is True
     idx = read_index(spark, d)
     assert "payloads" in idx.positions.columns
+    # the payload score's positions scan carries the tbucket partition
+    # filter (terms-dictionary pruning, same as phrase/interval scans)
+    pq = idx.positions_for_terms("text", ["the"])
+    assert "tbucket" in pq._jdf.queryExecution().executedPlan().toString()
     disk = payload_score_topk(idx, "the", "max", k=5).collect()
     mem = payload_score_topk(
         build_index(src, analyzer=an, with_positions=True, num_segments=2),
