@@ -81,6 +81,19 @@ _SEA = (
     "က-ဿၐ-႟"  # Myanmar
     "ក-៓"  # Khmer
 )
+# EMOJI keycap sequence ``[0-9#*] (FE0F) 20E3``.  A word run must give its
+# FINAL digit back when a keycap mark follows ("12️⃣" is the number "1"
+# then the keycap emoji "2️⃣", not the number "12") — enforced by a
+# one-per-token trailing guard on the ALPHANUM/NUM alternative.  The guard
+# measurably taxes the hot path (~5% on digit-heavy text; a per-CHAR
+# lookahead in the word class cost ~20%), so TWO compiled patterns exist
+# and the tokenizer picks per text: the guarded one only when the text
+# contains U+20E3 at all (one C-level ``in`` scan), the plain one —
+# byte-identical behavior on keycap-free text — otherwise.
+_KEYCAP = "[0-9#*]️?⃣"
+# last char digit ⇒ no keycap mark may follow; the not-a-keycap-mark branch
+# first (true for essentially every token, one fast class test)
+_KEYCAP_GUARD = r"(?:(?!️?⃣)|(?<!\d))"
 _W = rf"(?:(?![{_CJK}{_SEA}])\w)"  # \w minus the CJK/SEA script classes
 # EMOJI token class (StandardTokenizer.java:43-64 EMOJI type): an emoji
 # base + optional skin-tone modifier / VS16, extended by ZWJ joins and
@@ -101,24 +114,33 @@ _EMOJI_SEQ = (
     rf"{_EMOJI_BASE}{_EMOJI_MOD}*{_EMOJI_TAGS}"
     rf"(?:‍{_EMOJI_BASE}{_EMOJI_MOD}*{_EMOJI_TAGS})*"
 )
-_KEYCAP = "[0-9#*]️?⃣"
 _REGIONAL = "[\U0001f1e6-\U0001f1ff]"
-_TOKEN_RE = re.compile(
-    rf"{_KEYCAP}"  # EMOJI keycap sequence (before NUM: "3️⃣" is one emoji)
-    rf"|{_W}+"
-    r"(?:"
-    rf"(?<=[^\W\d_])['’.·](?=[^\W\d_]){_W}+"  # ALetter MidLetter/MidNumLet ALetter
-    rf"|(?<=\d)[,.;'’](?=\d){_W}+"  # Numeric MidNum/MidNumLet Numeric
-    r")*"
-    rf"|[{_KATA}]+"  # KATAKANA runs
-    rf"|[{_HANGUL}]+"  # HANGUL runs
-    rf"|[{_HIRA}]"  # single HIRAGANA
-    rf"|[{_IDEO}]"  # single IDEOGRAPHIC
-    rf"|[{_SEA}]+"  # SOUTHEAST_ASIAN runs (dictionary-segmentable)
-    rf"|{_REGIONAL}{_REGIONAL}"  # flag = regional-indicator pair
-    rf"|{_EMOJI_SEQ}",  # EMOJI (ZWJ sequences, modifiers, tag sequences)
-    re.UNICODE,
-)
+def _compile_token_re(keycap_guard: str) -> "re.Pattern":
+    return re.compile(
+        rf"{_KEYCAP}"  # EMOJI keycap sequence (before NUM: "3️⃣" is one emoji)
+        rf"|{_W}+"
+        r"(?:"
+        rf"(?<=[^\W\d_])['’.·](?=[^\W\d_]){_W}+"  # ALetter MidLetter/MidNumLet ALetter
+        rf"|(?<=\d)[,.;'’](?=\d){_W}+"  # Numeric MidNum/MidNumLet Numeric
+        r")*"
+        rf"{keycap_guard}"  # give the final digit to a following keycap
+        rf"|[{_KATA}]+"  # KATAKANA runs
+        rf"|[{_HANGUL}]+"  # HANGUL runs
+        rf"|[{_HIRA}]"  # single HIRAGANA
+        rf"|[{_IDEO}]"  # single IDEOGRAPHIC
+        rf"|[{_SEA}]+"  # SOUTHEAST_ASIAN runs (dictionary-segmentable)
+        rf"|{_REGIONAL}{_REGIONAL}"  # flag = regional-indicator pair
+        rf"|{_EMOJI_SEQ}",  # EMOJI (ZWJ sequences, modifiers, tag sequences)
+        re.UNICODE,
+    )
+
+
+_TOKEN_RE = _compile_token_re("")  # hot path: no keycap marks in the text
+_TOKEN_RE_KEYCAP = _compile_token_re(_KEYCAP_GUARD)
+
+
+def _token_re_for(text: str) -> "re.Pattern":
+    return _TOKEN_RE_KEYCAP if "⃣" in text else _TOKEN_RE
 
 # Java Character.toLowerCase divergences from Python str.lower():
 #   U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> 'i' (Python: "i̇")
@@ -167,7 +189,7 @@ def tokenize(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> lis
     """UAX#29-subset word tokens of ``text`` (no case folding, no stops)."""
     if not text:
         return []
-    toks = _TOKEN_RE.findall(text)
+    toks = _token_re_for(text).findall(text)
     return [t for t in toks if len(t) <= max_token_length]
 
 
@@ -226,7 +248,7 @@ class StandardAnalyzer:
     def _iter_raw(self, text: str):
         """(raw_token, start, end) stream — the tokenizer with the optional
         SEA dictionary word-break applied (segments keep exact offsets)."""
-        for m in _TOKEN_RE.finditer(text):
+        for m in _token_re_for(text).finditer(text):
             t = m.group(0)
             if self.sea_segmenter is not None and _SEA_START.match(t):
                 s = m.start()

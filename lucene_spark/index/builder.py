@@ -358,6 +358,10 @@ def build_positions(
     """
     if with_offsets and analyzer.stream_filters:
         with_offsets = False
+    if analyzer.payload_fn is not None and analyzer.stream_filters:
+        # fail fast on the driver — otherwise analyze_with_payloads raises
+        # this same error inside an executor UDF mid-build
+        raise ValueError("payloads are not supported with whole-stream filters")
     if analyzer.payload_fn is not None:
         analyze_pay = make_analyze_pay_udf(analyzer)
         pairs = docmap.select(

@@ -206,6 +206,10 @@ def complex_phrase_to_query(
     if num_neg == 0:
         return SpanNearQuery(tuple(spans), slop, in_order)
     positives = tuple(s for s, n in zip(spans, neg) if not n)
+    if not positives:
+        # all-negative phrase: the reference's SpanNearQuery over zero
+        # include clauses is unusable — fail at parse time, not mid-plan
+        raise ParseError("complex phrase has no positive clauses")
     include: SpanQuery = (
         positives[0]
         if len(positives) == 1

@@ -29,10 +29,11 @@ by :class:`lucene_spark.search.intervals.IPayloadFilteredTerm`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_spark.index.builder import IndexTables
+from lucene_spark.search.intervals import _rank_topk
 
 __all__ = ["PAYLOAD_FUNCTIONS", "payload_score_topk"]
 
@@ -82,7 +83,4 @@ def payload_score_topk(
             score = (s.cast("double") / F.size("payloads")).cast("float")
         else:
             score = s
-    scored = pos.select("doc_id", score.alias("score"))
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
-    return topk.withColumn("rank", w.cast("int"))
+    return _rank_topk(pos.select("doc_id", score.alias("score")), k)

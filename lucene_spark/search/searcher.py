@@ -745,9 +745,9 @@ class IndexSearcher:
         )
         if self.index.deletes is not None:
             scored = scored.join(self.index.deletes, "doc_id", "left_anti")
-        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
-        return topk.withColumn("rank", w.cast("int"))
+        from lucene_spark.search.intervals import _rank_topk
+
+        return _rank_topk(scored, k)
 
     # ------------------------------------------------------------- WAND path
 

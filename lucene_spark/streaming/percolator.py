@@ -391,12 +391,14 @@ class Monitor:
         (``monitor/Monitor.java`` match telemetry): stats carries the wall
         time, registered-query count, total match pairs, per-query match
         counts, and how many registered queries matched at least one doc.
-        One extra aggregation over the (small) match output; the match
-        plan itself is unchanged."""
+        The stats aggregation is one extra pass over the match plan (NOT
+        cached — a persist here would leak executor storage across
+        streaming micro-batches; callers wanting to reuse the matches
+        frame cheaply can persist/unpersist it themselves)."""
         import time as _time
 
         t0 = _time.perf_counter()
-        matches = self.match_batch(batch).persist()  # stats + caller share one run
+        matches = self.match_batch(batch)
         per_query = {
             r["query_id"]: r["n"]
             for r in matches.groupBy("query_id").agg(F.count("*").alias("n")).collect()

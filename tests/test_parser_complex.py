@@ -131,6 +131,13 @@ def test_field_mismatch_raises():
         parse_complex('"other:scan merge"', AN)
 
 
+def test_all_negative_phrase_raises():
+    # no positive clauses: fail at parse time, not with an IndexError
+    # deep inside plan evaluation
+    with pytest.raises(ParseError, match="no positive clauses"):
+        parse_complex('"-scan -merge"~1', AN)
+
+
 def test_stopword_only_phrase_drops():
     from lucene_spark.search.query import MatchNoDocsQuery
 

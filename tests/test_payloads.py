@@ -73,12 +73,23 @@ def test_analyzer_payload_stream():
     assert [p[4] for p in an3.analyze_with_payloads("ab cdef")] == [2.0, 4.0]
 
 
-def test_analyzer_payload_errors():
+def test_analyzer_payload_errors(spark):
     an = StandardAnalyzer()
     with pytest.raises(ValueError, match="payload_fn"):
         an.analyze_with_payloads("x")
     with pytest.raises(ValueError, match="payload op"):
         IPayloadFilteredTerm("x", "!=", 1.0)
+    # payload_fn + whole-stream filters must fail fast on the DRIVER, not
+    # inside an executor UDF mid-build
+    def shingle(stream):
+        return stream
+
+    bad = StandardAnalyzer(
+        payload_fn=token_offset_payload, stream_filters=(shingle,)
+    )
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="whole-stream"):
+        build_index(df, doc_id_col="doc_id", analyzer=bad, with_positions=True)
 
 
 def test_positions_table_carries_aligned_payloads(pay_idx):

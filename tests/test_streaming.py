@@ -86,7 +86,7 @@ def test_percolator_prefix_clauses(spark):
     }
 
 
-def test_percolator_metadata_and_stats(spark, monitor):
+def test_percolator_metadata_and_stats(spark):
     """MonitorQuery metadata + registry introspection + match telemetry
     (``monitor/MonitorQuery.java:34-60``, ``Monitor.java:238-270``)."""
     mon = Monitor(spark, {1: "spark", 2: "index AND query"})
