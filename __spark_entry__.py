@@ -1296,6 +1296,22 @@ def _q_spans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r5: XML CoreParser — a composite <BooleanQuery> of a classic
+    # UserQuery MUST clause and a SpanNear MUST clause, parsed from XML
+    # and executed through the searcher's span-in-boolean scoring
+    from lucene_spark.search.parser_xml import parse_xml
+
+    xq = parse_xml(
+        '<BooleanQuery fieldName="text">'
+        '<Clause occurs="must"><UserQuery>big</UserQuery></Clause>'
+        '<Clause occurs="must"><SpanNear slop="2" inOrder="true">'
+        "<SpanTerm>scan</SpanTerm><SpanTerm>merge</SpanTerm>"
+        "</SpanNear></Clause></BooleanQuery>",
+        GATE_ANALYZER,
+    )
+    parts.append(
+        ("xml_bool_span", _as_gate_schema(_searcher(spark, sf_dir).search(xq, k=10)))
+    )
     return _union_suite(parts)
 
 
@@ -1694,6 +1710,10 @@ def oracle_sql() -> dict[str, str]:
                 (
                     "near_legacy",
                     osql.span_near_legacy_topk_sql("scan", "merge", 3, 10),
+                ),
+                (
+                    "xml_bool_span",
+                    osql.xml_bool_span_topk_sql("big", "scan", "merge", 2, 10),
                 ),
             ]
         ),

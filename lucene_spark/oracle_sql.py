@@ -2238,3 +2238,47 @@ sc AS (
 )
 {_topk('sc', k)}
 """
+
+
+def xml_bool_span_topk_sql(term: str, span_a: str, span_b: str, slop: int, k: int) -> str:
+    """XML CoreParser composite oracle — ``<BooleanQuery>`` of MUST
+    ``<UserQuery>term</UserQuery>`` + MUST ``<SpanNear slop inOrder=true>``:
+    BM25(term) plus the span clause's interval-saturation score
+    (the engine's documented span scoring), clause scores summed in double
+    and cast float (``ConjunctionScorer.java:57-63`` convention)."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tp AS (
+    SELECT doc_id, ws[i] AS term, i - 1 AS pos
+    FROM words, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> '' AND ws[i] NOT IN ({_STOPS})
+),
+pa AS (SELECT doc_id, pos FROM tp WHERE term = '{span_a}'),
+pb AS (SELECT doc_id, pos FROM tp WHERE term = '{span_b}'),
+{_ordered_pair_ctes('o', 'pa', 'pb').lstrip()},
+kept AS (SELECT doc_id, s, e FROM om WHERE e - s - 1 <= {slop}),
+fr AS (
+    SELECT doc_id, list(e - s ORDER BY s) AS lens FROM kept GROUP BY doc_id
+),
+mm AS (
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list_transform(lens, L -> 1.0 / greatest(L, 1))),
+               (acc, x) -> CAST(acc + x AS FLOAT)
+           ) AS freq
+    FROM fr
+),
+sp AS (
+    SELECT doc_id,
+           CAST({F1} - {F1} / ({F1} + CAST(freq AS FLOAT)) AS FLOAT) AS sscore
+    FROM mm WHERE freq > 0
+),
+combined AS (
+    SELECT a.doc_id,
+           CAST(CAST(a.score AS DOUBLE) + CAST(sp.sscore AS DOUBLE) AS FLOAT) AS score
+    FROM sc_a a JOIN sp USING (doc_id)
+)
+{_topk('combined', k)}
+"""

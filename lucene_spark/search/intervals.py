@@ -247,6 +247,18 @@ class IFirst(IntervalSource):
 
 
 @_dataclass(frozen=True)
+class IPositionRange(IntervalSource):
+    """``SpanPositionRangeQuery(match, start, end)`` support shim
+    (``queries/spans/SpanPositionRangeQuery.java:42-47`` acceptPosition):
+    intervals with start ≥ ``start`` and exclusive end ≤ ``end``
+    (inclusive end < ``end``).  :class:`IFirst` is the start=0 case."""
+
+    start: int
+    end: int
+    sub: IntervalSource
+
+
+@_dataclass(frozen=True)
 class INotContaining(IntervalSource):
     """``Intervals.notContaining(minuend, subtrahend)``
     (``NotContainingIntervalsSource.java:63-87``): the reference's streaming
@@ -444,7 +456,7 @@ def leaf_terms(node: IntervalSource) -> set:
         for s in node.subs:
             out |= leaf_terms(s)
         return out
-    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst, IPositionRange)):
         return leaf_terms(node.sub)
     if isinstance(node, (IContainedBy, INotContainedBy)):
         return leaf_terms(node.small) | leaf_terms(node.big)
@@ -494,7 +506,7 @@ def required_terms(node: IntervalSource) -> set:
             if n - k < node.min_match:
                 out.add(t)
         return out
-    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst, IPositionRange)):
         return required_terms(node.sub)
     if isinstance(node, IContainedBy):
         return required_terms(node.small) | required_terms(node.big)
@@ -528,7 +540,7 @@ def min_extent(node: IntervalSource) -> int:
         # sum of the min_match smallest sub extents
         # (MinimumShouldMatchIntervalsSource.minExtent:104-115)
         return sum(sorted(min_extent(s) for s in node.subs)[: node.min_match])
-    if isinstance(node, (IMaxWidth, IMaxGaps, IFirst)):
+    if isinstance(node, (IMaxWidth, IMaxGaps, IFirst, IPositionRange)):
         return min_extent(node.sub)
     if isinstance(node, IExtend):
         return node.before + min_extent(node.sub) + node.after
@@ -722,6 +734,13 @@ def normalize(node: IntervalSource) -> IntervalSource:
     if isinstance(node, IFirst):
         sub = normalize(node.sub)
         return sub if isinstance(sub, INoMatch) else IFirst(node.n, sub)
+    if isinstance(node, IPositionRange):
+        sub = normalize(node.sub)
+        return (
+            sub
+            if isinstance(sub, INoMatch)
+            else IPositionRange(node.start, node.end, sub)
+        )
     if isinstance(node, IExtend):
         sub = normalize(node.sub)
         return (
@@ -817,7 +836,7 @@ def _collect_multiterms(node: IntervalSource) -> list:
 def _children(node: IntervalSource) -> tuple:
     if isinstance(node, (IOrdered, IUnordered, IOr, IBlock, IAtLeast)):
         return node.subs
-    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst)):
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IRepeat, IFirst, IPositionRange)):
         return (node.sub,)
     if isinstance(node, (IContainedBy, INotContainedBy)):
         return (node.small, node.big)
@@ -846,6 +865,8 @@ def _substitute_multiterms(node: IntervalSource, lookup: dict) -> IntervalSource
         return IMaxGaps(node.gaps, sub(node.sub))
     if isinstance(node, IFirst):
         return IFirst(node.n, sub(node.sub))
+    if isinstance(node, IPositionRange):
+        return IPositionRange(node.start, node.end, sub(node.sub))
     if isinstance(node, IExtend):
         return IExtend(sub(node.sub), node.before, node.after)
     if isinstance(node, IOffset):
@@ -1419,6 +1440,10 @@ def eval_intervals(node: IntervalSource, posmap: dict, paymap: dict | None = Non
         s, e, g = eval_intervals(node.sub, posmap, paymap)
         m = e < node.n  # exclusive end ≤ n
         return s[m], e[m], g[m]
+    if isinstance(node, IPositionRange):
+        s, e, g = eval_intervals(node.sub, posmap, paymap)
+        m = (s >= node.start) & (e < node.end)
+        return s[m], e[m], g[m]
     if isinstance(node, INotContaining):
         return _not_containing(
             eval_intervals(node.minuend, posmap, paymap),
@@ -1840,7 +1865,7 @@ def freq_count_bound(node: IntervalSource, tfmap: dict) -> np.ndarray:
         for s in node.subs[1:]:
             out = out + freq_count_bound(s, tfmap)
         return out
-    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IFirst)):
+    if isinstance(node, (IMaxWidth, IMaxGaps, IExtend, IOffset, IFirst, IPositionRange)):
         return freq_count_bound(node.sub, tfmap)
     if isinstance(node, IRepeat):
         # windows of `count` consecutive sub intervals: ≤ sub-family size

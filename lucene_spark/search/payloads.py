@@ -29,27 +29,53 @@ by :class:`lucene_spark.search.intervals.IPayloadFilteredTerm`.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lucene_spark.index.builder import IndexTables
 from lucene_spark.search.intervals import _rank_topk
 
-__all__ = ["PAYLOAD_FUNCTIONS", "payload_score_topk"]
+__all__ = [
+    "PAYLOAD_FUNCTIONS",
+    "PayloadScoreQuery",
+    "payload_scores",
+    "payload_score_topk",
+]
 
 PAYLOAD_FUNCTIONS = ("min", "max", "avg", "sum")
 
 
-def payload_score_topk(
+@dataclass(frozen=True)
+class PayloadScoreQuery:
+    """The query-tree form (``PayloadScoreQuery.java:47``,
+    ``includeSpanScore=false``): usable as a clause inside a
+    ``BooleanQuery`` (``IndexSearcher._score`` dispatches it through
+    :func:`payload_scores`) — e.g. the XML parser's ``BoostingTermQuery``
+    element builds exactly this with the ``avg`` function."""
+
+    term: str
+    function: str = "avg"
+    field: str = "text"
+
+    def rewrite(self):
+        """Identity — satisfies the ``Query.rewrite`` fixpoint contract so
+        the query can sit inside a ``BooleanQuery`` tree."""
+        return self
+
+
+def payload_scores(
     idx: IndexTables,
     term: str,
     function: str = "max",
-    k: int = 10,
     field: str = "text",
+    boost: float = 1.0,
 ) -> DataFrame:
-    """Top-k docs for ``PayloadScoreQuery(SpanTermQuery(term), fn,
-    includeSpanScore=false)`` — (doc_id, score float, rank int), ties by
-    doc_id ascending (TopDocs order).
+    """All matching docs' payload-aggregate scores (doc_id, score float)
+    for ``PayloadScoreQuery(SpanTermQuery(term), fn,
+    includeSpanScore=false)`` — the Scorer form;
+    :func:`payload_score_topk` adds the top-k collector.
 
     Float32 parity notes: payloads are stored float32; ``min``/``max`` are
     exact; ``sum``/``avg`` fold in position order with float32
@@ -83,4 +109,23 @@ def payload_score_topk(
             score = (s.cast("double") / F.size("payloads")).cast("float")
         else:
             score = s
-    return _rank_topk(pos.select("doc_id", score.alias("score")), k)
+    if boost != 1.0:
+        import numpy as np
+
+        score = (
+            (F.lit(float(np.float32(boost))) * score.cast("float"))
+            .cast("float")
+        )
+    return pos.select("doc_id", score.alias("score"))
+
+
+def payload_score_topk(
+    idx: IndexTables,
+    term: str,
+    function: str = "max",
+    k: int = 10,
+    field: str = "text",
+) -> DataFrame:
+    """Top-k docs for the payload score — (doc_id, score float, rank int),
+    ties by doc_id ascending (TopDocs order)."""
+    return _rank_topk(payload_scores(idx, term, function, field=field), k)

@@ -1109,6 +1109,12 @@ class IndexSearcher:
             return self._score_phrase(q, stats, boost)
         if isinstance(q, KnnFloatVectorQuery):
             return self._score_knn(q, stats, boost)
+        from lucene_spark.search.payloads import PayloadScoreQuery, payload_scores
+
+        if isinstance(q, PayloadScoreQuery):
+            return payload_scores(
+                self.index, q.term, q.function, field=q.field, boost=boost
+            )
         from lucene_spark.search.spans import SpanQuery, to_interval_source
 
         if isinstance(q, SpanQuery):

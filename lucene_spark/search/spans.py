@@ -116,6 +116,17 @@ class SpanFirstQuery(SpanQuery):
 
 
 @dataclass(frozen=True)
+class SpanPositionRangeQuery(SpanQuery):
+    """Spans of ``match`` lying entirely within positions [start, end)
+    (``SpanPositionRangeQuery.java:42-47``); SpanFirst is the start=0
+    case."""
+
+    match: SpanQuery
+    start: int
+    end: int
+
+
+@dataclass(frozen=True)
 class SpanContainingQuery(SpanQuery):
     """``big`` spans that contain a ``little`` span."""
 
@@ -176,6 +187,10 @@ def to_interval_source(q: SpanQuery) -> IntervalSource:
         )
     if isinstance(q, SpanFirstQuery):
         return IFirst(q.n, to_interval_source(q.match))
+    if isinstance(q, SpanPositionRangeQuery):
+        from lucene_spark.search.intervals import IPositionRange
+
+        return IPositionRange(q.start, q.end, to_interval_source(q.match))
     if isinstance(q, SpanContainingQuery):
         return IContaining(
             to_interval_source(q.big), to_interval_source(q.little)
