@@ -313,6 +313,80 @@ def sloppy_phrase_freq(
     return freq if matched else np.float32(0.0)
 
 
+def batch_sloppy_pair_freqs(a_col, b_col, slop: int) -> np.ndarray:
+    """Vectorized-across-docs 2-term sloppy-phrase freqs, bit-identical to
+    :func:`sloppy_phrase_freq` on two distinct-term streams.
+
+    For two distinct terms the pq leapfrog reduces to the *leader chain*
+    (the equivalence the oracle's recursive CTE rests on, fuzz-verified
+    both there and here): the first leader is the larger of the two first
+    shifted positions; each leader L from list X emits one match
+    ``matchLength = L − max{other ≤ L}`` and hands off to
+    ``min{other > L}``, alternating lists until exhaustion; matches with
+    length ≤ slop fold ``1f/(1f+len)`` into a float32 freq in chain order.
+
+    Vectorization: one state row per doc (leader, side, active) over
+    doc-offset global arrays; every chain in the Arrow batch advances one
+    link per loop iteration (two searchsorted calls), so the iteration
+    count is the LONGEST chain, not the candidate count — the same
+    across-docs batching as ``batch_near_freqs``, applied to the stateful
+    leapfrog.
+    """
+    n = len(a_col)
+    out = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return out
+    al = [np.asarray(v, dtype=np.int64) for v in a_col]
+    bl = [np.asarray(v, dtype=np.int64) for v in b_col]
+    ca = np.array([len(v) for v in al], dtype=np.int64)
+    cb = np.array([len(v) for v in bl], dtype=np.int64)
+    active = (ca > 0) & (cb > 0)
+    if not active.any():
+        return out
+    OFF = np.int64(1) << 40  # dominates any shifted position (can be -1)
+    A = np.concatenate(al) + np.repeat(np.arange(n, dtype=np.int64), ca) * OFF
+    B = np.concatenate(bl) + np.repeat(np.arange(n, dtype=np.int64), cb) * OFF
+    eA = np.cumsum(ca)
+    sA = eA - ca
+    eB = np.cumsum(cb)
+    sB = eB - cb
+
+    leader = np.zeros(n, dtype=np.int64)
+    side_a = np.zeros(n, dtype=bool)  # True: current leader is from A
+    act_ids = np.nonzero(active)[0]
+    ma = A[sA[act_ids]]
+    mb = B[sB[act_ids]]
+    leader[act_ids] = np.maximum(ma, mb)
+    side_a[act_ids] = ma > mb  # tie → side b (the oracle's CASE order)
+
+    matched = np.zeros(n, dtype=bool)
+    one = np.float32(1.0)
+    while active.any():
+        # the OTHER list serves both the match length and the next leader
+        for other, s_, e_, is_a in ((B, sB, eB, True), (A, sA, eA, False)):
+            ids = np.nonzero(active & (side_a == is_a))[0]
+            if ids.size == 0:
+                continue
+            l = leader[ids]
+            jr = np.searchsorted(other, l, side="right")
+            # max{other ≤ L} exists in-doc: the first leader is the max of
+            # the two list minima, and every later leader exceeds an
+            # element of the list it hands off from
+            ml = l - other[jr - 1]
+            ok = ml <= slop
+            fold = one / (one + ml.astype(np.float32))
+            out[ids] = np.where(
+                ok, (out[ids] + fold).astype(np.float32), out[ids]
+            )
+            matched[ids] |= ok
+            has_next = jr < e_[ids]
+            nid = ids[has_next]
+            leader[nid] = other[jr[has_next]]
+            side_a[nid] = not is_a  # the next leader is from the other list
+            active[ids[~has_next]] = False
+    return np.where(matched, out, np.float32(0.0))
+
+
 def wildcard_to_regex(pattern: str) -> str:
     out = []
     for ch in pattern:
@@ -649,15 +723,28 @@ class IndexSearcher:
         n_terms = len(q.terms)
         slop = int(q.slop)
 
-        @F.pandas_udf(T.FloatType())
-        def sloppy_freq(*cols: pd.Series) -> pd.Series:
-            out = np.zeros(len(cols[0]), dtype=np.float32)
-            for r in range(len(cols[0])):
-                plists = [
-                    np.asarray(cols[i][r], dtype=np.int64) for i in range(n_terms)
-                ]
-                out[r] = sloppy_phrase_freq(plists, slop, rpt_groups)
-            return pd.Series(out, dtype="float32")
+        if n_terms == 2 and not rpt_groups:
+            # r5: the 2-distinct-term workhorse evaluates the WHOLE Arrow
+            # batch through one vectorized leader-chain kernel instead of a
+            # per-doc Python leapfrog (bit-equal, fuzz-asserted)
+            @F.pandas_udf(T.FloatType())
+            def sloppy_freq(*cols: pd.Series) -> pd.Series:
+                return pd.Series(
+                    batch_sloppy_pair_freqs(cols[0], cols[1], slop),
+                    dtype="float32",
+                )
+        else:
+
+            @F.pandas_udf(T.FloatType())
+            def sloppy_freq(*cols: pd.Series) -> pd.Series:
+                out = np.zeros(len(cols[0]), dtype=np.float32)
+                for r in range(len(cols[0])):
+                    plists = [
+                        np.asarray(cols[i][r], dtype=np.int64)
+                        for i in range(n_terms)
+                    ]
+                    out[r] = sloppy_phrase_freq(plists, slop, rpt_groups)
+                return pd.Series(out, dtype="float32")
 
         out_cols = ["doc_id", "freq"] + (["norm_byte"] if has_norm else [])
         matched = (
