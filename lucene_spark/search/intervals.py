@@ -407,6 +407,50 @@ def phrase(*subs: IntervalSource) -> IntervalSource:
     return IBlock(tuple(subs))
 
 
+def analyzed_text(
+    analyzer, text: str, max_gaps: int = 0, ordered: bool = True
+) -> IntervalSource:
+    """``Intervals.analyzedText`` (``Intervals.java:618-647`` →
+    ``IntervalBuilder.analyzeText:69-121``, the simple-phrase path): run
+    the analyzer over ``text`` and combine the token intervals —
+
+    * zero tokens → no-match, one token → a bare term,
+    * stopword holes become ``Intervals.extend(term, precedingSpaces, 0)``
+      (``IntervalBuilder.analyzeTerms:151-170``) so the hole still
+      occupies its width inside the phrase,
+    * ``max_gaps == 0 and ordered`` → :func:`phrase` (the block source);
+      otherwise ordered/unordered, wrapped in ``maxgaps`` unless
+      ``max_gaps == -1`` (``IntervalBuilder.combineSources:131-148``).
+
+    Envelope: single-token-per-position streams (this engine's analyzers);
+    the reference's synonym (posIncr 0) and graph (posLen > 1) branches
+    raise."""
+    toks = analyzer.analyze_with_positions(text)
+    if not toks:
+        return INoMatch("analyzedText produced no tokens")
+    if len(set(p for _t, p in toks)) != len(toks):
+        raise ValueError(
+            "analyzed_text: synonym/graph token streams are out of envelope"
+        )
+    if len(toks) == 1:
+        return ITerm(toks[0][0])
+    sources = []
+    prev = -1
+    for t, p in toks:
+        spaces = p - prev - 1
+        src: IntervalSource = ITerm(t)
+        if spaces > 0:
+            src = IExtend(src, spaces, 0)
+        sources.append(src)
+        prev = p
+    if max_gaps == 0 and ordered:
+        return phrase(*sources)
+    inner = IOrdered(tuple(sources)) if ordered else IUnordered(tuple(sources))
+    if max_gaps == -1:
+        return inner
+    return IMaxGaps(max_gaps, inner)
+
+
 def at_least(min_match: int, *subs: IntervalSource) -> IntervalSource:
     """``Intervals.atLeast`` (``Intervals.java:561-577``): m == n degrades
     to ``unordered``, m > n to a no-match source."""

@@ -508,3 +508,54 @@ def test_surround_truncation_in_distance_end_to_end(idx):
     q2 = parse_surround("2W(scan, merge)")
     out2 = {r.doc_id for r in span_topk(idx, q2, k=400).collect()}
     assert out2 <= {r.doc_id for r in span_topk(idx, q, k=400).collect()} or out2
+
+
+def test_analyzed_text_factory():
+    """``Intervals.analyzedText`` (IntervalBuilder.analyzeText simple-phrase
+    path): stop holes become extend(), zero/one-token degenerate forms,
+    maxGaps/ordered combination rules, synonym-stream refusal."""
+    from lucene_spark.analysis.analyzer import (
+        ENGLISH_STOP_WORDS,
+        StandardAnalyzer,
+    )
+    from lucene_spark.search.intervals import (
+        IBlock,
+        IExtend,
+        IMaxGaps,
+        INoMatch,
+        IOrdered,
+        ITerm,
+        IUnordered,
+        analyzed_text,
+        eval_intervals,
+    )
+
+    an = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+    assert isinstance(analyzed_text(an, "the of"), INoMatch)
+    assert analyzed_text(an, "merge") == ITerm("merge")
+    q = analyzed_text(an, "merge the runs")
+    assert q == IBlock((ITerm("merge"), IExtend(ITerm("runs"), 1, 0)))
+    # the hole occupies its width: "merge X runs" matches, "merge runs" not
+    import numpy as np
+
+    pm_hole = {"merge": np.array([0], dtype=np.int64),
+               "runs": np.array([2], dtype=np.int64)}
+    s, e, _ = eval_intervals(q, pm_hole)
+    assert list(s) == [0] and list(e) == [2]
+    pm_tight = {"merge": np.array([0], dtype=np.int64),
+                "runs": np.array([1], dtype=np.int64)}
+    s, _, _ = eval_intervals(q, pm_tight)
+    assert len(s) == 0
+    assert analyzed_text(an, "scan merge", max_gaps=2) == IMaxGaps(
+        2, IOrdered((ITerm("scan"), ITerm("merge")))
+    )
+    assert analyzed_text(an, "scan merge", max_gaps=-1, ordered=False) == \
+        IUnordered((ITerm("scan"), ITerm("merge")))
+    # synonym-position streams are out of envelope
+    class FakeAn:
+        def analyze_with_positions(self, text):
+            return [("a", 0), ("b", 0)]
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="envelope"):
+        analyzed_text(FakeAn(), "x")
