@@ -878,5 +878,26 @@ def check_index(idx: IndexTables) -> dict:
             assert paymism == 0, f"{paymism} rows with payloads misaligned"
             report["payloads_aligned"] = True
 
+        # 10. offset sanity (CheckIndex's checkPostings offset checks:
+        # startOffset ≤ endOffset, non-decreasing in position order,
+        # arrays position-aligned) — a violation would corrupt highlight
+        # spans silently
+        if "start_offsets" in idx.positions.columns:
+            offbad = idx.positions.filter(
+                F.col("start_offsets").isNull()
+                | F.col("end_offsets").isNull()
+                | (F.size("start_offsets") != F.size("positions"))
+                | (F.size("end_offsets") != F.size("positions"))
+                | F.expr(
+                    "exists(zip_with(start_offsets, end_offsets,"
+                    " (s, e) -> e < s), x -> x)"
+                )
+                | F.expr(
+                    "start_offsets != array_sort(start_offsets)"
+                )
+            ).count()
+            assert offbad == 0, f"{offbad} rows with inconsistent offsets"
+            report["offsets_consistent"] = True
+
     report["n_docs"] = n_docs
     return report

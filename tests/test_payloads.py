@@ -216,3 +216,10 @@ def test_ondisk_payload_roundtrip(spark, tmp_path):
             src, d, num_segments=2, analyzer=StandardAnalyzer(),
             with_positions=True,
         )
+
+
+def test_check_index_offsets_invariant(pay_idx):
+    from lucene_spark.index.segments import check_index
+
+    report = check_index(pay_idx)
+    assert report["offsets_consistent"] is True
