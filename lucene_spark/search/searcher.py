@@ -313,6 +313,74 @@ def sloppy_phrase_freq(
     return freq if matched else np.float32(0.0)
 
 
+def batch_near_spans_freqs(cols: list, slop: int) -> np.ndarray:
+    """Vectorized-across-docs legacy ``NearSpansOrdered`` + ``SpanScorer``
+    freqs, bit-identical to :func:`near_spans_ordered_freq` per doc.
+
+    Same global-workspace chaining as the intervals kernel
+    (``intervals.batch_ordered_freqs``) but WITHOUT the minimal-interval
+    cut — the legacy enumeration keeps one match per first-term anchor —
+    and with the SpanScorer fold ``1f/(1f + width)`` over
+    ``width = Σ gaps = (last − first + 1) − k`` for term chains.  The
+    reference's one-exhausted early exit is equivalent here: a chain that
+    dies for anchor p also dies for every later anchor (sub-spans only
+    move forward), so the dead chains the vectorized form drops are
+    exactly the anchors the reference never tries.
+    """
+    k = len(cols)
+    n = len(cols[0])
+    out = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return out
+    OFF = np.int64(1) << 40
+    docs_of = []
+    glob = []
+    for c in cols:
+        lists = [np.asarray(v, dtype=np.int64) for v in c]
+        cnt = np.array([len(v) for v in lists], dtype=np.int64)
+        if not cnt.sum():
+            return out
+        d = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        docs_of.append(d)
+        glob.append(np.concatenate(lists) + d * OFF)
+    S = glob[0]
+    E = glob[0].copy()
+    docs = docs_of[0]
+    valid = np.ones(len(S), dtype=bool)
+    for t in range(1, k):
+        pt, dt = glob[t], docs_of[t]
+        j = np.searchsorted(pt, E, side="right")
+        valid &= j < len(pt)
+        jj = np.minimum(j, len(pt) - 1)
+        valid &= dt[jj] == docs
+        E = pt[jj]
+    S, E, docs = S[valid], E[valid], docs[valid]
+    if len(E) == 0:
+        return out
+    widths = (E - S + 1) - k  # Σ gaps for single-term sub-spans
+    m = widths <= slop
+    widths, docs = widths[m], docs[m]
+    if len(widths) == 0:
+        return out
+    # emission (anchor) order within each doc == array order; fold
+    # rank-by-rank with the engine's f32 convention
+    one = np.float32(1.0)
+    terms = one / (one + widths.astype(np.float32))
+    counts = np.bincount(docs, minlength=n)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(terms), dtype=np.int64) - starts[docs]
+    order = np.argsort(rank, kind="stable")
+    terms_o, docs_o, rank_o = terms[order], docs[order], rank[order]
+    bounds = np.searchsorted(rank_o, np.arange(int(rank_o[-1]) + 2))
+    for r in range(len(bounds) - 1):
+        lo, hi = bounds[r], bounds[r + 1]
+        if lo == hi:
+            continue
+        d = docs_o[lo:hi]
+        out[d] = (out[d] + terms_o[lo:hi]).astype(np.float32)
+    return out
+
+
 def batch_sloppy_pair_freqs(a_col, b_col, slop: int) -> np.ndarray:
     """Vectorized-across-docs 2-term sloppy-phrase freqs, bit-identical to
     :func:`sloppy_phrase_freq` on two distinct-term streams.
@@ -806,23 +874,20 @@ class IndexSearcher:
             p = pos.filter(F.col("term") == t).select(*sel)
             joined = p if joined is None else joined.join(p, "doc_id")
 
-        n_terms = len(terms)
         slop_i = int(slop)
 
         @F.pandas_udf(T.FloatType())
         def span_freq(*cols: pd.Series) -> pd.Series:
-            out = np.zeros(len(cols[0]), dtype=np.float32)
-            for r in range(len(cols[0])):
-                plists = [
-                    np.asarray(cols[i][r], dtype=np.int64) for i in range(n_terms)
-                ]
-                out[r] = near_spans_ordered_freq(plists, slop_i)
-            return pd.Series(out, dtype="float32")
+            # whole Arrow batch through one across-docs chain kernel
+            # (bit-equal to the per-doc enumeration, fuzz-asserted)
+            return pd.Series(
+                batch_near_spans_freqs(list(cols), slop_i), dtype="float32"
+            )
 
         out_cols = ["doc_id", "freq"] + (["norm_byte"] if has_norm else [])
         matched = (
             joined.withColumn(
-                "freq", span_freq(*[F.col(f"_s{i}") for i in range(n_terms)])
+                "freq", span_freq(*[F.col(f"_s{i}") for i in range(len(terms))])
             )
             .filter(F.col("freq") > 0)
             .select(*out_cols)

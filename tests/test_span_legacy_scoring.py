@@ -126,3 +126,29 @@ def test_searcher_legacy_topk(idx_pair):
 def test_searcher_legacy_empty_cases(idx_pair):
     assert idx_pair.span_near_topk_legacy([], 2).count() == 0
     assert idx_pair.span_near_topk_legacy(["scan", "zzzz"], 2).count() == 0
+
+
+def test_batch_kernel_bit_equal_fuzz():
+    """``batch_near_spans_freqs`` (the across-docs form wired into
+    ``span_near_topk_legacy``) is bit-identical to the per-doc
+    enumeration for any term count, positions, and slop."""
+    from lucene_spark.search.searcher import batch_near_spans_freqs
+
+    rng = np.random.default_rng(31)
+    for _trial in range(500):
+        k = int(rng.integers(2, 5))
+        ndocs = int(rng.integers(1, 8))
+        slop = int(rng.integers(0, 7))
+        cols = [[] for _ in range(k)]
+        want = []
+        for _ in range(ndocs):
+            plists = []
+            for t in range(k):
+                kk = int(rng.integers(1, 9))
+                plists.append(
+                    np.sort(rng.choice(35, size=kk, replace=False)).astype(np.int64)
+                )
+                cols[t].append(plists[-1])
+            want.append(near_spans_ordered_freq(plists, slop))
+        got = batch_near_spans_freqs(cols, slop)
+        assert np.array_equal(got, np.array(want, dtype=np.float32))
