@@ -883,11 +883,16 @@ def check_index(idx: IndexTables) -> dict:
         # arrays position-aligned) — a violation would corrupt highlight
         # spans silently
         if "start_offsets" in idx.positions.columns:
+            # element-level NULLs would make the comparisons below evaluate
+            # to SQL NULL (and the filter silently DROP the corrupt row),
+            # so null elements are a violation in their own right
             offbad = idx.positions.filter(
                 F.col("start_offsets").isNull()
                 | F.col("end_offsets").isNull()
                 | (F.size("start_offsets") != F.size("positions"))
                 | (F.size("end_offsets") != F.size("positions"))
+                | F.expr("exists(start_offsets, x -> x IS NULL)")
+                | F.expr("exists(end_offsets, x -> x IS NULL)")
                 | F.expr(
                     "exists(zip_with(start_offsets, end_offsets,"
                     " (s, e) -> e < s), x -> x)"

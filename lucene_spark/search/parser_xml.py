@@ -22,9 +22,11 @@ Catalyst/parquet stats — the element raises with that guidance):
   (start/end),
 * ``BoostingTermQuery`` (``BoostingTermBuilder.java:33-42``) →
   :class:`~lucene_spark.search.payloads.PayloadScoreQuery` with the
-  average function — the payload-scored term, exactly the reference's
-  ``PayloadScoreQuery(SpanTermQuery, AveragePayloadFunction,
-  FLOAT_DECODER)``.
+  average function AND ``include_span_score=True`` — the reference's
+  3-arg ``PayloadScoreQuery(SpanTermQuery, AveragePayloadFunction,
+  FLOAT_DECODER)`` ctor includes the underlying span score
+  (``PayloadScoreQuery.java:80-83``), so the doc score is
+  BM25(term) × avg(payload).
 
 ``fieldName`` attributes inherit from enclosing elements
 (``DOMUtils.getAttributeWithInheritance``); ``boost`` wraps the built
@@ -88,8 +90,19 @@ def _field(e: ET.Element, inherited: str | None) -> str:
     return f
 
 
+def _num(e: ET.Element, attr: str, default: str, conv=int):
+    """Numeric attribute with the module's ParseError contract."""
+    raw = e.get(attr, default)
+    try:
+        return conv(raw)
+    except ValueError as ex:
+        raise ParseError(
+            f'<{e.tag}> attribute {attr}={raw!r} is not a number'
+        ) from ex
+
+
 def _boost(e: ET.Element, q):
-    b = float(e.get("boost", "1"))
+    b = _num(e, "boost", "1", float)
     if b == 1.0:
         return q
     return SpanBoostQuery(q, b) if isinstance(q, SpanQuery) else BoostQuery(q, b)
@@ -97,6 +110,13 @@ def _boost(e: ET.Element, q):
 
 def _children(e: ET.Element):
     return list(e)
+
+
+def _children_or_fail(e: ET.Element):
+    kids = list(e)
+    if not kids:
+        raise ParseError(f"<{e.tag}> needs at least one child query element")
+    return kids
 
 
 class _XmlParser:
@@ -117,7 +137,7 @@ class _XmlParser:
                 return MatchNoDocsQuery()
             bq = BooleanQuery(
                 tuple(BooleanClause(Occur.SHOULD, TermQuery(t, f)) for t in terms),
-                minimum_should_match=int(e.get("minimumNumberShouldMatch", "0")),
+                minimum_should_match=_num(e, "minimumNumberShouldMatch", "0"),
             )
             return _boost(e, bq)
         if tag == "MatchAllDocsQuery":
@@ -140,7 +160,7 @@ class _XmlParser:
                 )
             bq = BooleanQuery(
                 tuple(clauses),
-                minimum_should_match=int(e.get("minimumNumberShouldMatch", "0")),
+                minimum_should_match=_num(e, "minimumNumberShouldMatch", "0"),
             )
             return _boost(e, bq)
         if tag == "RangeQuery":
@@ -157,10 +177,10 @@ class _XmlParser:
             )
         if tag == "DisjunctionMaxQuery":
             subs = tuple(
-                self.query(c, _field_opt(e, field)) for c in _children(e)
+                self.query(c, _field_opt(e, field)) for c in _children_or_fail(e)
             )
             return _boost(
-                e, DisjunctionMaxQuery(subs, float(e.get("tieBreaker", "0")))
+                e, DisjunctionMaxQuery(subs, _num(e, "tieBreaker", "0", float))
             )
         if tag == "ConstantScoreQuery":
             kids = _children(e)
@@ -171,18 +191,26 @@ class _XmlParser:
         if tag == "UserQuery":
             from lucene_spark.search.parser import parse
 
-            return _boost(
-                e, parse(_text_or_fail(e), self.analyzer, self.default_field)
-            )
+            # the element's OWN fieldName (not inherited) becomes the
+            # classic parse's default field, falling back to the parser
+            # default (``UserInputQueryBuilder.java:69-72``)
+            f = e.get("fieldName") or self.default_field
+            return _boost(e, parse(_text_or_fail(e), self.analyzer, f))
         if tag == "PointRangeQuery":
             raise ParseError(
                 "PointRangeQuery is delegated to Catalyst numeric predicates"
                 " in this engine (filter the source DataFrame instead)"
             )
         if tag == "BoostingTermQuery":
+            # the reference's 3-arg PayloadScoreQuery ctor sets
+            # includeSpanScore=TRUE (``PayloadScoreQuery.java:80-83``):
+            # span BM25 score × average payload
             f = _field(e, field)
             return _boost(
-                e, PayloadScoreQuery(_text_or_fail(e), "avg", field=f)
+                e,
+                PayloadScoreQuery(
+                    _text_or_fail(e), "avg", field=f, include_span_score=True
+                ),
             )
         # span elements are valid at query position too (CoreParser
         # registers every span builder in BOTH factories)
@@ -212,18 +240,17 @@ class _XmlParser:
         if tag == "SpanOr":
             return _boost(
                 e,
-                SpanOrQuery(tuple(self.span(c, field) for c in _children(e))),
+                SpanOrQuery(tuple(self.span(c, field) for c in _children_or_fail(e))),
             )
         if tag == "SpanNear":
-            slop = e.get("slop")
-            if slop is None:
+            if e.get("slop") is None:
                 raise ParseError("<SpanNear> requires a slop attribute")
             in_order = e.get("inOrder", "false").lower() == "true"
             return _boost(
                 e,
                 SpanNearQuery(
-                    tuple(self.span(c, field) for c in _children(e)),
-                    int(slop),
+                    tuple(self.span(c, field) for c in _children_or_fail(e)),
+                    _num(e, "slop", "0"),
                     in_order,
                 ),
             )
@@ -232,7 +259,7 @@ class _XmlParser:
             if not kids:
                 raise ParseError("<SpanFirst> needs a child span")
             return _boost(
-                e, SpanFirstQuery(self.span(kids[0], field), int(e.get("end", "0")))
+                e, SpanFirstQuery(self.span(kids[0], field), _num(e, "end", "1"))
             )
         if tag == "SpanPositionRange":
             kids = _children(e)
@@ -242,8 +269,8 @@ class _XmlParser:
                 e,
                 SpanPositionRangeQuery(
                     self.span(kids[0], field),
-                    int(e.get("start", "0")),
-                    int(e.get("end", "0")),
+                    _num(e, "start", "1"),
+                    _num(e, "end", "1"),
                 ),
             )
         if tag == "SpanNot":

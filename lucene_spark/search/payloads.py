@@ -49,15 +49,19 @@ PAYLOAD_FUNCTIONS = ("min", "max", "avg", "sum")
 
 @dataclass(frozen=True)
 class PayloadScoreQuery:
-    """The query-tree form (``PayloadScoreQuery.java:47``,
-    ``includeSpanScore=false``): usable as a clause inside a
-    ``BooleanQuery`` (``IndexSearcher._score`` dispatches it through
-    :func:`payload_scores`) — e.g. the XML parser's ``BoostingTermQuery``
-    element builds exactly this with the ``avg`` function."""
+    """The query-tree form (``PayloadScoreQuery.java:47-83``): usable as a
+    clause inside a ``BooleanQuery`` (``IndexSearcher._score`` dispatches
+    it).  With ``include_span_score`` (the 3-arg reference ctor's default)
+    the doc score is the wrapped term's BM25 span score MULTIPLIED by the
+    payload aggregate (``scoreCurrentDoc: getSpanScore() *
+    getPayloadScore()``, float32 product); without it the payload
+    aggregate alone is the score.  The XML parser's ``BoostingTermQuery``
+    element builds the include-span-score form with ``avg``."""
 
     term: str
     function: str = "avg"
     field: str = "text"
+    include_span_score: bool = False
 
     def rewrite(self):
         """Identity — satisfies the ``Query.rewrite`` fixpoint contract so

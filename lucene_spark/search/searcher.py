@@ -1264,8 +1264,26 @@ class IndexSearcher:
         from lucene_spark.search.payloads import PayloadScoreQuery, payload_scores
 
         if isinstance(q, PayloadScoreQuery):
-            return payload_scores(
-                self.index, q.term, q.function, field=q.field, boost=boost
+            if not q.include_span_score:
+                return payload_scores(
+                    self.index, q.term, q.function, field=q.field, boost=boost
+                )
+            # includeSpanScore (PayloadScoreQuery.java:128-131): span BM25
+            # score × payload aggregate, float32 product.  For a term span
+            # the SpanScorer sloppy freq is exactly float(tf), so the span
+            # score equals the regular term score; boost rides the span
+            # weight (the payload factor is unboosted)
+            if (q.field, q.term) not in stats:
+                stats = self._termstats({(q.field, q.term)})
+            if (q.field, q.term) not in stats:
+                return self._empty_scored()
+            span = self._score_term(q.field, q.term, stats, boost)
+            pay = payload_scores(
+                self.index, q.term, q.function, field=q.field
+            ).withColumnRenamed("score", "_pscore")
+            return span.join(pay, "doc_id").select(
+                "doc_id",
+                (F.col("score") * F.col("_pscore")).cast("float").alias("score"),
             )
         from lucene_spark.search.spans import SpanQuery, to_interval_source
 

@@ -117,8 +117,37 @@ def test_span_elements():
 
 
 def test_boosting_term_is_payload_score():
+    # the reference's 3-arg ctor includes the span score
     q = parse_xml('<BoostingTermQuery fieldName="text">merge</BoostingTermQuery>', AN)
-    assert q == PayloadScoreQuery("merge", "avg", "text")
+    assert q == PayloadScoreQuery("merge", "avg", "text", include_span_score=True)
+
+
+def test_defaults_and_malformed_inputs():
+    # SpanFirst/SpanPositionRange default end/start to 1 (DOMUtils default)
+    q = parse_xml('<SpanFirst><SpanTerm fieldName="text">x</SpanTerm></SpanFirst>', AN)
+    assert q == SpanFirstQuery(SpanTermQuery("x"), 1)
+    q2 = parse_xml(
+        '<SpanPositionRange><SpanTerm fieldName="text">x</SpanTerm>'
+        "</SpanPositionRange>",
+        AN,
+    )
+    assert q2 == SpanPositionRangeQuery(SpanTermQuery("x"), 1, 1)
+    # empty composites and malformed numerics fail at PARSE time
+    with pytest.raises(ParseError, match="at least one child"):
+        parse_xml('<SpanNear slop="1" fieldName="text"/>', AN)
+    with pytest.raises(ParseError, match="at least one child"):
+        parse_xml('<DisjunctionMaxQuery fieldName="text"/>', AN)
+    with pytest.raises(ParseError, match="not a number"):
+        parse_xml('<TermQuery fieldName="text" boost="two">x</TermQuery>', AN)
+    with pytest.raises(ParseError, match="not a number"):
+        parse_xml(
+            '<SpanNear slop="wide" fieldName="text">'
+            "<SpanTerm>a</SpanTerm></SpanNear>",
+            AN,
+        )
+    # UserQuery's OWN fieldName becomes the classic parse default field
+    uq = parse_xml('<UserQuery fieldName="title">big</UserQuery>', AN)
+    assert uq == TermQuery("big", "title")
 
 
 def test_composites_and_errors():
@@ -189,7 +218,21 @@ def test_xml_execution(spark):
     bm25 = {r["doc_id"]: r["score"] for r in s.search("big", k=10).collect()}
     sat = float(np.float32(1.0) - np.float32(1.0) / np.float32(1.5))
     assert got[0]["score"] == pytest.approx(bm25[0] + sat, abs=1e-6)
-    # BoostingTermQuery executes through the payload machinery
+    # BoostingTermQuery: BM25 span score x avg payload (includeSpanScore)
     bq = parse_xml('<BoostingTermQuery fieldName="text">merge</BoostingTermQuery>', an)
     scores = {r["doc_id"]: r["score"] for r in s.search(bq, k=10).collect()}
-    assert scores == {0: 15.0, 1: 10.0}  # avg start offsets of 'merge'
+    bm25m = {r["doc_id"]: r["score"] for r in s.search("merge", k=10).collect()}
+    pay_avg = {0: np.float32(15.0), 1: np.float32(10.0)}
+    want = {
+        d: float(np.float32(np.float32(bm25m[d]) * pay_avg[d]))
+        for d in pay_avg
+    }
+    assert scores == pytest.approx(want, abs=1e-7)
+    # the standalone scores form stays payload-only
+    from lucene_spark.search.payloads import payload_scores
+
+    only = {
+        r["doc_id"]: r["score"]
+        for r in payload_scores(s.index, "merge", "avg").collect()
+    }
+    assert only == {0: 15.0, 1: 10.0}
