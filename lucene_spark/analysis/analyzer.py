@@ -13,7 +13,8 @@ implements the ALPHANUM/NUM subset of UAX#29 — letter runs joined by
 MidLetter/MidNumLet (``'``, ``’``, ``.``, ``·``), digit runs joined by
 MidNum/MidNumLet (``,``, ``.``, ``;``, ``'``), ExtendNumLet (``_``) folding —
 plus the CJK (ideographic/hiragana/katakana/hangul) and EMOJI classes
-(ZWJ sequences, modifiers, flag pairs) added in round 2, and (round 4) the
+(ZWJ sequences, modifiers, flag pairs; round 5 adds keycap sequences and
+subdivision-flag tag sequences), and (round 4) the
 SOUTHEAST_ASIAN class — Thai/Lao/Myanmar/Khmer runs are one token like
 ``StandardTokenizerImpl.jflex``, or dictionary-segmented when a
 ``sea_segmenter`` is configured (:func:`make_dictionary_segmenter`, the

@@ -70,7 +70,9 @@ class IndexTables:
     termstats: DataFrame  # field, term, doc_freq, total_term_freq
     fieldstats: DataFrame  # field, doc_count, sum_total_term_freq, sum_doc_freq
     blocks: DataFrame | None = None  # FOR/VByte 128-doc blocks + impacts
-    positions: DataFrame | None = None  # field, term, doc_id, segment, positions
+    # field, term, doc_id, segment, positions, norm_byte
+    # [, start_offsets, end_offsets] [, payloads] — FIXTURES.md §5
+    positions: DataFrame | None = None
     inverted: DataFrame | None = None  # internal: cached analysis output
     deletes: DataFrame | None = None  # doc_id — buffered deletes (live-docs filter)
     term_buckets: int | None = None  # on-disk layout: blocks bucketed by hash(term)%B
