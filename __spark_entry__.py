@@ -1471,12 +1471,25 @@ def _q_dedup_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(score_col).cast("double").alias("score"),
         )
 
+    # r5: duplicated-SUBSTRING spans (Lee et al. 2022-style substring-level
+    # dedup) ride the suite's pair frame packed as
+    # (doc_a=doc_id, doc_b=span_start, score=span_end)
+    from lucene_spark.extras.dedup import duplicated_substring_spans
+
+    spans = duplicated_substring_spans(
+        _docs(spark, sf_dir), window=4, min_count=2, hashed=True
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_a"),
+        F.col("span_start").cast("long").alias("doc_b"),
+        F.col("span_end").cast("double").alias("score"),
+    )
     return _union_suite(
         [
             ("jaccard", pairs(_q_dedup_jaccard(spark, sf_dir), "jaccard")),
             ("minhash", pairs(_q_dedup_minhash(spark, sf_dir), "jaccard")),
             ("minhash_incr", pairs(_q_dedup_minhash_incr(spark, sf_dir), "jaccard")),
             ("simhash", pairs(_q_dedup_simhash(spark, sf_dir), "hamming")),
+            ("substring", spans),
         ]
     )
 
@@ -1893,6 +1906,10 @@ def oracle_sql() -> dict[str, str]:
             + ") UNION ALL SELECT 'simhash' AS qkind, CAST(doc_a AS BIGINT),"
             " CAST(doc_b AS BIGINT), CAST(hamming AS DOUBLE) FROM ("
             + xor.simhash_pairs_sql(3)
+            + ") UNION ALL SELECT 'substring' AS qkind,"
+            " CAST(doc_id AS BIGINT), CAST(span_start AS BIGINT),"
+            " CAST(span_end AS DOUBLE) FROM ("
+            + xor.duplicated_substring_spans_sql(4, 2)
             + ")"
         ),
         "dedup_embedding_cos": xor.embedding_near_dup_sql(0.4),

@@ -454,3 +454,77 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+# ------------------------------------------------- duplicated substrings
+
+
+def duplicated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 5,
+    min_count: int = 2,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection with per-doc span merging —
+    substring-level dedup in the spirit of Lee et al., *Deduplicating
+    Training Data Makes Language Models Better* (ACL 2022): repeated
+    passages (boilerplate, licenses, quoted blocks) that document-level
+    MinHash/SimHash cannot see.  The paper's suffix-array pass is
+    re-expressed as a fixed-window shingle join — every length-``window``
+    word window that occurs ≥ ``min_count`` times ANYWHERE in the corpus
+    marks its positions, and overlapping/adjacent marked windows merge
+    into maximal spans per document.
+
+    Returns ``(doc_id, span_start, span_end)`` — inclusive 0-based word
+    indices of each maximal duplicated span, ordered.
+
+    Plan shape (100 TB lens): one explode to ~token-count window rows, one
+    groupBy on the window key with a map-side-combined count, one join of
+    the windows back to the duplicated keys, and a per-doc window function
+    for the island merge — no corpus² anywhere.  ``hashed=True`` (the
+    scale path) keys windows by ``xxhash64`` of the window string (8-byte
+    shuffle keys); ``hashed=False`` keys by the string itself — exact, and
+    what the DuckDB oracle reproduces (hashed-vs-exact identity is
+    test-asserted in the collision-free regime; at 10¹² windows a 64-bit
+    hash expects ~10⁻⁴ colliding pairs — acceptable for a dedup TRIM
+    signal, use the string path to verify samples).
+    """
+    words = words_col(F.col(text_col))
+    win = F.when(
+        F.size(words) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (window - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = df.select(
+        "doc_id", F.posexplode(win).alias("start", "key")
+    )  # start is 0-based (posexplode)
+    if hashed:
+        rows = rows.select("doc_id", "start", F.xxhash64("key").alias("key"))
+    dup_keys = (
+        rows.groupBy("key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("key")
+    )
+    marked = rows.join(dup_keys, "key").select("doc_id", "start")
+    from pyspark.sql import Window as W
+
+    w_doc = W.partitionBy("doc_id").orderBy("start")
+    isl = marked.withColumn(
+        "brk",
+        F.when(
+            F.col("start") - F.lag("start").over(w_doc) <= window, F.lit(0)
+        ).otherwise(F.lit(1)),  # first row: lag NULL -> new island
+    ).withColumn("gid", F.sum("brk").over(w_doc))
+    return (
+        isl.groupBy("doc_id", "gid")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + F.lit(window - 1)).alias("span_end"),
+        )
+        .select("doc_id", "span_start", "span_end")
+        .orderBy("doc_id", "span_start")
+    )

@@ -435,3 +435,41 @@ SELECT doc_id,
        'fake/utf8' AS format
 FROM documents ORDER BY doc_id
 """
+
+
+def duplicated_substring_spans_sql(window: int = 5, min_count: int = 2) -> str:
+    """Oracle twin of ``dedup.duplicated_substring_spans`` (exact string
+    keys): fixed-window word shingles with corpus-wide occurrence counts,
+    duplicated windows merged into maximal per-doc spans via the classic
+    gaps-and-islands window recipe (new island when the next start is more
+    than ``window`` past the previous)."""
+    return f"""
+WITH words AS (
+    SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+    FROM documents
+),
+win AS (
+    SELECT doc_id, i - 1 AS s,
+           array_to_string(ws[i : i + {window} - 1], ' ') AS key
+    FROM words, unnest(generate_series(1, len(ws) - {window} + 1)) AS t(i)
+    WHERE len(ws) >= {window}
+),
+dup AS (SELECT key FROM win GROUP BY key HAVING count(*) >= {min_count}),
+d AS (SELECT doc_id, s FROM win JOIN dup USING (key)),
+isl AS (
+    SELECT doc_id, s,
+           CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s)
+                     <= {window} THEN 0 ELSE 1 END AS brk
+    FROM d
+),
+g AS (
+    SELECT doc_id, s,
+           sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS gid
+    FROM isl
+)
+SELECT doc_id,
+       CAST(min(s) AS BIGINT) AS span_start,
+       CAST(max(s) + {window} - 1 AS BIGINT) AS span_end
+FROM g GROUP BY doc_id, gid
+ORDER BY doc_id, span_start
+"""

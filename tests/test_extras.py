@@ -504,3 +504,40 @@ def test_knn_ivf_recall(spark):
     ]
     assert exact == want
     asg.unpersist()
+
+
+def test_duplicated_substring_spans(spark):
+    """Substring-level dedup (Lee et al. 2022 style): duplicated fixed-
+    window word shingles merged into maximal per-doc spans; the hashed
+    scale path is span-identical to the exact string keys."""
+    from lucene_spark.extras.dedup import duplicated_substring_spans
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f a b c d"),   # window at 0 and 6 (no merge: gap 6 > 4)
+            (1, "x a b c d y"),            # the same window mid-doc
+            (2, "zz yy xx ww vv uu"),      # unique content: no spans
+            (3, "p q"),                    # shorter than the window: no rows
+        ],
+        "doc_id long, text string",
+    )
+    want = [(0, 0, 3), (0, 6, 9), (1, 1, 4)]
+    for hashed in (False, True):
+        got = [
+            tuple(r)
+            for r in duplicated_substring_spans(
+                df, window=4, min_count=2, hashed=hashed
+            ).collect()
+        ]
+        assert got == want, (hashed, got)
+    # overlapping duplicated windows merge into ONE maximal span:
+    # "a b c d e" shared by two docs -> windows at 0 and 1 merge to [0, 4]
+    df2 = spark.createDataFrame(
+        [(0, "a b c d e zz"), (1, "yy a b c d e")],
+        "doc_id long, text string",
+    )
+    got2 = [
+        tuple(r)
+        for r in duplicated_substring_spans(df2, window=4).collect()
+    ]
+    assert got2 == [(0, 0, 4), (1, 1, 5)]
