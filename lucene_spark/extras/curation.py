@@ -121,8 +121,18 @@ def curate(
     allowed_langs: tuple = ("en",),
     min_quality: float = 0.0,
     near_policy: str = "keep_first",
+    max_substring_dup_ratio: float | None = None,
+    substring_window: int = 10,
 ) -> DataFrame:
-    """(doc_id, keep boolean, reason string) per input document."""
+    """(doc_id, keep boolean, reason string) per input document.
+
+    ``max_substring_dup_ratio`` (opt-in, round 5) adds a SUBSTRING-level
+    rule between ``near_dup`` and ``length``: a doc drops with reason
+    ``substring_dup`` when the fraction of its words covered by
+    corpus-duplicated spans (:func:`~lucene_spark.extras.dedup.
+    duplicated_substring_spans`, window = ``substring_window``) exceeds
+    the ratio — the boilerplate/templated-page signal document-level
+    near-dup misses (the page differs, the passages repeat)."""
     if near_policy not in ("keep_first", "components"):
         raise ValueError(f"unknown near_policy {near_policy!r}")
     d = docs.select("doc_id", F.col(text_col).alias("text"))
@@ -158,9 +168,32 @@ def curate(
         .join(lang, "doc_id")
         .fillna({"_near_dup": False})
     )
+    if max_substring_dup_ratio is not None:
+        from lucene_spark.extras.dedup import duplicated_substring_spans
+
+        # spans never overlap after the island merge, so covered words =
+        # Σ span lengths — one tiny per-doc aggregation joined back
+        cov = (
+            duplicated_substring_spans(d, window=substring_window)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+                    "_dup_words"
+                )
+            )
+        )
+        joined = joined.join(cov, "doc_id", "left").withColumn(
+            "_sub_dup",
+            F.coalesce(F.col("_dup_words"), F.lit(0))
+            / F.greatest(F.col("n_words"), F.lit(1))
+            > max_substring_dup_ratio,
+        )
+    else:
+        joined = joined.withColumn("_sub_dup", F.lit(False))
     reason = (
         F.when(F.col("_exact_dup"), F.lit("exact_dup"))
         .when(F.col("_near_dup"), F.lit("near_dup"))
+        .when(F.col("_sub_dup"), F.lit("substring_dup"))
         .when(
             (F.col("n_words") < min_words) | (F.col("n_words") > max_words),
             F.lit("length"),

@@ -541,3 +541,36 @@ def test_duplicated_substring_spans(spark):
         for r in duplicated_substring_spans(df2, window=4).collect()
     ]
     assert got2 == [(0, 0, 4), (1, 1, 5)]
+
+
+def test_curate_substring_dup_rule(spark):
+    """Opt-in substring_dup rule: a doc mostly covered by corpus-duplicated
+    spans drops even when document-level near-dup would keep it."""
+    from lucene_spark.extras.curation import curate
+
+    boiler = "this page is licensed under the creative commons share alike"
+    rows = [
+        (0, boiler + " about cats"),
+        (1, boiler + " about dogs"),
+        (2, "this is an original essay about the design of the engines and the indexes that they use"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in curate(
+            df,
+            near_threshold=0.95,
+            max_substring_dup_ratio=0.5,
+            substring_window=5,
+        ).collect()
+    }
+    # the 10-word boilerplate covers 10/12 words of docs 0 and 1
+    assert out[0] == (False, "substring_dup")
+    assert out[1] == (False, "substring_dup")
+    assert out[2] == (True, "kept")
+    # without the opt-in the docs survive (near-dup at 0.95 doesn't fire)
+    out2 = {
+        r["doc_id"]: r["reason"]
+        for r in curate(df, near_threshold=0.95).collect()
+    }
+    assert out2 == {0: "kept", 1: "kept", 2: "kept"}
