@@ -39,6 +39,15 @@ from typing import Iterable
 
 import pandas as pd
 
+from lucene_spark.analysis.unicode_wb import (
+    WB_AH_ASTRAL_CLASS,
+    WB_AH_BMP_CLASS,
+    WB_EXT_ASTRAL_CLASS,
+    WB_EXT_BMP_CLASS,
+    WB_EXT_SANS_PRESSEL_CLASS,
+    WB_EXT_SANS_PRESSEL_ZWJ_CLASS,
+)
+
 __all__ = [
     "ENGLISH_STOP_WORDS",
     "StandardAnalyzer",
@@ -53,95 +62,225 @@ ENGLISH_STOP_WORDS = frozenset(
     that the their then there these they this to was will with""".split()
 )
 
-# UAX#29 word-break subset.  Script classes mirror StandardTokenizer's token
-# types (StandardTokenizer.java:43-64, StandardTokenizerImpl.jflex):
-#   ALPHANUM   letter/digit runs with MidLetter/MidNum/MidNumLet joins,
-#   KATAKANA   katakana runs (WB13 Katakana × Katakana),
-#   HANGUL     hangul-syllable runs,
-#   HIRAGANA   ONE hiragana codepoint per token,
-#   IDEOGRAPHIC ONE CJK ideograph per token.
-# The CJK classes are excluded from \w so an ideograph run splits into
-# per-character tokens exactly as the JFlex grammar does.
+# UAX#29 word-break transcription of the reference grammar
+# (StandardTokenizerImpl.jflex:83-100,205-286).  Script classes mirror
+# StandardTokenizer's token types (StandardTokenizer.java:43-64):
+#   ALPHANUM   letter/digit runs with MidLetter/MidNum/MidNumLet joins
+#              (hangul is WB:ALetter, so hangul runs - and mixed
+#              hangul+latin runs - ride this class, like the jflex
+#              word rule whose {HangulEx}+ twin exists for typing only),
+#   KATAKANA   katakana runs (WB13), joinable to other segments via
+#              ExtendNumLet (WB13a/b),
+#   HIRAGANA   ONE hiragana codepoint per token (WB:Other),
+#   IDEOGRAPHIC ONE CJK ideograph per token (WB999).
+# Every base character absorbs [\p{WB:Format}\p{WB:Extend}\p{WB:ZWJ}]*
+# per UAX#29 WB4 (jflex {ExtFmtZwj}, :83-85) - combining marks, format
+# controls, ZWJ, and variation selectors stay INSIDE the token text, so
+# "moͤchte" is one token (TestStandardAnalyzer.testLUCENE1545) and
+# "3︎" is the NUM "3︎" (testEmojiVariationSequence).
 _HIRA = "ぁ-ゖゝ-ゟ"
 _KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ"
-_HANGUL = "ᄀ-ᇿ㄰-㆏ꥠ-꥿가-힣ힰ-퟿"
 _IDEO = (
     "々〇〡-〩〸-〻㐀-䶿一-鿿"
     "豈-﫿\U00020000-\U0002fa1f"
 )
-_CJK = _HIRA + _KATA + _HANGUL + _IDEO
-# SOUTHEAST_ASIAN class (StandardTokenizerImpl.jflex): scripts with no
-# inter-word spaces — a contiguous run is ONE token unless a dictionary
+# SOUTHEAST_ASIAN class (LB:Complex_Context, jflex :255-274): scripts with
+# no inter-word spaces - a contiguous run is ONE token unless a dictionary
 # segmenter is configured.  Core letter+mark ranges of Thai / Lao /
-# Myanmar / Khmer (digits stay in the NUM class); including the combining
-# vowel/tone marks here also keeps a run whole, which plain ``\w`` would
-# split (marks are not alphanumeric).
+# Myanmar / Khmer (digits stay in the NUM class).
 _SEA = (
     "ก-๎"  # Thai
     "ກ-ໍ"  # Lao
     "က-ဿၐ-႟"  # Myanmar
     "ក-៓"  # Khmer
 )
-# EMOJI keycap sequence ``[0-9#*] (FE0F) 20E3``.  A word run must give its
-# FINAL digit back when a keycap mark follows ("12️⃣" is the number "1"
-# then the keycap emoji "2️⃣", not the number "12") — enforced by a
-# one-per-token trailing guard on the ALPHANUM/NUM alternative.  The guard
-# measurably taxes the hot path (~5% on digit-heavy text; a per-CHAR
-# lookahead in the word class cost ~20%), so TWO compiled patterns exist
-# and the tokenizer picks per text: the guarded one only when the text
-# contains U+20E3 at all (one C-level ``in`` scan), the plain one —
-# byte-identical behavior on keycap-free text — otherwise.
-_KEYCAP = "[0-9#*]️?⃣"
-# last char digit ⇒ no keycap mark may follow; the not-a-keycap-mark branch
-# first (true for essentially every token, one fast class test)
-_KEYCAP_GUARD = r"(?:(?!️?⃣)|(?<!\d))"
-_W = rf"(?:(?![{_CJK}{_SEA}])\w)"  # \w minus the CJK/SEA script classes
-# EMOJI token class (StandardTokenizer.java:43-64 EMOJI type): an emoji
-# base + optional skin-tone modifier / VS16, extended by ZWJ joins and
-# (r5) Unicode tag characters (subdivision-flag tag sequences, e.g. the
-# England flag 1F3F4 + E0067..E007F) into one token; regional-indicator
-# PAIRS (flags) are one token; (r5) keycap sequences ``[0-9#*] (FE0F)
-# 20E3`` are one EMOJI token (``TestStandardAnalyzer.testEmojiVariation
-# Sequence``), tried before the NUM class so "3️⃣" does not split as a
-# number.  (Envelope: the common pictographic blocks stand in for the
-# Extended_Pictographic property; text-presentation selectors FE0E after
-# a base are left untokenized — "⭕︎" still yields the EMOJI "⭕" — but
-# WB:Extend absorption into ALPHANUM/NUM tokens ("3︎" keeping its FE0E)
-# is out of scope.)
-_EMOJI_BASE = "[\U0001f000-\U0001faff☀-➿⬀-⯿①-⓿]"
-_EMOJI_MOD = "[\U0001f3fb-\U0001f3ff️]"
-_EMOJI_TAGS = "[\U000e0020-\U000e007f]*"
-_EMOJI_SEQ = (
-    rf"{_EMOJI_BASE}{_EMOJI_MOD}*{_EMOJI_TAGS}"
-    rf"(?:‍{_EMOJI_BASE}{_EMOJI_MOD}*{_EMOJI_TAGS})*"
+# WB4 absorption classes (see tools/gen_unicode_wb.py): full, minus the
+# FE0E/FE0F presentation selectors (emoji positions, jflex
+# ExtFmtZwjSansPresSel :51-56), and additionally minus ZWJ (within an
+# emoji element, so the sequence chain can see its joiner).
+# BMP/astral split (generated): a class containing astral ranges costs a
+# linear range-tail scan on every NON-member test in CPython's sre; the
+# split form is an O(1) BIGCHARSET test for the BMP (virtually every
+# character of real text), with the astral tail behind a single
+# range-test lookahead.  These two classes are tested at every character
+# position, so this is the tokenizer's hottest micro-decision.
+_ASTRAL = "(?=[\U00010000-\U0010ffff])"
+_EXT = f"(?:[{WB_EXT_BMP_CLASS}]|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])"
+# Absorption is possessive (*+): in every rule below, the character
+# required after an absorption run is never itself in the absorbed class,
+# so giving absorbed chars back can never rescue a failing match — and
+# possessiveness removes the nested-quantifier backtracking that made
+# adversarial ENL/Extend runs quadratic-to-exponential (the LUCENE-5897
+# pathology; jflex is DFA-based and immune, Python re is not).  The one
+# exception is the keycap rule, whose required U+20E3 IS in the
+# absorption class — it keeps a backtracking star.
+_EXTX = f"{_EXT}*+"
+_SPSX = f"[{WB_EXT_SANS_PRESSEL_CLASS}]*"
+_SPSZ = f"[{WB_EXT_SANS_PRESSEL_ZWJ_CLASS}]"
+
+# Word-rule character classes (jflex :87-100).  AH ~ [\p{WB:ALetter}
+# \p{WB:Hebrew_Letter}]: letters minus the per-char CJK classes and the
+# SEA (Complex_Context) class - hangul stays in.  (Envelope: Python \w
+# admits a few No-category numerics like circled digits that WB calls
+# Other.)  AH is a GENERATED explicit range table (unicode_wb.py): one
+# C-level class test instead of a per-character negative lookahead (~3x
+# tokenizer throughput on non-ASCII text), and frozen against
+# interpreter unicodedata drift so heterogeneous-cluster executors
+# tokenize identically (equivalence to the subtraction asserted by
+# tests/test_unicode_wordbreak.py).  NUM = \d ~ WB:Numeric.  ENL =
+# WB:ExtendNumLet (connector punctuation + U+202F).  The Mid sets are
+# the full WordBreakProperty lists: MIDL = MidLetter | MidNumLet |
+# Single_Quote (':' joins letters - TestStandardAnalyzer.testMid),
+# MIDN = MidNum | MidNumLet | Single_Quote.
+_AH = f"(?:[{WB_AH_BMP_CLASS}]|{_ASTRAL}[{WB_AH_ASTRAL_CLASS}])"
+_ENL = "[_ ‿⁀⁔︳︴﹍-﹏＿]"
+_MIDL = "[:'.’··״․‧︓﹒﹕＇．：]"
+_MIDN = "[,.;'’;،؍٬߸․⁄︐︔﹐﹒﹔＇，．；]"
+# WB:Hebrew_Letter, bracketless (for the WB7a-c quote rules; subset of AH)
+_HEB1 = (
+    "א-תׯ-ײיִײַ-ﬨשׁ-זּ"
+    "טּ-לּמּנּסּףּפּצּ-ﭏ"
 )
+_SQ = "['＇]"
+_DQ = "[\"＂]"
+
+# Run forms: the seg iterations below consume one "base + absorption"
+# unit per step, but a RUN of k bases with interleaved absorption is the
+# same language as k iterations with empty joiners — and since the base
+# class and the absorption class are disjoint, the run continuation can
+# be ONE merged character class (a single BIGCHARSET test per character,
+# the tokenizer's inner loop) instead of base-test + absorption-test +
+# branch machinery per character (~2.3x measured on non-ASCII text).
+_AH_EXT_CONT = (
+    f"(?:[{WB_AH_BMP_CLASS}{WB_EXT_BMP_CLASS}]"
+    f"|{_ASTRAL}[{WB_AH_ASTRAL_CLASS}{WB_EXT_ASTRAL_CLASS}])"
+)
+_AHX = f"{_AH}{_AH_EXT_CONT}*+"
+_NUMX = rf"\d(?:\d|[{WB_EXT_BMP_CLASS}]|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])*+"
+_ENLX = f"(?:{_ENL}{_EXTX})"
+_KATAX = (
+    f"[{_KATA}](?:[{_KATA}{WB_EXT_BMP_CLASS}]"
+    f"|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])*+"
+)
+
+# jflex :238-252 word rule, one segment each:
+#   AH seg:  {AHLetterEx} (({ExtendNumLetEx}*|{MidLetterEx}) {AHLetterEx})*
+#            plus WB7b/c (Hebrew DQ Hebrew, inline branch with a 1-char
+#            lookbehind - absorption between the letter and the quote is
+#            out of envelope) and WB7a (trailing single quote after a
+#            Hebrew letter).
+#   NUM seg: {NumericEx} (({ExtendNumLetEx}*|{MidNumericEx}) {NumericEx})*
+#   KATA seg:{KatakanaEx} ({ExtendNumLetEx}* {KatakanaEx})*
+# (ENLx* is spelled (ENLx+|MIDx)? - same language, no nullable branch
+# inside a star for the backtracking engine.)
+_AHSEG = (
+    f"{_AHX}"
+    f"(?:(?:{_ENLX}++|{_MIDL}{_EXTX})?{_AHX}|(?<=[{_HEB1}]){_DQ}{_EXTX}(?=[{_HEB1}]){_AHX})*"
+    f"(?:(?<=[{_HEB1}]){_SQ}{_EXTX})?"
+)
+_NUMSEG = f"{_NUMX}(?:(?:{_ENLX}++|{_MIDN}{_EXTX})?{_NUMX})*"
+_KATASEG = f"{_KATAX}(?:{_ENLX}*+{_KATAX})*"
+# Branch order within the alternations is frequency-based (letters >>
+# digits >> katakana in real text; branches have disjoint first-char
+# classes, so order never changes the match, only the test count).
+_CORE = f"(?:{_AHSEG}|{_NUMSEG})+"
+# ENLx* (KATA-seg | CORE) (ENLx+ (KATA-seg | CORE))* ENLx* - ExtendNumLet
+# joins segments (WB13a/b) and may lead/trail, but never stands alone.
+# ENL quantifiers are possessive too: no segment starts with an ENL char,
+# so a shorter ENL run never rescues a failing segment match.
+_SEG = f"(?:{_CORE}|{_KATASEG})"
+_WORD = f"{_ENLX}*+{_SEG}(?:{_ENLX}++{_SEG})*{_ENLX}*+"
+# Dead ExtendNumLet runs ("___", "_́_́...") match NO rule — the
+# reference's fallback [^] silently breaks them char by char.  Scanning
+# them with the word rule alone costs O(run) per start position =
+# O(run^2) per run (LUCENE-5897's shape).  This skip alternative — tried
+# LAST, so only where every token rule already failed — consumes the run
+# in one pass.  Its absorption is guarded: it must not swallow a char
+# that can START a token in the reference (ZWJ opens a leading-ZWJ emoji
+# sequence, U+1F3FB-FF a lone-modifier emoji, SEA combining marks a
+# ComplexContext run); those stay unconsumed for the next finditer
+# attempt.  Skip matches are recognized by capture group 1 being empty.
+_SKIP_EXT = f"(?:(?![{_SEA}‍\U0001f3fb-\U0001f3ff]){_EXT})"
+_ENL_SKIP = f"(?:{_ENL}{_SKIP_EXT}*+)++"
+
+# EMOJI token class (jflex :56-77,205-208).  An element is an
+# Extended_Pictographic base absorbing presentation selectors / skin-tone
+# modifiers / tag characters (subdivision flags); elements chain on ZWJ;
+# regional-indicator PAIRS are one token; keycap sequences
+# ``[0-9#*] FE0F? 20E3`` are EMOJI.  The word rule is tried FIRST: at
+# equal length the choice only affects the (unemitted) token type, and
+# where the word rule reaches further it must win (jflex maximal munch -
+# "12️⃣" and "3️⃣ 5" are single NUM tokens whose
+# ExtFmtZwj absorbs the keycap marks; only a keycap that STARTS a token,
+# "#️⃣" or a lone "3️⃣", comes out of the EMOJI rule,
+# with identical text either way).
+# Extended_Pictographic per UTS#51 emoji-data.txt (Unicode 12.1) -
+# includes the file's reserved ranges.
+_EXT_PICT = (
+    "©®‼⁉™ℹ↔-↙↩↪"
+    "⌚⌛⌨⎈⏏⏩-⏳⏸-⏺Ⓜ"
+    "▪▫▶◀◻-◾☀-★☇-☒"
+    "☔-⚅⚐-✅✈-✒✔✖✝✡"
+    "✨✳✴❄❇❌❎❓-❕❗"
+    "❣-❧➕-➗➡➰➿⤴⤵"
+    "⬅-⬇⬛⬜⭐⭕〰〽㊗㊙"
+    "\U0001f000-\U0001f0ff\U0001f10d-\U0001f10f\U0001f12f"
+    "\U0001f16c-\U0001f171\U0001f17e\U0001f17f\U0001f18e"
+    "\U0001f191-\U0001f19a\U0001f1ad-\U0001f1e5\U0001f201-\U0001f20f"
+    "\U0001f21a\U0001f22f\U0001f232-\U0001f23a\U0001f23c-\U0001f23f"
+    "\U0001f249-\U0001f3fa\U0001f400-\U0001f53d\U0001f546-\U0001f64f"
+    "\U0001f680-\U0001f6ff\U0001f774-\U0001f77f\U0001f7d5-\U0001f7ff"
+    "\U0001f80c-\U0001f80f\U0001f848-\U0001f84f\U0001f85a-\U0001f85f"
+    "\U0001f888-\U0001f88f\U0001f8ae-\U0001f8ff\U0001f90c-\U0001f93a"
+    "\U0001f93c-\U0001f945\U0001f947-\U0001faff\U0001fc00-\U0001fffd"
+)
+_KEYCAP_SEQ = f"[0-9#*]{_SPSX}️?⃣{_SPSX}"
+# An element is an Extended_Pictographic base OR a lone skin-tone
+# modifier (the jflex EmojiCharOrPresSeqOrModSeq second branch,
+# ``((ZWJ* EmojiModifierBaseEx)? EmojiModifierEx)`` — a standalone
+# U+1F3FB-FF is an EMOJI token).  With a base present the modifier is
+# simply absorbed, which is the same language.
+_EMOJI_ELEM = f"(?:[{_EXT_PICT}]|[\U0001f3fb-\U0001f3ff])(?:️|{_SPSZ})*+"
+_EMOJI_SEQ = f"‍*+{_EMOJI_ELEM}(?:‍++{_EMOJI_ELEM})*+‍*+"
 _REGIONAL = "[\U0001f1e6-\U0001f1ff]"
-def _compile_token_re(keycap_guard: str) -> "re.Pattern":
-    return re.compile(
-        rf"{_KEYCAP}"  # EMOJI keycap sequence (before NUM: "3️⃣" is one emoji)
-        rf"|{_W}+"
-        r"(?:"
-        rf"(?<=[^\W\d_])['’.·](?=[^\W\d_]){_W}+"  # ALetter MidLetter/MidNumLet ALetter
-        rf"|(?<=\d)[,.;'’](?=\d){_W}+"  # Numeric MidNum/MidNumLet Numeric
-        r")*"
-        rf"{keycap_guard}"  # give the final digit to a following keycap
-        rf"|[{_KATA}]+"  # KATAKANA runs
-        rf"|[{_HANGUL}]+"  # HANGUL runs
-        rf"|[{_HIRA}]"  # single HIRAGANA
-        rf"|[{_IDEO}]"  # single IDEOGRAPHIC
-        rf"|[{_SEA}]+"  # SOUTHEAST_ASIAN runs (dictionary-segmentable)
-        rf"|{_REGIONAL}{_REGIONAL}"  # flag = regional-indicator pair
-        rf"|{_EMOJI_SEQ}",  # EMOJI (ZWJ sequences, modifiers, tag sequences)
-        re.UNICODE,
-    )
 
+# Group 1 wraps every real token rule; the ENL-run skip alternative sits
+# outside it, so skip matches surface as empty group-1 strings that
+# ``findall`` callers drop (and ``finditer`` callers test ``m.group(1)``).
+_TOKEN_RE = re.compile(
+    rf"({_WORD}"
+    rf"|[{_HIRA}]{_EXTX}"  # single HIRAGANA
+    rf"|[{_IDEO}]{_EXTX}"  # single IDEOGRAPHIC
+    rf"|[{_SEA}](?:[{_SEA}{WB_EXT_BMP_CLASS}]"
+    rf"|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])*+"  # SOUTHEAST_ASIAN runs
+    rf"|{_KEYCAP_SEQ}"  # EMOJI keycap sequence starting a token
+    rf"|{_REGIONAL}{_EXTX}{_REGIONAL}{_EXTX}"  # flag = regional-indicator pair
+    rf"|{_EMOJI_SEQ})"  # EMOJI (ZWJ sequences, modifiers, tag sequences)
+    rf"|{_ENL_SKIP}",  # dead ExtendNumLet run - no token (see above)
+    re.UNICODE,
+)
 
-_TOKEN_RE = _compile_token_re("")  # hot path: no keycap marks in the text
-_TOKEN_RE_KEYCAP = _compile_token_re(_KEYCAP_GUARD)
+# ASCII fast path: on pure-ASCII text (one C-level str.isascii test) the
+# grammar above collapses to this lookaround pattern - no absorption class
+# can fire (no Mn/Mc/Me/Cf below U+0080), no Hebrew/katakana/emoji, ENL is
+# '_' alone, and the Mid sets reduce to their ASCII members.  The leading
+# lookahead keeps pure-'_' runs from becoming tokens (ExtendNumLet never
+# stands alone); the trailing ``_++`` skip alternative consumes dead
+# underscore runs in one pass (same group-1 scheme as above).
+# Byte-identical to _TOKEN_RE on ASCII input (asserted by test) at the
+# old single-\w-run speed.
+_ASCII_RE = re.compile(
+    r"((?=_*+[0-9A-Za-z])[0-9A-Za-z_]++"
+    r"(?:"
+    r"(?<=[A-Za-z])[:'.](?=[A-Za-z])[0-9A-Za-z_]++"  # ALetter Mid ALetter
+    r"|(?<=\d)[,.;'](?=\d)[0-9A-Za-z_]++"  # Numeric Mid Numeric
+    r")*+)"
+    r"|_++"  # dead underscore run - no token
+)
 
 
 def _token_re_for(text: str) -> "re.Pattern":
-    return _TOKEN_RE_KEYCAP if "⃣" in text else _TOKEN_RE
+    return _ASCII_RE if text.isascii() else _TOKEN_RE
 
 # Java Character.toLowerCase divergences from Python str.lower():
 #   U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE -> 'i' (Python: "i̇")
@@ -190,8 +329,9 @@ def tokenize(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> lis
     """UAX#29-subset word tokens of ``text`` (no case folding, no stops)."""
     if not text:
         return []
+    # findall yields group 1: the token text, or '' for skip-rule matches
     toks = _token_re_for(text).findall(text)
-    return [t for t in toks if len(t) <= max_token_length]
+    return [t for t in toks if t and len(t) <= max_token_length]
 
 
 class StandardAnalyzer:
@@ -250,7 +390,9 @@ class StandardAnalyzer:
         """(raw_token, start, end) stream — the tokenizer with the optional
         SEA dictionary word-break applied (segments keep exact offsets)."""
         for m in _token_re_for(text).finditer(text):
-            t = m.group(0)
+            t = m.group(1)
+            if not t:  # ENL-run skip rule: no token, no position
+                continue
             if self.sea_segmenter is not None and _SEA_START.match(t):
                 s = m.start()
                 for seg in self.sea_segmenter(t):

@@ -158,12 +158,15 @@ def test_emoji_keycap_and_tag_sequences():
     assert a.analyze(f"go {tag_flag} go") == ["go", tag_flag, "go"]
     # keycap must not eat ordinary numerics
     assert a.analyze("3,000 and #5") == ["3,000", "and", "5"]
-    # a word run gives its FINAL digit to a following keycap ("12️⃣" =
-    # the number 1 + the keycap 2️⃣) — the guarded-regex dispatch path
-    assert tokenize("12️⃣") == ["1", "2️⃣"]
-    assert tokenize("123️⃣") == ["12", "3️⃣"]
-    # ...but a keycap mark after a NON-digit leaves the run intact
-    assert tokenize("table⃣ x") == ["table", "x"]
+    # keycap marks after a word run are ABSORBED into it (jflex maximal
+    # munch: NumericEx = Numeric {ExtFmtZwj} where ExtFmtZwj includes
+    # FE0F/20E3, and the 4-char NUM match beats any EMOJI-rule prefix —
+    # StandardTokenizerImpl.jflex:92,211-216).  Only a keycap that STARTS
+    # a token comes out of the EMOJI rule (the "3️⃣" cases above).
+    assert tokenize("12️⃣") == ["12️⃣"]
+    assert tokenize("123️⃣") == ["123️⃣"]
+    # same WB4 absorption after a letter run: the mark rides the token
+    assert tokenize("table⃣ x") == ["table⃣", "x"]
     # offsets stay aligned through the keycap form
     assert a.analyze_with_offsets("x 3️⃣ y") == [
         ("x", 0, 0, 1), ("3️⃣", 1, 2, 5), ("y", 2, 6, 7),
