@@ -8,21 +8,30 @@ Parity target is the reference's ``StandardAnalyzer``
 -> ``StopFilter`` (``analysis/StopFilter.java:96-98``; the default stop set is
 EMPTY, StandardAnalyzer.java:51-53).
 
-Conformance envelope (documented, mirrors SURVEY.md §7.2): the tokenizer
-implements the ALPHANUM/NUM subset of UAX#29 — letter runs joined by
-MidLetter/MidNumLet (``'``, ``’``, ``.``, ``·``), digit runs joined by
-MidNum/MidNumLet (``,``, ``.``, ``;``, ``'``), ExtendNumLet (``_``) folding —
-plus the CJK (ideographic/hiragana/katakana/hangul) and EMOJI classes
-(ZWJ sequences, modifiers, flag pairs; round 5 adds keycap sequences and
-subdivision-flag tag sequences), and (round 4) the
-SOUTHEAST_ASIAN class — Thai/Lao/Myanmar/Khmer runs are one token like
-``StandardTokenizerImpl.jflex``, or dictionary-segmented when a
+The tokenizer is a full transcription of the reference jflex grammar
+(``StandardTokenizerImpl.jflex:51-100,205-286``) over GENERATED true
+WordBreak/Script/LineBreak/UTS#51 property tables
+(:mod:`lucene_spark.analysis.unicode_wb`): WB4 absorption on every base
+character, the complete MidLetter/MidNumLet/MidNum/ExtendNumLet sets,
+Hebrew quote rules WB7a-c, NUM = ``\\p{WB:Numeric}``, the CJK per-char and
+katakana-run classes, the SOUTHEAST_ASIAN (``LB:Complex_Context``) class
+— runs are one token like the reference, or dictionary-segmented when a
 ``sea_segmenter`` is configured (:func:`make_dictionary_segmenter`, the
-``ThaiTokenizer`` analog with a caller-supplied wordlist) — which covers
-the ALPHANUM/NUM/CJK/emoji/SEA test cases of ``TestStandardAnalyzer``
-(the 40-language analyzer zoo stays out of scope).  Tokens longer than
-``max_token_length`` (default 255) are skipped, not truncated
+``ThaiTokenizer`` analog) — and the EMOJI class over the real
+Extended_Pictographic table (ZWJ sequences, modifiers, flag pairs, keycap
+and subdivision-flag tag sequences).  Covers the ``TestStandardAnalyzer``
+suite (the 40-language analyzer zoo stays out of scope).  Tokens longer
+than ``max_token_length`` (default 255) are skipped, not truncated
 (``StandardTokenizer.java:152-175``).
+
+Conformance envelope (documented divergences from the jflex scanner):
+property tables follow the ``regex`` module's current Unicode version,
+not the reference's pinned 12.1 (newer scripts/emoji tokenize; no 12.1
+member was removed for the classes used here — spot-asserted in tests);
+a leading ExtendNumLet run absorbs only non-token-starting extend chars
+(see ``_ENL_LEADX``); repeated FE0F presentation selectors ride one
+element; absorption between a Hebrew letter and its WB7a-c quote is not
+recognized.
 
 Lowercase parity: Java ``Character.toLowerCase`` is a per-codepoint 1:1 map;
 Python ``str.lower()`` applies full mappings (U+0130 -> "i"+combining dot) and
@@ -40,12 +49,29 @@ from typing import Iterable
 import pandas as pd
 
 from lucene_spark.analysis.unicode_wb import (
+    EMOJI_MOD_CLASS,
+    EXT_PICT_ASTRAL_CLASS,
+    EXT_PICT_BMP_CLASS,
     WB_AH_ASTRAL_CLASS,
     WB_AH_BMP_CLASS,
+    WB_ENL_CLASS,
     WB_EXT_ASTRAL_CLASS,
     WB_EXT_BMP_CLASS,
     WB_EXT_SANS_PRESSEL_CLASS,
     WB_EXT_SANS_PRESSEL_ZWJ_CLASS,
+    WB_HEB_CLASS,
+    WB_HIRA_ASTRAL_CLASS,
+    WB_HIRA_BMP_CLASS,
+    WB_IDEO_ASTRAL_CLASS,
+    WB_IDEO_BMP_CLASS,
+    WB_KATA_ASTRAL_CLASS,
+    WB_KATA_BMP_CLASS,
+    WB_MIDL_CLASS,
+    WB_MIDN_CLASS,
+    WB_NUM_ASTRAL_CLASS,
+    WB_NUM_BMP_CLASS,
+    WB_RI_CLASS,
+    WB_SEA_CLASS,
 )
 
 __all__ = [
@@ -78,75 +104,65 @@ ENGLISH_STOP_WORDS = frozenset(
 # controls, ZWJ, and variation selectors stay INSIDE the token text, so
 # "moͤchte" is one token (TestStandardAnalyzer.testLUCENE1545) and
 # "3︎" is the NUM "3︎" (testEmojiVariationSequence).
-_HIRA = "ぁ-ゖゝ-ゟ"
-_KATA = "ァ-ヺー-ヿㇰ-ㇿｦ-ﾟ"
-_IDEO = (
-    "々〇〡-〩〸-〻㐀-䶿一-鿿"
-    "豈-﫿\U00020000-\U0002fa1f"
-)
-# SOUTHEAST_ASIAN class (LB:Complex_Context, jflex :255-274): scripts with
-# no inter-word spaces - a contiguous run is ONE token unless a dictionary
-# segmenter is configured.  Core letter+mark ranges of Thai / Lao /
-# Myanmar / Khmer (digits stay in the NUM class).
-_SEA = (
-    "ก-๎"  # Thai
-    "ກ-ໍ"  # Lao
-    "က-ဿၐ-႟"  # Myanmar
-    "ក-៓"  # Khmer
-)
-# WB4 absorption classes (see tools/gen_unicode_wb.py): full, minus the
-# FE0E/FE0F presentation selectors (emoji positions, jflex
-# ExtFmtZwjSansPresSel :51-56), and additionally minus ZWJ (within an
-# emoji element, so the sequence chain can see its joiner).
+# Per-char script token classes, from the generated property tables
+# (true \p{Script=Hiragana}/\p{Script=Han} per jflex HiraganaEx/HanEx
+# :94-95, minus WB4 absorption chars and the AH-classified Lm iteration
+# marks - see the generator).  KATAKANA is the true \p{WB:Katakana}
+# (halfwidth voiced sound marks FF9E/FF9F are WB:Extend, i.e. absorption,
+# NOT katakana bases).
+_HIRA = WB_HIRA_BMP_CLASS
+_KATA = WB_KATA_BMP_CLASS
+_IDEO = WB_IDEO_BMP_CLASS
+# SOUTHEAST_ASIAN class: the true \p{LB:Complex_Context} (jflex
+# ComplexContextEx :100) - scripts with no inter-word spaces; a
+# contiguous run is ONE token unless a dictionary segmenter is
+# configured.  Includes the scripts' combining marks (they are LB:SA and
+# WB:Extend both - run continuation either way).
+_SEA = WB_SEA_CLASS
 # BMP/astral split (generated): a class containing astral ranges costs a
 # linear range-tail scan on every NON-member test in CPython's sre; the
 # split form is an O(1) BIGCHARSET test for the BMP (virtually every
 # character of real text), with the astral tail behind a single
-# range-test lookahead.  These two classes are tested at every character
+# range-test lookahead.  The EXT/AH classes are tested at every character
 # position, so this is the tokenizer's hottest micro-decision.
 _ASTRAL = "(?=[\U00010000-\U0010ffff])"
 _EXT = f"(?:[{WB_EXT_BMP_CLASS}]|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])"
 # Absorption is possessive (*+): in every rule below, the character
-# required after an absorption run is never itself in the absorbed class,
-# so giving absorbed chars back can never rescue a failing match — and
-# possessiveness removes the nested-quantifier backtracking that made
-# adversarial ENL/Extend runs quadratic-to-exponential (the LUCENE-5897
-# pathology; jflex is DFA-based and immune, Python re is not).  The one
-# exception is the keycap rule, whose required U+20E3 IS in the
-# absorption class — it keeps a backtracking star.
+# required after an absorption run is never itself in the absorbed class
+# (the generator ASSERTS this disjointness), so giving absorbed chars
+# back can never rescue a failing match - and possessiveness removes the
+# nested-quantifier backtracking that made adversarial ENL/Extend runs
+# quadratic-to-exponential (the LUCENE-5897 pathology; jflex is DFA-based
+# and immune, Python re is not).  The one exception is the keycap rule,
+# whose required U+20E3 IS in the absorption class - it keeps a
+# backtracking star.
 _EXTX = f"{_EXT}*+"
 _SPSX = f"[{WB_EXT_SANS_PRESSEL_CLASS}]*"
 _SPSZ = f"[{WB_EXT_SANS_PRESSEL_ZWJ_CLASS}]"
 
-# Word-rule character classes (jflex :87-100).  AH ~ [\p{WB:ALetter}
-# \p{WB:Hebrew_Letter}]: letters minus the per-char CJK classes and the
-# SEA (Complex_Context) class - hangul stays in.  (Envelope: Python \w
-# admits a few No-category numerics like circled digits that WB calls
-# Other.)  AH is a GENERATED explicit range table (unicode_wb.py): one
-# C-level class test instead of a per-character negative lookahead (~3x
-# tokenizer throughput on non-ASCII text), and frozen against
-# interpreter unicodedata drift so heterogeneous-cluster executors
-# tokenize identically (equivalence to the subtraction asserted by
-# tests/test_unicode_wordbreak.py).  NUM = \d ~ WB:Numeric.  ENL =
-# WB:ExtendNumLet (connector punctuation + U+202F).  The Mid sets are
-# the full WordBreakProperty lists: MIDL = MidLetter | MidNumLet |
-# Single_Quote (':' joins letters - TestStandardAnalyzer.testMid),
-# MIDN = MidNum | MidNumLet | Single_Quote.
+# Word-rule character classes (jflex :87-100), all from the generated
+# true WordBreak property tables: AH = [\p{WB:ALetter}
+# \p{WB:Hebrew_Letter}] (hangul is ALetter and stays in), NUM =
+# \p{WB:Numeric} (includes the Cf prepended signs U+0600.. and the
+# Arabic decimal separator - NOT the same set as \d), ENL =
+# \p{WB:ExtendNumLet}, MIDL = MidLetter|MidNumLet|Single_Quote (':'
+# joins letters - TestStandardAnalyzer.testMid), MIDN =
+# MidNum|MidNumLet|Single_Quote.  Freezing generated tables also pins
+# tokenization against interpreter unicodedata drift, so every executor
+# on a heterogeneous cluster tokenizes identically.
 _AH = f"(?:[{WB_AH_BMP_CLASS}]|{_ASTRAL}[{WB_AH_ASTRAL_CLASS}])"
-_ENL = "[_ ‿⁀⁔︳︴﹍-﹏＿]"
-_MIDL = "[:'.’··״․‧︓﹒﹕＇．：]"
-_MIDN = "[,.;'’;،؍٬߸․⁄︐︔﹐﹒﹔＇，．；]"
+_NUM = f"(?:[{WB_NUM_BMP_CLASS}]|{_ASTRAL}[{WB_NUM_ASTRAL_CLASS}])"
+_ENL = f"[{WB_ENL_CLASS}]"
+_MIDL = f"[{WB_MIDL_CLASS}]"
+_MIDN = f"[{WB_MIDN_CLASS}]"
 # WB:Hebrew_Letter, bracketless (for the WB7a-c quote rules; subset of AH)
-_HEB1 = (
-    "א-תׯ-ײיִײַ-ﬨשׁ-זּ"
-    "טּ-לּמּנּסּףּפּצּ-ﭏ"
-)
-_SQ = "['＇]"
-_DQ = "[\"＂]"
+_HEB1 = WB_HEB_CLASS
+_SQ = "'"
+_DQ = '"'
 
 # Run forms: the seg iterations below consume one "base + absorption"
 # unit per step, but a RUN of k bases with interleaved absorption is the
-# same language as k iterations with empty joiners — and since the base
+# same language as k iterations with empty joiners - and since the base
 # class and the absorption class are disjoint, the run continuation can
 # be ONE merged character class (a single BIGCHARSET test per character,
 # the tokenizer's inner loop) instead of base-test + absorption-test +
@@ -156,11 +172,15 @@ _AH_EXT_CONT = (
     f"|{_ASTRAL}[{WB_AH_ASTRAL_CLASS}{WB_EXT_ASTRAL_CLASS}])"
 )
 _AHX = f"{_AH}{_AH_EXT_CONT}*+"
-_NUMX = rf"\d(?:\d|[{WB_EXT_BMP_CLASS}]|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])*+"
+_NUMX = (
+    f"{_NUM}(?:[{WB_NUM_BMP_CLASS}{WB_EXT_BMP_CLASS}]"
+    f"|{_ASTRAL}[{WB_NUM_ASTRAL_CLASS}{WB_EXT_ASTRAL_CLASS}])*+"
+)
 _ENLX = f"(?:{_ENL}{_EXTX})"
 _KATAX = (
-    f"[{_KATA}](?:[{_KATA}{WB_EXT_BMP_CLASS}]"
-    f"|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])*+"
+    f"(?:[{WB_KATA_BMP_CLASS}]|{_ASTRAL}[{WB_KATA_ASTRAL_CLASS}])"
+    f"(?:[{WB_KATA_BMP_CLASS}{WB_EXT_BMP_CLASS}]"
+    f"|{_ASTRAL}[{WB_KATA_ASTRAL_CLASS}{WB_EXT_ASTRAL_CLASS}])*+"
 )
 
 # jflex :238-252 word rule, one segment each:
@@ -189,68 +209,60 @@ _CORE = f"(?:{_AHSEG}|{_NUMSEG})+"
 # ENL quantifiers are possessive too: no segment starts with an ENL char,
 # so a shorter ENL run never rescues a failing segment match.
 _SEG = f"(?:{_CORE}|{_KATASEG})"
-_WORD = f"{_ENLX}*+{_SEG}(?:{_ENLX}++{_SEG})*{_ENLX}*+"
-# Dead ExtendNumLet runs ("___", "_́_́...") match NO rule — the
-# reference's fallback [^] silently breaks them char by char.  Scanning
-# them with the word rule alone costs O(run) per start position =
-# O(run^2) per run (LUCENE-5897's shape).  This skip alternative — tried
-# LAST, so only where every token rule already failed — consumes the run
-# in one pass.  Its absorption is guarded: it must not swallow a char
-# that can START a token in the reference (ZWJ opens a leading-ZWJ emoji
-# sequence, U+1F3FB-FF a lone-modifier emoji, SEA combining marks a
-# ComplexContext run); those stay unconsumed for the next finditer
-# attempt.  Skip matches are recognized by capture group 1 being empty.
-_SKIP_EXT = f"(?:(?![{_SEA}‍\U0001f3fb-\U0001f3ff]){_EXT})"
-_ENL_SKIP = f"(?:{_ENL}{_SKIP_EXT}*+)++"
+# Guarded absorption for the LEADING ENL run and the skip rule below: it
+# stops before any absorption char that can START a token (ZWJ opens a
+# leading-ZWJ emoji sequence, U+1F3FB-FF a lone-modifier emoji, SEA
+# combining marks a ComplexContext run).  The word rule's leading run
+# must use it for linear scanning: with FULL absorption, a dead run like
+# "_ZWJ_ZWJ..." costs O(run) at every ENL offset = O(run^2) (the
+# LUCENE-5897 shape; measured 18 s at 20k chars) because the skip rule
+# below legitimately stops at those chars - each of which IS a reference
+# token or 1-char break, so finditer restarts inside the run.  Envelope:
+# a word whose leading ENL absorption contains such a char directly
+# before the first segment char ("_<U+1F3FC>a") tokenizes as
+# skip+EMOJI+word instead of the reference's single word token; interior
+# and trailing ENL runs keep FULL absorption, so "a_<ZWJ>b" stays exact.
+_SKIP_EXT = f"(?:(?![{_SEA}\u200d{EMOJI_MOD_CLASS}]){_EXT})"
+_ENL_LEADX = f"(?:{_ENL}{_SKIP_EXT}*+)"
+_WORD = f"{_ENL_LEADX}*+{_SEG}(?:{_ENLX}++{_SEG})*{_ENLX}*+"
+# Dead ExtendNumLet runs ("___", "_ZWNJ_ZWNJ...") match NO rule - the
+# reference's fallback [^] silently breaks them char by char.  This skip
+# alternative - tried LAST, so only where every token rule already
+# failed - consumes the run in one pass instead of retrying the word
+# rule at every offset.  Skip matches are recognized by capture group 1
+# being empty.
+_ENL_SKIP = f"{_ENL_LEADX}++"
 
 # EMOJI token class (jflex :56-77,205-208).  An element is an
-# Extended_Pictographic base absorbing presentation selectors / skin-tone
-# modifiers / tag characters (subdivision flags); elements chain on ZWJ;
+# Extended_Pictographic base (true generated \p{Extended_Pictographic};
+# the jflex EmojiChar also unions \p{Emoji}-minus-RKAM, which the
+# generator ASSERTS adds nothing) OR a lone skin-tone modifier (the
+# EmojiCharOrPresSeqOrModSeq second branch - a standalone U+1F3FB-FF is
+# an EMOJI token; with a base present the modifier is simply absorbed,
+# the same language).  Elements absorb presentation selectors / skin
+# tones / tag characters (subdivision flags) and chain on ZWJ;
 # regional-indicator PAIRS are one token; keycap sequences
 # ``[0-9#*] FE0F? 20E3`` are EMOJI.  The word rule is tried FIRST: at
 # equal length the choice only affects the (unemitted) token type, and
 # where the word rule reaches further it must win (jflex maximal munch -
-# "12️⃣" and "3️⃣ 5" are single NUM tokens whose
-# ExtFmtZwj absorbs the keycap marks; only a keycap that STARTS a token,
-# "#️⃣" or a lone "3️⃣", comes out of the EMOJI rule,
-# with identical text either way).
-# Extended_Pictographic per UTS#51 emoji-data.txt (Unicode 12.1) -
-# includes the file's reserved ranges.
-_EXT_PICT = (
-    "©®‼⁉™ℹ↔-↙↩↪"
-    "⌚⌛⌨⎈⏏⏩-⏳⏸-⏺Ⓜ"
-    "▪▫▶◀◻-◾☀-★☇-☒"
-    "☔-⚅⚐-✅✈-✒✔✖✝✡"
-    "✨✳✴❄❇❌❎❓-❕❗"
-    "❣-❧➕-➗➡➰➿⤴⤵"
-    "⬅-⬇⬛⬜⭐⭕〰〽㊗㊙"
-    "\U0001f000-\U0001f0ff\U0001f10d-\U0001f10f\U0001f12f"
-    "\U0001f16c-\U0001f171\U0001f17e\U0001f17f\U0001f18e"
-    "\U0001f191-\U0001f19a\U0001f1ad-\U0001f1e5\U0001f201-\U0001f20f"
-    "\U0001f21a\U0001f22f\U0001f232-\U0001f23a\U0001f23c-\U0001f23f"
-    "\U0001f249-\U0001f3fa\U0001f400-\U0001f53d\U0001f546-\U0001f64f"
-    "\U0001f680-\U0001f6ff\U0001f774-\U0001f77f\U0001f7d5-\U0001f7ff"
-    "\U0001f80c-\U0001f80f\U0001f848-\U0001f84f\U0001f85a-\U0001f85f"
-    "\U0001f888-\U0001f88f\U0001f8ae-\U0001f8ff\U0001f90c-\U0001f93a"
-    "\U0001f93c-\U0001f945\U0001f947-\U0001faff\U0001fc00-\U0001fffd"
+# "12(FE0F)(20E3)" is a single NUM token whose ExtFmtZwj absorbs the
+# keycap marks; only a keycap that STARTS a token comes out of the EMOJI
+# rule, with identical text either way).
+_KEYCAP_SEQ = f"[0-9#*]{_SPSX}\ufe0f?\u20e3{_SPSX}"
+_EMOJI_ELEM = (
+    f"(?:[{EXT_PICT_BMP_CLASS}]|{_ASTRAL}[{EXT_PICT_ASTRAL_CLASS}]"
+    f"|[{EMOJI_MOD_CLASS}])(?:\ufe0f|{_SPSZ})*+"
 )
-_KEYCAP_SEQ = f"[0-9#*]{_SPSX}️?⃣{_SPSX}"
-# An element is an Extended_Pictographic base OR a lone skin-tone
-# modifier (the jflex EmojiCharOrPresSeqOrModSeq second branch,
-# ``((ZWJ* EmojiModifierBaseEx)? EmojiModifierEx)`` — a standalone
-# U+1F3FB-FF is an EMOJI token).  With a base present the modifier is
-# simply absorbed, which is the same language.
-_EMOJI_ELEM = f"(?:[{_EXT_PICT}]|[\U0001f3fb-\U0001f3ff])(?:️|{_SPSZ})*+"
-_EMOJI_SEQ = f"‍*+{_EMOJI_ELEM}(?:‍++{_EMOJI_ELEM})*+‍*+"
-_REGIONAL = "[\U0001f1e6-\U0001f1ff]"
+_EMOJI_SEQ = f"\u200d*+{_EMOJI_ELEM}(?:\u200d++{_EMOJI_ELEM})*+\u200d*+"
+_REGIONAL = f"[{WB_RI_CLASS}]"
 
 # Group 1 wraps every real token rule; the ENL-run skip alternative sits
 # outside it, so skip matches surface as empty group-1 strings that
 # ``findall`` callers drop (and ``finditer`` callers test ``m.group(1)``).
 _TOKEN_RE = re.compile(
     rf"({_WORD}"
-    rf"|[{_HIRA}]{_EXTX}"  # single HIRAGANA
-    rf"|[{_IDEO}]{_EXTX}"  # single IDEOGRAPHIC
+    rf"|(?:[{_HIRA}]|{_ASTRAL}[{WB_HIRA_ASTRAL_CLASS}]){_EXTX}"  # single HIRAGANA
+    rf"|(?:[{_IDEO}]|{_ASTRAL}[{WB_IDEO_ASTRAL_CLASS}]){_EXTX}"  # single IDEOGRAPHIC
     rf"|[{_SEA}](?:[{_SEA}{WB_EXT_BMP_CLASS}]"
     rf"|{_ASTRAL}[{WB_EXT_ASTRAL_CLASS}])*+"  # SOUTHEAST_ASIAN runs
     rf"|{_KEYCAP_SEQ}"  # EMOJI keycap sequence starting a token
@@ -262,13 +274,14 @@ _TOKEN_RE = re.compile(
 
 # ASCII fast path: on pure-ASCII text (one C-level str.isascii test) the
 # grammar above collapses to this lookaround pattern - no absorption class
-# can fire (no Mn/Mc/Me/Cf below U+0080), no Hebrew/katakana/emoji, ENL is
-# '_' alone, and the Mid sets reduce to their ASCII members.  The leading
-# lookahead keeps pure-'_' runs from becoming tokens (ExtendNumLet never
-# stands alone); the trailing ``_++`` skip alternative consumes dead
-# underscore runs in one pass (same group-1 scheme as above).
-# Byte-identical to _TOKEN_RE on ASCII input (asserted by test) at the
-# old single-\w-run speed.
+# can fire (no absorption chars below U+0080 - the generator asserts the
+# exact ASCII cross-section of every class), no Hebrew/katakana/emoji,
+# ENL is '_' alone, and the Mid sets reduce to their ASCII members.  The
+# leading lookahead keeps pure-'_' runs from becoming tokens
+# (ExtendNumLet never stands alone); the trailing ``_++`` skip
+# alternative consumes dead underscore runs in one pass (same group-1
+# scheme as above).  Byte-identical to _TOKEN_RE on ASCII input (asserted
+# by test) at single-class-star speed.
 _ASCII_RE = re.compile(
     r"((?=_*+[0-9A-Za-z])[0-9A-Za-z_]++"
     r"(?:"

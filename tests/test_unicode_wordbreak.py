@@ -194,6 +194,48 @@ def test_enl_skip_leaves_token_starters():
 
 
 # ---------------------------------------------------------------------------
+# True-property fidelity (review findings): Mid sets, WB:Numeric,
+# WB:Extend members the category approximation missed
+# ---------------------------------------------------------------------------
+
+
+def test_full_mid_property_sets():
+    # U+2018 LEFT SINGLE QUOTATION MARK is MidNumLet (joins letters AND
+    # digits); U+055F ARMENIAN ABBREVIATION MARK is MidLetter; U+0589
+    # ARMENIAN FULL STOP is MidNum
+    assert tokenize("don‘t") == ["don‘t"]
+    assert tokenize("1‘2") == ["1‘2"]
+    assert tokenize("a՟b") == ["a՟b"]
+    assert tokenize("1։2") == ["1։2"]
+    # ...but as always a Mid needs the right class on BOTH sides
+    assert tokenize("a։b") == ["a", "b"]
+
+
+def test_wb_numeric_beyond_nd():
+    # WB:Numeric includes the Cf prepended signs (U+0600 ARABIC NUMBER
+    # SIGN) and U+066B ARABIC DECIMAL SEPARATOR — all one NUM token
+    assert tokenize("؀123") == ["؀123"]
+    assert tokenize("3٫14") == ["3٫14"]
+
+
+def test_halfwidth_sound_marks_are_extend():
+    # U+FF9E/FF9F are WB:Extend (category Lm), NOT Katakana bases:
+    # absorbed into whatever precedes, never a token start
+    assert tokenize("ｱﾞ") == ["ｱﾞ"]
+    assert tokenize("aﾞ") == ["aﾞ"]
+    assert tokenize("3ﾞ") == ["3ﾞ"]
+    assert tokenize(" ﾞx") == ["x"]
+
+
+def test_aletter_beyond_python_w():
+    # WB:ALetter members Python \w misses: U+05F3 HEBREW GERESH joins
+    # letter runs directly (it is ALetter, not a quote rule)
+    assert tokenize("א׳ב") == ["א׳ב"]
+    # circled letters are ALetter too
+    assert tokenize("Ⓐx") == ["Ⓐx"]
+
+
+# ---------------------------------------------------------------------------
 # Hebrew quote rules WB7a-c
 # ---------------------------------------------------------------------------
 
@@ -245,36 +287,59 @@ def test_ascii_path_equivalence_random():
 # ---------------------------------------------------------------------------
 
 
-def test_generated_ah_class_matches_subtraction():
-    """WB_AH_CLASS (generated range table) must equal ``[^\\W\\d_]`` minus
-    the analyzer's per-char CJK/SEA classes, over the full codepoint
-    space — and the generator's copy of those classes must not drift
-    from the analyzer's."""
-    import re
+def test_generated_tables_match_wb_properties():
+    """Every generated table must equal the true Unicode property it
+    claims to be (cross-checked against the ``regex`` module, the same
+    source the generator uses — this catches hand edits and stale
+    regeneration), and the BMP/astral splits must union back exactly."""
     import sys
     from pathlib import Path
 
-    from lucene_spark.analysis.analyzer import _HIRA, _IDEO, _KATA, _SEA
-    from lucene_spark.analysis.unicode_wb import WB_AH_CLASS
+    rx = pytest.importorskip("regex")
+    from lucene_spark.analysis import unicode_wb as uwb
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     try:
-        from gen_unicode_wb import CJK_SEA_LITERALS, expand_class_literal
+        from gen_unicode_wb import expand_class_literal
     finally:
         sys.path.pop(0)
 
-    assert expand_class_literal(CJK_SEA_LITERALS) == expand_class_literal(
-        _HIRA + _KATA + _IDEO + _SEA
-    ), "generator CJK/SEA literal drifted from analyzer classes"
+    all_cps = "".join(
+        chr(cp) for cp in range(0x110000) if not 0xD800 <= cp <= 0xDFFF
+    )
 
-    table = re.compile(f"[{WB_AH_CLASS}]")
-    subtraction = re.compile(rf"(?:(?![{_HIRA}{_KATA}{_IDEO}{_SEA}])[^\W\d_])")
-    divergent = [
-        cp
-        for cp in range(0x110000)
-        if bool(table.match(chr(cp))) != bool(subtraction.match(chr(cp)))
-    ]
-    assert not divergent, [hex(c) for c in divergent[:10]]
+    def prop(pat):
+        return {ord(c) for c in rx.compile(pat).findall(all_cps)}
+
+    wb = lambda v: prop(rf"\p{{WordBreak={v}}}")  # noqa: E731
+    ext = wb("Extend") | wb("Format") | {0x200D}
+    ah = wb("ALetter") | wb("Hebrew_Letter")
+    expected = {
+        "WB_EXT_CLASS": ext,
+        "WB_AH_CLASS": ah,
+        "WB_NUM_CLASS": wb("Numeric"),
+        "WB_KATA_CLASS": wb("Katakana"),
+        "WB_HIRA_CLASS": prop(r"\p{Script=Hiragana}") - ext - ah,
+        "WB_IDEO_CLASS": prop(r"\p{Script=Han}") - ext - ah,
+        "WB_SEA_CLASS": prop(r"\p{LineBreak=Complex_Context}"),
+        "WB_ENL_CLASS": wb("ExtendNumLet"),
+        "WB_MIDL_CLASS": wb("MidLetter") | wb("MidNumLet") | wb("Single_Quote"),
+        "WB_MIDN_CLASS": wb("MidNum") | wb("MidNumLet") | wb("Single_Quote"),
+        "WB_HEB_CLASS": wb("Hebrew_Letter"),
+        "WB_RI_CLASS": wb("Regional_Indicator"),
+        "EXT_PICT_CLASS": prop(r"\p{Extended_Pictographic}"),
+        "EMOJI_MOD_CLASS": prop(r"\p{Emoji_Modifier}"),
+    }
+    for name, want in expected.items():
+        got = expand_class_literal(getattr(uwb, name))
+        assert got == want, (name, len(got ^ want))
+    for base in ("WB_EXT", "WB_AH", "WB_NUM", "WB_KATA", "WB_HIRA",
+                 "WB_IDEO", "WB_SEA", "EXT_PICT"):
+        whole = expand_class_literal(getattr(uwb, f"{base}_CLASS"))
+        bmp = expand_class_literal(getattr(uwb, f"{base}_BMP_CLASS"))
+        astral = expand_class_literal(getattr(uwb, f"{base}_ASTRAL_CLASS"))
+        assert bmp | astral == whole and not bmp & astral, base
+        assert all(c <= 0xFFFF for c in bmp) and all(c > 0xFFFF for c in astral)
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +356,14 @@ def test_generated_ah_class_matches_subtraction():
         ("marks_only", "́" * 20000),
         ("digit_mid_tail", "1," * 10000),
         ("letter_mid_tail", "a:" * 10000),
+        # guard-char interleavings: the skip rule must stop before these
+        # (they start tokens), so the WORD rule's LEADING absorption is
+        # guarded too — with full leading absorption these were O(n^2)
+        # (18 s at 20k chars for the modifier case)
+        ("underscore_zwj", ("_" + "‍") * 10000),
+        ("underscore_modifier", ("_" + "\U0001f3fb") * 10000),
+        ("underscore_thai_mark", ("_" + "่") * 10000),
+        ("zwj_only", "‍" * 20000),
     ],
 )
 def test_pathological_runs_linear(name, text):
