@@ -2282,3 +2282,192 @@ combined AS (
 )
 {_topk('combined', k)}
 """
+
+
+# --------------------------------------------------------------- classification
+
+
+def naive_bayes_classify_sql(
+    class_col: str = "source", input_max: int = 30, top_n: int = 3
+) -> str:
+    """SimpleNaiveBayesClassifier twin (``classification/
+    SimpleNaiveBayesClassifier.java``) over the gate corpus: classes =
+    ``documents.<class_col>``, inputs = docs with doc_id < input_max,
+    output = per input the top_n classes by softmax posterior.
+
+    Quantization points mirror ``search/classification.py``: one
+    float32-cast ln per (term, class) likelihood and per prior component,
+    occurrence sums as cnt x float32 in double (exact), the per-class
+    total float32-cast, and the log-sum-exp softmax in double with a
+    float32 wash on ln(sumexp) and on the final score.
+    """
+    return f"""
+WITH {BASE_CTES},
+cls AS (SELECT doc_id, {class_col} AS class FROM documents),
+nclass AS (SELECT count(*)::BIGINT AS n FROM cls),
+cstat AS (SELECT class, count(*)::BIGINT AS dfc FROM cls GROUP BY class),
+avgu AS (
+    SELECT sdf.sumdf / CAST(fs.n AS DOUBLE) AS avg_unique
+    FROM (SELECT count(*)::BIGINT AS sumdf
+          FROM (SELECT DISTINCT term, doc_id FROM toks)) sdf, fs
+),
+itoks AS (
+    SELECT doc_id AS input_id, term, count(*)::BIGINT AS cnt
+    FROM toks WHERE doc_id < {input_max} GROUP BY 1, 2
+),
+qterms AS (SELECT DISTINCT term FROM itoks),
+hits AS (
+    SELECT t.term, c.class, count(DISTINCT t.doc_id)::BIGINT AS hits
+    FROM toks t JOIN cls c USING (doc_id) JOIN qterms q USING (term)
+    GROUP BY 1, 2
+),
+grid AS (
+    SELECT q.term, cs.class,
+           CAST(ln((COALESCE(h.hits, 0) + 1)
+                   / (a.avg_unique * cs.dfc + nc.n)) AS FLOAT) AS ll_tok
+    FROM qterms q
+    CROSS JOIN cstat cs CROSS JOIN avgu a CROSS JOIN nclass nc
+    LEFT JOIN hits h ON h.term = q.term AND h.class = cs.class
+),
+ll AS (
+    SELECT i.input_id, g.class,
+           sum(i.cnt * CAST(g.ll_tok AS DOUBLE)) AS ll
+    FROM itoks i JOIN grid g USING (term) GROUP BY 1, 2
+),
+inputs AS (SELECT doc_id AS input_id FROM documents WHERE doc_id < {input_max}),
+rawsc AS (
+    SELECT p.input_id, cs.class,
+           CAST(CAST(CAST(ln(cs.dfc) AS FLOAT) AS DOUBLE)
+                - CAST(CAST(ln(nc.n) AS FLOAT) AS DOUBLE)
+                + COALESCE(l.ll, 0.0) AS FLOAT) AS raw
+    FROM inputs p CROSS JOIN cstat cs CROSS JOIN nclass nc
+    LEFT JOIN ll l ON l.input_id = p.input_id AND l.class = cs.class
+),
+sm AS (
+    SELECT input_id, class, raw,
+           CAST(max(raw) OVER (PARTITION BY input_id) AS DOUBLE) AS smax
+    FROM rawsc
+),
+se AS (
+    SELECT input_id, class, raw, smax,
+           sum(exp(CAST(raw AS DOUBLE) - smax))
+               OVER (PARTITION BY input_id) AS sumexp
+    FROM sm
+),
+scored AS (
+    SELECT input_id, class,
+           CAST(exp(CAST(raw AS DOUBLE)
+                    - (smax + CAST(CAST(ln(sumexp) AS FLOAT) AS DOUBLE)))
+                AS FLOAT) AS score
+    FROM se
+)
+SELECT CAST(input_id AS BIGINT) AS input_id, class,
+       CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (PARTITION BY input_id
+                               ORDER BY score DESC, class ASC) - 1 AS INT) AS rank
+FROM scored
+QUALIFY rank < {top_n}
+ORDER BY input_id, rank
+"""
+
+
+def knn_classify_sql(
+    class_col: str = "source",
+    input_max: int = 30,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 1,
+    min_term_freq: int = 1,
+    top_n: int = 3,
+) -> str:
+    """KNearestNeighborClassifier twin (``classification/
+    KNearestNeighborClassifier.java``): per input a boosted MLT query
+    (this repo's MLT weight, boost = w/bestW float32-cast), BM25 top-k
+    (ties doc_id ASC), then the reference's class vote with the
+    sumdoc<k correction, operation-for-operation in double."""
+    return f"""
+WITH {BASE_CTES},
+cls AS (SELECT doc_id, {class_col} AS class FROM documents),
+tstats AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+),
+itoks AS (
+    SELECT doc_id AS input_id, term, count(*)::BIGINT AS cnt
+    FROM toks WHERE doc_id < {input_max} GROUP BY 1, 2
+),
+selw AS (
+    SELECT i.input_id, i.term,
+           i.cnt * ln(1 + (fs.n - ts.df + 0.5) / (ts.df + 0.5)) AS w,
+           CAST(ln(1 + (fs.n - ts.df + 0.5) / (ts.df + 0.5)) AS FLOAT) AS idf
+    FROM itoks i JOIN tstats ts USING (term) CROSS JOIN fs
+    WHERE ts.df >= {min_doc_freq} AND i.cnt >= {min_term_freq}
+),
+sel AS (
+    SELECT input_id, term, idf,
+           CAST(w / max(w) OVER (PARTITION BY input_id) AS FLOAT) AS boost
+    FROM (SELECT *, row_number() OVER (PARTITION BY input_id
+                                       ORDER BY w DESC, term ASC) AS rn
+          FROM selw)
+    WHERE rn <= {max_query_terms}
+),
+av AS (
+    SELECT CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl FROM fs
+),
+tf AS (
+    SELECT doc_id, term, count(*)::INT AS freq FROM toks
+    WHERE term IN (SELECT DISTINCT term FROM sel) GROUP BY 1, 2
+),
+contrib AS (
+    SELECT s.input_id, tf.doc_id,
+           (s.boost * s.idf)
+           - (s.boost * s.idf)
+             / ({F1} + CAST(tf.freq AS FLOAT)
+                       * ({F1} / ({K1_SQL} * (({F1} - {B_SQL})
+                          + (CAST(n.qlen AS FLOAT) * {B_SQL}) / av.avgdl))))
+           AS sc
+    FROM sel s
+    JOIN tf ON tf.term = s.term
+    JOIN norm n ON n.doc_id = tf.doc_id
+    CROSS JOIN av
+),
+per_doc AS (
+    SELECT input_id, doc_id,
+           CAST(sum(CAST(sc AS DOUBLE)) AS FLOAT) AS score
+    FROM contrib GROUP BY 1, 2
+),
+topk AS (
+    SELECT input_id, doc_id, score,
+           CAST(max(score) OVER (PARTITION BY input_id) AS FLOAT) AS max_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY input_id
+                                       ORDER BY score DESC, doc_id ASC) AS hr
+          FROM per_doc)
+    WHERE hr <= {k}
+),
+votes AS (
+    SELECT t.input_id, c.class,
+           CAST(count(*) AS DOUBLE) AS cnt,
+           sum(CAST(CAST(t.score / t.max_score AS FLOAT) AS DOUBLE)) AS boost
+    FROM topk t JOIN cls c USING (doc_id)
+    GROUP BY 1, 2
+),
+vote2 AS (
+    SELECT input_id, class, cnt, boost,
+           sum(cnt) OVER (PARTITION BY input_id) AS sumdoc,
+           (cnt * (boost / cnt)) / CAST({k} AS DOUBLE) AS tmp
+    FROM votes
+),
+scored AS (
+    SELECT input_id, class,
+           CAST(CASE WHEN sumdoc < CAST({k} AS DOUBLE)
+                     THEN tmp * CAST({k} AS DOUBLE) / sumdoc
+                     ELSE tmp END AS FLOAT) AS score
+    FROM vote2
+)
+SELECT CAST(input_id AS BIGINT) AS input_id, class,
+       CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (PARTITION BY input_id
+                               ORDER BY score DESC, class ASC) - 1 AS INT) AS rank
+FROM scored
+QUALIFY rank < {top_n}
+ORDER BY input_id, rank
+"""

@@ -1,0 +1,461 @@
+"""Index-backed text classification — the reference's ``classification``
+module re-expressed as distributed DataFrame plans.
+
+* :func:`naive_bayes_classify` —
+  ``classification/SimpleNaiveBayesClassifier.java``: add-one-smoothed
+  multinomial Naive Bayes whose per-class token likelihoods come straight
+  from index statistics (docs containing word w AND class c), priors from
+  class doc counts, scores softmax-normalized to 0–1
+  (``normClassificationResults``, :209-319).
+* :func:`knn_classify` — ``classification/KNearestNeighborClassifier.java``:
+  a MoreLikeThis query built from the input text (boosted top tf·idf
+  terms, ``:156-180``), BM25 top-k neighbours, then the class vote of
+  ``buildListFromTopDocs`` (:193-236): per class, count and
+  max-score-normalized boost sum, score = (count · boost/count)/k with the
+  sumdoc<k correction applied exactly as the reference does.
+
+Both are **batch** operators: they classify a whole DataFrame of input
+texts in one distributed plan (the reference classifies one string at a
+time; :func:`assign_class` provides that single-text surface on top of
+the batch path).  Nothing here loops per input on the driver — token
+streams explode through the analyzer UDF, per-(term, class) statistics
+are one aggregation over term-pruned postings, and per-input work is
+window functions.  At 100 TB the expensive side (postings, classes) stays
+partitioned; only the input-derived term dictionaries are broadcast.
+
+Envelope (documented divergences from the reference, mirrored bit-exactly
+by the DuckDB oracles):
+
+* MLT term selection uses this repo's established MoreLikeThis weight
+  (``features.interesting_terms``: freq · ln(1+(N−df+0.5)/(df+0.5)), ties
+  term ASC) rather than the reference MLT's ClassicSimilarity idf², and
+  the gate uses min_doc_freq=1 / min_term_freq=1 (reference defaults are
+  5 / 2 — tuned for far larger corpora than the gate's).
+* ``BM25NBClassifier`` / ``KNearestFuzzyClassifier`` /
+  ``BooleanPerceptronClassifier`` are not ported: the first scores each
+  word by the top-1 hit of a (class MUST + word SHOULD) query — an
+  experimental curiosity that needs a second indexed class field; the
+  fuzzy variant is KNN over fuzzied terms (the fuzzy expansion exists,
+  ``searcher._expand_multiterm``); the perceptron is an iterative trainer
+  out of this engine's query scope.
+
+Float discipline (the house rule every oracle-gated score follows):
+transcendentals go through scalar libm (``math.log`` / ``math.exp`` — the
+same library DuckDB calls, avoiding numpy's and the JVM's last-ULP
+drift), each is cast to float32 at a declared quantization point, and
+sums of float32 values accumulate in double (exact for these magnitudes,
+so shuffle order cannot perturb the result).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lucene_spark.index.builder import IndexTables
+from lucene_spark.search import bm25
+from lucene_spark.analysis.smallfloat import LENGTH_TABLE
+
+_LENGTH_TABLE_F32 = LENGTH_TABLE.astype(np.float32)
+
+
+# ------------------------------------------------------------------ libm UDFs
+#
+# Scalar-libm transcendentals, vectorized over the column's unique values
+# (the _LMDirichletLeaf memo trick): per-row Python cost is bounded by the
+# number of DISTINCT inputs in the batch, which for classification columns
+# is small (ratios repeat across the (term, class) grid).
+
+
+def _libm_udf(fn, out_dtype):
+    @F.pandas_udf("float" if out_dtype is np.float32 else "double")
+    def udf(x: pd.Series) -> pd.Series:
+        arr = x.to_numpy(dtype=np.float64)
+        uniq, inv = np.unique(arr, return_inverse=True)
+        vals = np.array([fn(v) for v in uniq.tolist()], dtype=out_dtype)
+        return pd.Series(vals[inv])
+
+    return udf
+
+
+def _ln_f32():
+    return _libm_udf(math.log, np.float32)
+
+
+def _ln_f64():
+    return _libm_udf(math.log, np.float64)
+
+
+def _exp_f64():
+    return _libm_udf(math.exp, np.float64)
+
+
+def _exp_f32():
+    return _libm_udf(math.exp, np.float32)
+
+
+def _qlen_f32():
+    """norm byte -> decoded quantized length as float32 (the BM25 cache's
+    length input, ``SmallFloat.byte4ToInt``)."""
+
+    @F.pandas_udf("float")
+    def udf(norm_byte: pd.Series) -> pd.Series:
+        idx = norm_byte.to_numpy(dtype=np.int64) & 0xFF
+        return pd.Series(_LENGTH_TABLE_F32[idx])
+
+    return udf
+
+
+# ------------------------------------------------------------------ tokenize
+
+
+def tokenize_inputs(
+    inputs_df: DataFrame,
+    analyzer,
+    id_col: str = "input_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(input_id, term, cnt) — the analyzer's token stream per input with
+    occurrence counts (the reference loops over every occurrence,
+    ``SimpleNaiveBayesClassifier.java:213``; summing cnt · ln(p) is the
+    exact same double because each ln is float32-quantized first)."""
+
+    an = analyzer
+
+    @F.pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        return an.analyze_series(texts)
+
+    return (
+        inputs_df.select(F.col(id_col).alias("input_id"), toks(text_col).alias("ts"))
+        .select("input_id", F.explode("ts").alias("term"))
+        .groupBy("input_id", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+# ------------------------------------------------------------------ NB
+
+
+def naive_bayes_classify(
+    idx: IndexTables,
+    classes_df: DataFrame,
+    inputs_df: DataFrame,
+    analyzer,
+    top_n: int = 3,
+    field: str = "text",
+    id_col: str = "input_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimpleNaiveBayesClassifier over a batch of inputs.
+
+    ``classes_df``: (doc_id, class) — every doc carrying a class value
+    (the class field; ``countDocsWithClass``, :167-185).  Returns
+    (input_id, class, score, rank): per input the ``top_n`` classes by
+    softmax-normalized posterior, rank 0 = ``assignClass``'s answer.
+
+    Per class c (``assignClassNormalizedList``, :137-159):
+      log prior   = ln(docFreq(c)) − ln(docsWithClass)              (:279)
+      log p(w|c)  = ln((hits(w,c) + 1) / (avgUnique·docFreq(c)
+                                          + docsWithClass))     (:209-231)
+    with avgUnique = sumDocFreq(field)/docCount(field)          (:241-252)
+    and hits(w,c) = #docs containing w with class c — one aggregation
+    over query-term-pruned postings joined to the class table.
+    """
+    spark = inputs_df.sparkSession
+    ln32, exp64, exp32 = _ln_f32(), _exp_f64(), _exp_f32()
+
+    toks = tokenize_inputs(inputs_df, analyzer, id_col, text_col)
+    qterms = toks.select("term").distinct()
+
+    n_class_docs = classes_df.count()
+    if n_class_docs == 0:
+        return spark.createDataFrame(
+            [], "input_id long, class string, score double, rank int"
+        )
+    class_stats = classes_df.groupBy("class").agg(F.count("*").alias("dfc"))
+
+    fs = idx.fieldstats.filter(F.col("field") == field).collect()[0]
+    # numPostings / (double) docCount — one double division, exact mirror
+    avg_unique = int(fs["sum_doc_freq"]) / float(fs["doc_count"])
+
+    # hits(w, c): postings rows are unique (term, doc) pairs
+    hits = (
+        idx.postings.filter(F.col("field") == field)
+        .join(F.broadcast(qterms), "term")
+        .join(classes_df, "doc_id")
+        .groupBy("term", "class")
+        .agg(F.count("*").cast("long").alias("hits"))
+    )
+    # full (input term × class) grid; absent pairs smooth to hits = 0
+    grid = (
+        qterms.crossJoin(F.broadcast(class_stats))
+        .join(hits, ["term", "class"], "left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0).cast("long")))
+        .withColumn(
+            "den",
+            F.lit(avg_unique) * F.col("dfc").cast("double")
+            + F.lit(float(n_class_docs)),
+        )
+        # float32 quantization point: one ln per (term, class)
+        .withColumn(
+            "ll_tok",
+            ln32((F.col("hits").cast("double") + F.lit(1.0)) / F.col("den")),
+        )
+        .select("term", "class", "ll_tok")
+    )
+
+    # Σ over input occurrences: cnt · float32-value in double is exact,
+    # so the shuffle's summation order cannot change the result
+    loglik = (
+        toks.join(grid, "term")
+        .groupBy("input_id", "class")
+        .agg(
+            F.sum(F.col("cnt").cast("double") * F.col("ll_tok").cast("double")).alias(
+                "ll"
+            )
+        )
+    )
+
+    # every input scores every class (zero-token inputs keep prior-only)
+    all_pairs = (
+        inputs_df.select(F.col(id_col).alias("input_id"))
+        .crossJoin(F.broadcast(class_stats))
+        .join(loglik, ["input_id", "class"], "left")
+        .withColumn("ll", F.coalesce(F.col("ll"), F.lit(0.0)))
+        .withColumn(
+            "prior",
+            ln32(F.col("dfc").cast("double")).cast("double")
+            - ln32(F.lit(float(n_class_docs))).cast("double"),
+        )
+        .withColumn("raw", (F.col("prior") + F.col("ll")).cast("float"))
+    )
+
+    # softmax (normClassificationResults, :293-319): stable log-sum-exp
+    w_in = Window.partitionBy("input_id")
+    scored = (
+        all_pairs.withColumn("smax", F.max("raw").over(w_in).cast("double"))
+        .withColumn("e", exp64(F.col("raw").cast("double") - F.col("smax")))
+        .withColumn("sumexp", F.sum("e").over(w_in))
+        .withColumn(
+            "loga", F.col("smax") + ln32(F.col("sumexp")).cast("double")
+        )
+        .withColumn("score", exp32(F.col("raw").cast("double") - F.col("loga")))
+    )
+    w_rank = Window.partitionBy("input_id").orderBy(F.desc("score"), F.asc("class"))
+    return (
+        scored.withColumn("rank", (F.row_number().over(w_rank) - 1).cast("int"))
+        .filter(F.col("rank") < top_n)
+        .select(
+            F.col("input_id").cast("long"),
+            F.col("class").cast("string"),
+            F.col("score").cast("double"),
+            "rank",
+        )
+    )
+
+
+# ------------------------------------------------------------------ KNN
+
+
+def knn_classify(
+    idx: IndexTables,
+    classes_df: DataFrame,
+    inputs_df: DataFrame,
+    analyzer,
+    k: int = 10,
+    max_query_terms: int = 25,
+    min_doc_freq: int = 1,
+    min_term_freq: int = 1,
+    top_n: int = 3,
+    field: str = "text",
+    id_col: str = "input_id",
+    text_col: str = "text",
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> DataFrame:
+    """KNearestNeighborClassifier over a batch of inputs.
+
+    Per input: MLT term selection from the input text (``knnSearch``,
+    :156-180 — boosted, boost = weight/bestWeight with ``setBoost(true)``),
+    BM25 top-k over the index (ties doc_id ASC, the collector's tie-break),
+    then the reference's exact class vote (``buildListFromTopDocs``):
+
+      boost_c = Σ_{hits of class c} float32(score/maxScore)   (:213-217)
+      score_c = (count_c · (boost_c/count_c)) / k             (:225-229)
+      if Σcount < k:  score_c = score_c · k / Σcount          (:233-236)
+
+    Returns (input_id, class, score, rank), rank 0 per input =
+    ``assignClass``'s answer.
+    """
+    spark = inputs_df.sparkSession
+    ln32, ln64 = _ln_f32(), _ln_f64()
+    qlen32 = _qlen_f32()
+
+    fs = idx.fieldstats.filter(F.col("field") == field).collect()[0]
+    n_docs, sttf = int(fs["doc_count"]), int(fs["sum_total_term_freq"])
+    avgdl = float(bm25.avgdl(sttf, n_docs))
+    k1f, bf = float(np.float32(k1)), float(np.float32(b))
+
+    toks = tokenize_inputs(inputs_df, analyzer, id_col, text_col).filter(
+        F.col("cnt") >= min_term_freq
+    )
+
+    # MLT selection: the repo's MoreLikeThis weight (features.py envelope)
+    ts = idx.termstats.filter(
+        (F.col("field") == field) & (F.col("doc_freq") >= min_doc_freq)
+    ).select("term", "doc_freq")
+    w_in = Window.partitionBy("input_id")
+    sel = (
+        toks.join(ts, "term")
+        .withColumn(
+            "mlt_w",
+            F.col("cnt").cast("double")
+            * ln64(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("doc_freq") + F.lit(0.5))
+                / (F.col("doc_freq") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "sel_rank",
+            F.row_number().over(
+                Window.partitionBy("input_id").orderBy(
+                    F.desc("mlt_w"), F.asc("term")
+                )
+            ),
+        )
+        .filter(F.col("sel_rank") <= max_query_terms)
+        .withColumn("best_w", F.max("mlt_w").over(w_in))
+        .withColumn("boost", (F.col("mlt_w") / F.col("best_w")).cast("float"))
+        # float32 idf and weight, the BM25Scorer quantization points
+        .withColumn(
+            "idf",
+            ln32(
+                F.lit(1.0)
+                + (F.lit(float(n_docs)) - F.col("doc_freq") + F.lit(0.5))
+                / (F.col("doc_freq") + F.lit(0.5))
+            ),
+        )
+        .withColumn("weight", F.col("boost") * F.col("idf"))
+        .select("input_id", "term", "weight")
+    )
+
+    # BM25 per (input, doc): float32 expression algebra, JVM-side
+    # (norm_inverse_cache mirrored: inv = 1/(k1·((1−b) + (len·b)/avgdl)))
+    postings = idx.postings.filter(F.col("field") == field)
+    norms = idx.doclens.filter(F.col("field") == field).select(
+        "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
+    )
+    # Spark promotes float/float to double; casting each quotient back to
+    # float is bit-identical to a native float32 division (the widened
+    # format has ≥ 2p+2 bits, so the double rounding is innocuous) — this
+    # keeps every step below in lockstep with numpy's stepwise-f32
+    # ``bm25.bm25_score`` and the DuckDB oracle's FLOAT expressions.
+    one = F.lit(1.0).cast("float")
+    inv = (
+        one
+        / (
+            F.lit(k1f).cast("float")
+            * (
+                (one - F.lit(bf).cast("float"))
+                + (
+                    (F.col("qlen") * F.lit(bf).cast("float"))
+                    / F.lit(avgdl).cast("float")
+                ).cast("float")
+            )
+        )
+    ).cast("float")
+    contrib = (
+        postings.join(F.broadcast(sel), "term")
+        .join(norms, "doc_id")
+        .withColumn("inv", inv)
+        .withColumn(
+            "sc",
+            F.col("weight")
+            - (
+                F.col("weight")
+                / (one + F.col("freq").cast("float") * F.col("inv"))
+            ).cast("float"),
+        )
+    )
+    per_doc = (
+        contrib.groupBy("input_id", "doc_id")
+        .agg(F.sum(F.col("sc").cast("double")).alias("dsc"))
+        .withColumn("score", F.col("dsc").cast("float"))
+    )
+    if idx.deletes is not None:
+        per_doc = per_doc.join(idx.deletes, "doc_id", "left_anti")
+    topk = (
+        per_doc.withColumn(
+            "hit_rank",
+            F.row_number().over(
+                Window.partitionBy("input_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("hit_rank") <= k)
+        .withColumn("max_score", F.max("score").over(w_in))
+    )
+
+    # class vote — operation sequence mirrors the reference line-for-line
+    votes = (
+        topk.join(classes_df, "doc_id")
+        .withColumn("sb", (F.col("score") / F.col("max_score")).cast("float"))
+        .groupBy("input_id", "class")
+        .agg(
+            F.count("*").cast("double").alias("cnt"),
+            F.sum(F.col("sb").cast("double")).alias("boost"),
+        )
+        .withColumn("sumdoc", F.sum("cnt").over(w_in))
+        .withColumn(
+            "tmp",
+            (F.col("cnt") * (F.col("boost") / F.col("cnt"))) / F.lit(float(k)),
+        )
+        .withColumn(
+            "vote",
+            F.when(
+                F.col("sumdoc") < F.lit(float(k)),
+                F.col("tmp") * F.lit(float(k)) / F.col("sumdoc"),
+            ).otherwise(F.col("tmp")),
+        )
+        .withColumn("score", F.col("vote").cast("float"))
+    )
+    w_rank = Window.partitionBy("input_id").orderBy(F.desc("score"), F.asc("class"))
+    return (
+        votes.withColumn("rank", (F.row_number().over(w_rank) - 1).cast("int"))
+        .filter(F.col("rank") < top_n)
+        .select(
+            F.col("input_id").cast("long"),
+            F.col("class").cast("string"),
+            F.col("score").cast("double"),
+            "rank",
+        )
+    )
+
+
+# ------------------------------------------------------------------ surface
+
+
+def assign_class(
+    idx: IndexTables,
+    classes_df: DataFrame,
+    text: str,
+    analyzer,
+    method: str = "naive_bayes",
+    **kwargs,
+) -> tuple[str, float] | None:
+    """The reference's single-text ``assignClass(String)`` surface: one
+    input row through the batch path, returning (class, score) or None."""
+    spark = classes_df.sparkSession
+    inputs = spark.createDataFrame([(0, text)], "input_id long, text string")
+    fn = naive_bayes_classify if method == "naive_bayes" else knn_classify
+    rows = fn(idx, classes_df, inputs, analyzer, top_n=1, **kwargs).collect()
+    if not rows:
+        return None
+    return rows[0]["class"], float(rows[0]["score"])

@@ -1,0 +1,181 @@
+"""Classification module: Naive Bayes + KNN vs the DuckDB oracle and a
+direct Python transcription of the reference math
+(``classification/SimpleNaiveBayesClassifier.java``,
+``KNearestNeighborClassifier.java``)."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS, StandardAnalyzer
+from lucene_spark.index.builder import build_index
+from lucene_spark.search.classification import (
+    assign_class,
+    knn_classify,
+    naive_bayes_classify,
+)
+from lucene_spark import oracle_sql as osql
+
+SF_DIR = "/root/testdata/sf0.001"
+AN = StandardAnalyzer(stop_words=ENGLISH_STOP_WORDS)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def idx(docs):
+    return build_index(docs, text_col="text", doc_id_col="doc_id", analyzer=AN).persist()
+
+
+@pytest.fixture(scope="module")
+def classes(docs):
+    return docs.select("doc_id", F.col("source").alias("class"))
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return con
+
+
+def _rows(df):
+    return sorted(
+        (int(r["input_id"]), r["class"], float(r["score"]), int(r["rank"]))
+        for r in df.collect()
+    )
+
+
+def _oracle_rows(ddb, sql):
+    return sorted(
+        (int(r[0]), r[1], float(r[2]), int(r[3])) for r in ddb.execute(sql).fetchall()
+    )
+
+
+def test_naive_bayes_matches_oracle(spark, idx, classes, docs, ddb):
+    inputs = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("input_id"), "text"
+    )
+    got = _rows(naive_bayes_classify(idx, classes, inputs, AN, top_n=3))
+    want = _oracle_rows(ddb, osql.naive_bayes_classify_sql("source", 30, 3))
+    assert got == want
+    # 30 inputs x top-3 classes
+    assert len(got) == 90
+
+
+def test_knn_matches_oracle(spark, idx, classes, docs, ddb):
+    inputs = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("input_id"), "text"
+    )
+    got = _rows(knn_classify(idx, classes, inputs, AN, k=10, top_n=3))
+    want = _oracle_rows(ddb, osql.knn_classify_sql("source", 30, 10, 25, 1, 1, 3))
+    assert got == want
+    assert len(got) == 90
+
+
+def _nb_reference(corpus, labels, text):
+    """Line-for-line double transcription of SimpleNaiveBayesClassifier
+    (:137-231, :279-319) over a token-list corpus."""
+    tokens = [AN.analyze(t) for t in corpus]
+    classes = sorted(set(labels))
+    docs_with_class = len(labels)
+    # avg unique terms per doc over docs with at least one token
+    non_empty = [t for t in tokens if t]
+    sum_doc_freq = sum(len(set(t)) for t in non_empty)
+    avg_unique = sum_doc_freq / float(len(non_empty))
+    q = AN.analyze(text)
+    out = {}
+    for c in classes:
+        dfc = sum(1 for l in labels if l == c)
+        prior = math.log(dfc) - math.log(docs_with_class)
+        ll = 0.0
+        for w in q:
+            hits = sum(
+                1 for t, l in zip(tokens, labels) if l == c and w in set(t)
+            )
+            ll += math.log((hits + 1) / (avg_unique * dfc + docs_with_class))
+        out[c] = prior + ll
+    # softmax
+    smax = max(out.values())
+    loga = smax + math.log(sum(math.exp(v - smax) for v in out.values()))
+    return {c: math.exp(v - loga) for c, v in out.items()}
+
+
+def test_naive_bayes_semantics_tiny(spark):
+    corpus = [
+        "spark shuffle partition executor",
+        "spark join broadcast executor",
+        "cat dog pet animal",
+        "dog animal veterinarian pet",
+        "cat pet whiskers",
+    ]
+    labels = ["tech", "tech", "pets", "pets", "pets"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    idx = build_index(docs, text_col="text", doc_id_col="doc_id", analyzer=AN)
+    classes = spark.createDataFrame(
+        list(enumerate(labels)), "doc_id long, class string"
+    )
+    for text in ["spark executor broadcast", "dog cat pet", "spark dog"]:
+        want = _nb_reference(corpus, labels, text)
+        best = max(want, key=want.get)
+        assert sum(1 for v in want.values() if v == want[best]) == 1
+        got = assign_class(idx, classes, text, AN, method="naive_bayes")
+        assert got is not None
+        assert got[0] == best
+        assert got[1] == pytest.approx(want[best], rel=1e-5)
+
+
+def test_knn_semantics_tiny(spark):
+    corpus = [
+        "spark shuffle partition executor",
+        "spark join broadcast executor",
+        "cat dog pet animal",
+        "dog animal veterinarian pet",
+        "cat pet whiskers",
+    ]
+    labels = ["tech", "tech", "pets", "pets", "pets"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    idx = build_index(docs, text_col="text", doc_id_col="doc_id", analyzer=AN)
+    classes = spark.createDataFrame(
+        list(enumerate(labels)), "doc_id long, class string"
+    )
+    got = assign_class(idx, classes, "spark executor shuffle", AN, method="knn", k=3)
+    assert got is not None and got[0] == "tech"
+    got = assign_class(idx, classes, "cat dog animal", AN, method="knn", k=3)
+    assert got is not None and got[0] == "pets"
+    # fewer matches than k: the sumdoc<k correction renormalizes to 1
+    inputs = spark.createDataFrame(
+        [(0, "whiskers")], "input_id long, text string"
+    )
+    rows = knn_classify(idx, classes, inputs, AN, k=5, top_n=5).collect()
+    assert sum(r["score"] for r in rows) == pytest.approx(1.0)
+
+
+def test_zero_token_input_keeps_prior_only(spark):
+    corpus = ["spark executor", "dog pet"]
+    labels = ["tech", "pets"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    idx = build_index(docs, text_col="text", doc_id_col="doc_id", analyzer=AN)
+    classes = spark.createDataFrame(
+        list(enumerate(labels)), "doc_id long, class string"
+    )
+    # "the" is a stopword: the token stream is empty, priors decide (equal
+    # priors here -> uniform softmax, tie broken class ASC)
+    inputs = spark.createDataFrame([(7, "the")], "input_id long, text string")
+    rows = naive_bayes_classify(idx, classes, inputs, AN, top_n=2).collect()
+    assert {r["class"] for r in rows} == {"tech", "pets"}
+    for r in rows:
+        assert r["score"] == pytest.approx(0.5)
