@@ -2471,3 +2471,90 @@ FROM scored
 QUALIFY rank < {top_n}
 ORDER BY input_id, rank
 """
+
+
+# --------------------------------------------------------------- misc module
+
+
+def sweetspot_term_topk_sql(
+    term: str,
+    ln_min: int,
+    ln_max: int,
+    steepness: float,
+    tf_base: float,
+    tf_min: float,
+    k: int,
+) -> str:
+    """SweetSpotSimilarity (``misc/SweetSpotSimilarity.java``): Classic
+    idf with the plateau lengthNorm (:111-120) and baselineTf (:142-147),
+    per-op float32 rounding mirroring ``_SweetSpotLeaf``."""
+    import numpy as _np
+
+    b2 = float(_np.float32(tf_base) * _np.float32(tf_base))
+    return f"""
+WITH {BASE_CTES},
+tf_a AS (
+    SELECT doc_id, count(*)::INT AS freq FROM toks WHERE term = '{term}' GROUP BY doc_id
+),
+w AS (
+    SELECT CAST(ln((fs.n + 1) / CAST(st.df + 1 AS DOUBLE)) + 1.0 AS FLOAT) AS w
+    FROM fs, (SELECT count(*)::BIGINT AS df FROM tf_a) st
+),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(CAST(w.w *
+                CASE WHEN CAST(tf.freq AS FLOAT) <= CAST({tf_min} AS FLOAT)
+                     THEN CAST({tf_base} AS FLOAT)
+                     ELSE CAST(sqrt(CAST((CAST(tf.freq AS FLOAT)
+                                          + CAST({b2} AS FLOAT))
+                                         - CAST({tf_min} AS FLOAT) AS DOUBLE))
+                          AS FLOAT)
+                END AS FLOAT)
+                * CAST(1.0 / sqrt(CAST(
+                      (CAST({steepness} AS FLOAT)
+                       * CAST(abs(n.qlen - {ln_min}) + abs(n.qlen - {ln_max})
+                              - ({ln_max} - {ln_min}) AS FLOAT))
+                      + CAST(1.0 AS FLOAT) AS DOUBLE)) AS FLOAT)
+           AS FLOAT) AS score
+    FROM tf_a tf JOIN norm n USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
+def diversified_topk_sql(term: str, key_col: str, max_per_key: int, k: int) -> str:
+    """DiversifiedTopDocsCollector (``misc/search/
+    DiversifiedTopDocsCollector.java``): BM25 hits, at most max_per_key
+    per ``documents.<key_col>`` value, global top-k; ties doc_id ASC."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('a', term)},
+keyed AS (
+    SELECT s.doc_id, s.score,
+           row_number() OVER (PARTITION BY d.{key_col}
+                              ORDER BY s.score DESC, s.doc_id ASC) AS key_rank
+    FROM sc_a s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1 AS INT) AS rank
+FROM keyed WHERE key_rank <= {max_per_key}
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def high_freq_terms_sql(n: int, by: str = "ttf") -> str:
+    """HighFreqTerms (``misc/HighFreqTerms.java``): top-n terms by total
+    term frequency (``-t``) or doc frequency; ties term ASC."""
+    order = (
+        "total_term_freq DESC, term ASC" if by == "ttf" else "doc_freq DESC, term ASC"
+    )
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS doc_freq,
+           count(*)::BIGINT AS total_term_freq
+    FROM toks GROUP BY term
+)
+SELECT term, doc_freq, total_term_freq FROM ts
+ORDER BY {order} LIMIT {n}
+"""

@@ -118,6 +118,55 @@ def grouped_topk(
     )
 
 
+def diversified_topk(
+    scored: DataFrame,
+    docmeta: DataFrame,
+    key_col: str,
+    max_per_key: int,
+    k: int,
+) -> DataFrame:
+    """``misc/search/DiversifiedTopDocsCollector.java``: global top-k with
+    at most ``max_per_key`` hits per key (the "max 3 Beatles hits on the
+    compilation" collector, :37-67).
+
+    The collector's per-key/global queue dance maintains exactly the
+    invariant "each doc is within its key's top-``max_per_key`` by score"
+    (a doc displaced from its key queue is removed from the global queue,
+    :136-156, and vice versa :164-170), so the closed form is one window
+    rank per key followed by the global top-k.  Ties break doc_id ASC in
+    both rankings (the PQ's insertion-order tie-break is not deterministic
+    in the reference; docID ASC is this port's declared policy, mirrored
+    by the oracle).  Returns (doc_id, score, rank)."""
+    wk = Window.partitionBy(key_col).orderBy(F.desc("score"), F.asc("doc_id"))
+    wg = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(docmeta.select("doc_id", key_col), "doc_id")
+        .withColumn("key_rank", F.row_number().over(wk))
+        .filter(F.col("key_rank") <= max_per_key)
+        .withColumn("rank", (F.row_number().over(wg) - 1).cast("int"))
+        .filter(F.col("rank") < k)
+        .select("doc_id", "score", "rank")
+        .orderBy("rank")
+    )
+
+
+def high_freq_terms(termstats: DataFrame, n: int, by: str = "ttf") -> DataFrame:
+    """``misc/HighFreqTerms.java``: the top-``n`` terms by total term
+    frequency (``-t`` flag; ``by="df"`` for the docFreq ordering, :36-48).
+    One ORDER BY + LIMIT over the terms dictionary; ties term ASC (the
+    reference's PQ breaks ties by term comparison too)."""
+    order = (
+        [F.desc("total_term_freq"), F.asc("term")]
+        if by == "ttf"
+        else [F.desc("doc_freq"), F.asc("term")]
+    )
+    return (
+        termstats.orderBy(*order)
+        .limit(n)
+        .select("term", "doc_freq", "total_term_freq")
+    )
+
+
 def block_join_parents(
     scored: DataFrame,
     docmeta: DataFrame,

@@ -144,6 +144,81 @@ class ClassicSimilarity(Similarity):
 
 
 @dataclass
+class _SweetSpotLeaf(LeafScorer):
+    """weight · baselineTf(freq) · plateauNorm[norm] in stepwise float32
+    (``misc/SweetSpotSimilarity.java:128-147``: tf delegates to baselineTf;
+    0 → 0, freq ≤ tf_min → tf_base, else (float)sqrt(freq + tf_base² −
+    tf_min) — the float sum feeds a double sqrt, cast back to float)."""
+
+    weight: np.float32
+    table: np.ndarray  # float32[256] plateau lengthNorm per norm byte
+    tf_base: np.float32
+    tf_min: np.float32
+
+    def score(self, freq, norm_bytes):
+        f = np.asarray(freq, dtype=np.float32)
+        b2 = self.tf_base * self.tf_base  # float32 multiply, as in Java
+        inner = (f + b2) - self.tf_min
+        tf = np.sqrt(inner.astype(np.float64)).astype(np.float32)
+        tf = np.where(f <= self.tf_min, self.tf_base, tf)
+        tf = np.where(f == np.float32(0.0), np.float32(0.0), tf)
+        nrm = self.table[np.asarray(norm_bytes, dtype=np.int64) & 0xFF]
+        return (self.weight * tf).astype(np.float32) * nrm
+
+
+class SweetSpotSimilarity(ClassicSimilarity):
+    """``misc/SweetSpotSimilarity.java``: ClassicSimilarity with a plateau
+    lengthNorm — docs whose length sits inside [ln_min, ln_max] norm to 1,
+    lengths outside decay as 1/sqrt(steepness·2·distance + 1) (:111-120) —
+    and the baselineTf floor (:128-147).  Defaults degrade to Classic
+    exactly (min=max=1, steepness=0.5, tf_base=tf_min=0 → 1/sqrt(len),
+    sqrt(freq)).
+
+    ``supports_wand`` stays False: the plateau is NOT monotone in doc
+    length (shorter-than-min docs also score lower), so a block's minimum
+    norm byte no longer upper-bounds its scores and the WAND impact
+    frontier would be unsound — sweet-spot queries take the flat plan."""
+
+    name = "sweetspot"
+    supports_wand = False
+
+    def __init__(
+        self,
+        ln_min: int = 1,
+        ln_max: int = 1,
+        steepness: float = 0.5,
+        tf_base: float = 0.0,
+        tf_min: float = 0.0,
+    ):
+        self.ln_min = int(ln_min)
+        self.ln_max = int(ln_max)
+        self.steepness = float(steepness)
+        self.tf_base = np.float32(tf_base)
+        self.tf_min = np.float32(tf_min)
+
+    def _table(self) -> np.ndarray:
+        # lengthNorm(numTerms) over the decoded quantized lengths:
+        # (float)(1.0f / sqrt(s·(float)(|x−l|+|x−h|−(h−l)) + 1.0f))
+        dl = LENGTH_TABLE.astype(np.int64)
+        abssum = np.abs(dl - self.ln_min) + np.abs(dl - self.ln_max) - (
+            self.ln_max - self.ln_min
+        )
+        inner = np.float32(self.steepness) * abssum.astype(np.float32) + np.float32(
+            1.0
+        )
+        return (1.0 / np.sqrt(inner.astype(np.float64))).astype(np.float32)
+
+    def leaf_scorer(self, boost, doc_freq, doc_count, sum_ttf, total_term_freq=None):
+        weight = np.float32(boost) * self.idf(doc_freq, doc_count)
+        return _SweetSpotLeaf(weight, self._table(), self.tf_base, self.tf_min)
+
+    def leaf_scorer_from_weight(self, weight, doc_count, sum_ttf):
+        return _SweetSpotLeaf(
+            np.float32(weight), self._table(), self.tf_base, self.tf_min
+        )
+
+
+@dataclass
 class _LMDirichletLeaf(LeafScorer):
     """score = (float) max(0, boost·(ln(1 + freq/(mu·p)) + ln(mu/(dl+mu))))
     — ``LMDirichletSimilarity.java:76-82`` with
@@ -439,6 +514,7 @@ def resolve(similarity) -> Similarity:
     return {
         "bm25": BM25Similarity,
         "classic": ClassicSimilarity,
+        "sweetspot": SweetSpotSimilarity,
         "boolean": BooleanSimilarity,
         "lmdirichlet": LMDirichletSimilarity,
         "dfr": DFRSimilarity,
