@@ -288,6 +288,28 @@ def run_bench() -> dict:
         )
         pos.unpersist()
 
+        # r5 final: batch Naive Bayes classification (classification/
+        # SimpleNaiveBayesClassifier.java as one distributed plan) — 128
+        # inputs against the role classes over the live index; the cost
+        # scales with |inputs| x |classes| + one pruned-postings agg, not
+        # with the corpus
+        from pyspark.sql import functions as _Fc
+
+        from lucene_spark.search.classification import naive_bayes_classify
+
+        classes_df = idx.docmap.select("doc_id", _Fc.col("role").alias("class"))
+        cls_inputs = (
+            idx.docmap.filter(_Fc.col("turn_idx") == 0)
+            .orderBy("conv_id")
+            .limit(128)
+            .select(_Fc.col("doc_id").alias("input_id"), "text")
+        )
+        t1 = time.perf_counter()
+        naive_bayes_classify(
+            idx, classes_df, cls_inputs, StandardAnalyzer(), top_n=1
+        ).collect()
+        q_times["q_classify_nb_batch128"] = round(time.perf_counter() - t1, 4)
+
     # r5: disk-resident proximity — a positional segment build (positions +
     # offsets partitioned by (segment, tbucket)) and phrase/NEAR queries
     # answered entirely from the disk layout with bucket-pruned scans
