@@ -2431,8 +2431,11 @@ contrib AS (
     CROSS JOIN av
 ),
 per_doc AS (
+    -- MLT group sum + the MUST class-exists wildcard's ConstantScore 1.0
+    -- (ReqOptSumScorer: double add of the two clause floats, cast float)
     SELECT input_id, doc_id,
-           CAST(sum(CAST(sc AS DOUBLE)) AS FLOAT) AS score
+           CAST(CAST(CAST(sum(CAST(sc AS DOUBLE)) AS FLOAT) AS DOUBLE)
+                + 1.0 AS FLOAT) AS score
     FROM contrib GROUP BY 1, 2
 ),
 topk AS (

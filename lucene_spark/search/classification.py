@@ -383,10 +383,18 @@ def knn_classify(
             ).cast("float"),
         )
     )
+    # + the MUST class-exists wildcard's constant score (knnSearch adds
+    # WildcardQuery(class, "*") as a scoring MUST, :174-176 — ConstantScore
+    # 1.0 summed by ReqOptSumScorer in double, cast float); constant across
+    # docs so ranking is unchanged, but the vote's score/maxScore
+    # normalization sees (s+1)/(smax+1) exactly as the reference does
     per_doc = (
         contrib.groupBy("input_id", "doc_id")
         .agg(F.sum(F.col("sc").cast("double")).alias("dsc"))
-        .withColumn("score", F.col("dsc").cast("float"))
+        .withColumn(
+            "score",
+            (F.col("dsc").cast("float").cast("double") + F.lit(1.0)).cast("float"),
+        )
     )
     if idx.deletes is not None:
         per_doc = per_doc.join(idx.deletes, "doc_id", "left_anti")
@@ -403,7 +411,16 @@ def knn_classify(
         .withColumn("max_score", F.max("score").over(w_in))
     )
 
-    # class vote — operation sequence mirrors the reference line-for-line
+    return _class_vote(topk, classes_df, k, top_n)
+
+
+def _class_vote(topk: DataFrame, classes_df: DataFrame, k: int, top_n: int) -> DataFrame:
+    """``buildListFromTopDocs`` (KNearestNeighborClassifier.java:193-236,
+    identical in KNearestFuzzyClassifier): per class the hit count and
+    max-score-normalized boost sum, score = (count · boost/count)/k with
+    the sumdoc<k correction — operation sequence mirrored line-for-line.
+    ``topk``: (input_id, doc_id, score, max_score)."""
+    w_in = Window.partitionBy("input_id")
     votes = (
         topk.join(classes_df, "doc_id")
         .withColumn("sb", (F.col("score") / F.col("max_score")).cast("float"))
