@@ -1575,6 +1575,7 @@ def _q_classification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (qkind, input_id, class, score, rank)."""
     from lucene_spark.search.classification import (
         knn_classify,
+        knn_fuzzy_classify,
         naive_bayes_classify,
     )
 
@@ -1586,8 +1587,11 @@ def _q_classification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nb = naive_bayes_classify(s.index, classes, inputs, GATE_ANALYZER, top_n=3)
     kn = knn_classify(s.index, classes, inputs, GATE_ANALYZER, k=10, top_n=3)
-    return nb.select(F.lit("naive_bayes").alias("qkind"), "*").unionByName(
-        kn.select(F.lit("knn").alias("qkind"), "*")
+    kf = knn_fuzzy_classify(s.index, classes, inputs, GATE_ANALYZER, k=10, top_n=3)
+    return (
+        nb.select(F.lit("naive_bayes").alias("qkind"), "*")
+        .unionByName(kn.select(F.lit("knn").alias("qkind"), "*"))
+        .unionByName(kf.select(F.lit("knn_fuzzy").alias("qkind"), "*"))
     )
 
 
@@ -2016,6 +2020,7 @@ def oracle_sql() -> dict[str, str]:
             [
                 ("naive_bayes", osql.naive_bayes_classify_sql("source", 30, 3)),
                 ("knn", osql.knn_classify_sql("source", 30, 10, 25, 1, 1, 3)),
+                ("knn_fuzzy", osql.knn_fuzzy_classify_sql("source", 30, 10, 3)),
             ]
         ),
         "text_stats": (

@@ -2476,6 +2476,154 @@ ORDER BY input_id, rank
 """
 
 
+def knn_fuzzy_classify_sql(
+    class_col: str = "source",
+    input_max: int = 30,
+    k: int = 10,
+    top_n: int = 3,
+) -> str:
+    """KNearestFuzzyClassifier twin (``classification/
+    KNearestFuzzyClassifier.java`` + ``utils/NearestFuzzyQuery.java``).
+
+    Per input: every DISTINCT token fuzzified against the terms dict
+    (maxEdits 1 / prefixLength 2 — candidates share the first
+    min(2, len) chars and sit within suffix edit distance 1; at distance
+    <= 1 OSA == Damerau-Levenshtein so ``damerau_levenshtein`` is the
+    exact twin), boost = 1f - ed/min(len) over FULL lengths, <= 50
+    variants per source term by (boost DESC, term ASC), variant score =
+    f32(f32(boost^2) * f32(ln((N+1)/(df+1)) + 1.0)) with df = the source
+    term's docFreq (integer-mean variant df when 0), global top 300 per
+    input, BM25 with artificial df=1 stats, variants-of-one-source summed
+    to float32 then source groups summed to float32, + the class-exists
+    wildcard's constant 1.0, top-k (ties doc ASC), then the identical
+    class vote."""
+    return f"""
+WITH {BASE_CTES},
+cls AS (SELECT doc_id, {class_col} AS class FROM documents),
+nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+),
+itq AS (
+    SELECT DISTINCT doc_id AS input_id, term AS src
+    FROM toks WHERE doc_id < {input_max}
+),
+cand AS (
+    SELECT * FROM (
+        SELECT i.input_id, i.src, ts.term AS vterm, ts.df AS vdf,
+               least(2, length(i.src)) AS rp,
+               CASE WHEN ts.term = i.src THEN 0
+                    ELSE damerau_levenshtein(
+                        substr(ts.term, least(2, length(i.src)) + 1),
+                        substr(i.src, least(2, length(i.src)) + 1)) END AS ed
+        FROM itq i JOIN ts
+          ON substr(ts.term, 1, least(2, length(i.src)))
+             = substr(i.src, 1, least(2, length(i.src)))
+        WHERE length(ts.term) BETWEEN length(i.src) - 1 AND length(i.src) + 1
+    ) WHERE ed <= 1
+),
+boosted AS (
+    SELECT input_id, src, vterm, vdf, ed,
+           CASE WHEN ed = 0 THEN {F1}
+                ELSE CAST({F1} - CAST(ed AS FLOAT)
+                     / CAST(least(length(vterm), length(src)) AS FLOAT)
+                     AS FLOAT) END AS boost
+    FROM cand
+),
+vstat AS (
+    SELECT *, count(*) OVER (PARTITION BY input_id, src) AS nvar,
+           sum(vdf) OVER (PARTITION BY input_id, src) AS totvdf,
+           row_number() OVER (PARTITION BY input_id, src
+                              ORDER BY boost DESC, vterm ASC) AS vrank
+    FROM boosted
+),
+scored_terms AS (
+    SELECT v.input_id, v.src, v.vterm,
+           CAST(CAST(v.boost * v.boost AS FLOAT)
+                * CAST(ln((nd.n + 1) / CAST(COALESCE(s.df, v.totvdf // v.nvar)
+                                            + 1 AS DOUBLE)) + 1.0 AS FLOAT)
+                AS FLOAT) AS stsc
+    FROM vstat v LEFT JOIN ts s ON s.term = v.src CROSS JOIN nd
+    WHERE v.vrank <= 50
+),
+gkeep AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY input_id
+                                     ORDER BY stsc DESC, vterm ASC) AS grank
+        FROM scored_terms
+    ) WHERE grank <= 300
+),
+w AS (
+    SELECT CAST(ln(1 + (fs.n - 1 + 0.5) / (1 + 0.5)) AS FLOAT) AS idf1,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM fs
+),
+tf AS (
+    SELECT doc_id, term, count(*)::INT AS freq FROM toks
+    WHERE term IN (SELECT DISTINCT vterm FROM gkeep) GROUP BY 1, 2
+),
+leaf AS (
+    SELECT g.input_id, tf.doc_id, g.src,
+           CAST(g.stsc * w.idf1 AS FLOAT)
+           - CAST(g.stsc * w.idf1 AS FLOAT)
+             / ({F1} + CAST(tf.freq AS FLOAT)
+                       * ({F1} / ({K1_SQL} * (({F1} - {B_SQL})
+                          + (CAST(n.qlen AS FLOAT) * {B_SQL}) / w.avgdl))))
+           AS sc
+    FROM gkeep g
+    JOIN tf ON tf.term = g.vterm
+    JOIN norm n ON n.doc_id = tf.doc_id
+    CROSS JOIN w
+),
+gsum AS (
+    SELECT input_id, doc_id, src,
+           CAST(sum(CAST(sc AS DOUBLE)) AS FLOAT) AS gsc
+    FROM leaf GROUP BY 1, 2, 3
+),
+per_doc AS (
+    SELECT input_id, doc_id,
+           CAST(CAST(CAST(sum(CAST(gsc AS DOUBLE)) AS FLOAT) AS DOUBLE)
+                + 1.0 AS FLOAT) AS score
+    FROM gsum GROUP BY 1, 2
+),
+topk AS (
+    SELECT input_id, doc_id, score,
+           CAST(max(score) OVER (PARTITION BY input_id) AS FLOAT) AS max_score
+    FROM (SELECT *, row_number() OVER (PARTITION BY input_id
+                                       ORDER BY score DESC, doc_id ASC) AS hr
+          FROM per_doc)
+    WHERE hr <= {k}
+),
+votes AS (
+    SELECT t.input_id, c.class,
+           CAST(count(*) AS DOUBLE) AS cnt,
+           sum(CAST(CAST(t.score / t.max_score AS FLOAT) AS DOUBLE)) AS boost
+    FROM topk t JOIN cls c USING (doc_id)
+    GROUP BY 1, 2
+),
+vote2 AS (
+    SELECT input_id, class, cnt, boost,
+           sum(cnt) OVER (PARTITION BY input_id) AS sumdoc,
+           (cnt * (boost / cnt)) / CAST({k} AS DOUBLE) AS tmp
+    FROM votes
+),
+scored AS (
+    SELECT input_id, class,
+           CAST(CASE WHEN sumdoc < CAST({k} AS DOUBLE)
+                     THEN tmp * CAST({k} AS DOUBLE) / sumdoc
+                     ELSE tmp END AS FLOAT) AS score
+    FROM vote2
+)
+SELECT CAST(input_id AS BIGINT) AS input_id, class,
+       CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (PARTITION BY input_id
+                               ORDER BY score DESC, class ASC) - 1 AS INT) AS rank
+FROM scored
+QUALIFY rank < {top_n}
+ORDER BY input_id, rank
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 

@@ -13,6 +13,13 @@ module re-expressed as distributed DataFrame plans.
   ``buildListFromTopDocs`` (:193-236): per class, count and
   max-score-normalized boost sum, score = (count · boost/count)/k with the
   sumdoc<k correction applied exactly as the reference does.
+* :func:`knn_fuzzy_classify` — ``classification/KNearestFuzzyClassifier
+  .java`` + ``classification/utils/NearestFuzzyQuery.java``: every
+  distinct input term fuzzified against the terms dictionary (maxEdits 1,
+  prefixLength 2, ≤ 50 variants/term), variant score = boost² · idf with
+  the source term's df (avg variant df when absent), global top-300 terms,
+  BM25 with ARTIFICIAL df=1 stats per variant, nested per-source-term
+  float32 sums, then the identical class vote.
 
 Both are **batch** operators: they classify a whole DataFrame of input
 texts in one distributed plan (the reference classifies one string at a
@@ -31,13 +38,13 @@ by the DuckDB oracles):
   term ASC) rather than the reference MLT's ClassicSimilarity idf², and
   the gate uses min_doc_freq=1 / min_term_freq=1 (reference defaults are
   5 / 2 — tuned for far larger corpora than the gate's).
-* ``BM25NBClassifier`` / ``KNearestFuzzyClassifier`` /
-  ``BooleanPerceptronClassifier`` are not ported: the first scores each
-  word by the top-1 hit of a (class MUST + word SHOULD) query — an
-  experimental curiosity that needs a second indexed class field; the
-  fuzzy variant is KNN over fuzzied terms (the fuzzy expansion exists,
-  ``searcher._expand_multiterm``); the perceptron is an iterative trainer
-  out of this engine's query scope.
+* ``BM25NBClassifier`` / ``BooleanPerceptronClassifier`` are not ported:
+  the first scores each word by the top-1 hit of a (class MUST + word
+  SHOULD) query — an experimental curiosity that needs a second indexed
+  class field; the perceptron is an iterative trainer out of this
+  engine's query scope.  :func:`knn_fuzzy_classify` ports
+  ``KNearestFuzzyClassifier`` (NearestFuzzyQuery expansion + the same
+  class vote).
 
 Float discipline (the house rule every oracle-gated score follows):
 transcendentals go through scalar libm (``math.log`` / ``math.exp`` — the
@@ -454,6 +461,256 @@ def _class_vote(topk: DataFrame, classes_df: DataFrame, k: int, top_n: int) -> D
             "rank",
         )
     )
+
+
+# ------------------------------------------------------------------ fuzzy KNN
+
+# NearestFuzzyQuery's fixed parameters (NearestFuzzyQuery.java:55-58)
+_FUZZY_MAX_VARIANTS_PER_TERM = 50
+_FUZZY_MAX_NUM_TERMS = 300
+_FUZZY_PREFIX_LENGTH = 2
+_FUZZY_MAX_EDITS = 1  # MIN_SIMILARITY = 1f
+
+
+def _fuzzy_ed_boost_udf():
+    """(variant, query, prefix_len) -> struct(ed, boost): the exact OSA
+    distance of the POST-PREFIX suffixes (``FuzzyTermsEnum.java:238-248``
+    — the automata encode the shared prefix exactly, so the counted edits
+    are the suffix's) and the enum's boost, 1f − ed/min(cpLen) in float32
+    (``FuzzyTermsEnum.java:251-257``) over the FULL term lengths."""
+    from lucene_spark.search.searcher import _osa_distance
+
+    @F.pandas_udf("struct<ed:int,boost:float>")
+    def udf(v: pd.Series, q: pd.Series, rp: pd.Series) -> pd.DataFrame:
+        eds = np.empty(len(v), dtype=np.int32)
+        boosts = np.empty(len(v), dtype=np.float32)
+        for i, (vt, qt, p) in enumerate(zip(v, q, rp)):
+            e = _osa_distance(vt[p:], qt[p:])
+            eds[i] = e
+            if e == 0:
+                boosts[i] = np.float32(1.0)
+            else:
+                boosts[i] = np.float32(1.0) - np.float32(e) / np.float32(
+                    min(len(vt), len(qt))
+                )
+        return pd.DataFrame({"ed": eds, "boost": boosts})
+
+    return udf
+
+
+def knn_fuzzy_classify(
+    idx: IndexTables,
+    classes_df: DataFrame,
+    inputs_df: DataFrame,
+    analyzer,
+    k: int = 10,
+    top_n: int = 3,
+    field: str = "text",
+    id_col: str = "input_id",
+    text_col: str = "text",
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> DataFrame:
+    """KNearestFuzzyClassifier over a batch of inputs
+    (``KNearestFuzzyClassifier.java`` + ``utils/NearestFuzzyQuery.java``).
+
+    Per input, ``knnSearch`` (:135-148) builds NearestFuzzyQuery(text)
+    MUST + class-exists wildcard MUST, takes BM25 top-k, then the same
+    class vote as the plain KNN classifier.  NearestFuzzyQuery.rewrite
+    (:130-264):
+
+    * each DISTINCT analyzed term fuzzifies against the terms dict with
+      maxEdits=1, prefixLength=2 — candidates share the first
+      min(2, len) codepoints and sit within suffix-OSA 1;
+    * per source term the top ≤ 50 variants by (boost DESC, term ASC),
+      boost = 1f − ed/min(len) (exact match 1f);
+    * variant score = float32(float32(boost²) · idf), idf =
+      float32(ln((numDocs+1)/(df+1)) + 1.0) with df = the SOURCE term's
+      docFreq, or the integer-mean variant docFreq when 0 (:173-190);
+    * global top ≤ 300 (term, variant) pairs per input (:220);
+    * scoring: each variant is a BoostQuery(TermQuery) with ARTIFICIAL
+      df=1 stats (:202-215), so BM25 idf uses docFreq 1; variants of one
+      source term sum in a nested SHOULD boolean (float32 of the double
+      sum, :242-259), source-term groups sum again to float32, and the
+      wildcard MUST adds constant 1.0 (double add, cast float).
+
+    The expensive side (termstats, postings) stays partitioned; only the
+    input-derived candidate/variant frames are broadcast.  Returns
+    (input_id, class, score, rank).
+    """
+    ln64 = _ln_f64()
+    qlen32 = _qlen_f32()
+    ed_boost = _fuzzy_ed_boost_udf()
+
+    fs = idx.fieldstats.filter(F.col("field") == field).collect()[0]
+    n_field, sttf = int(fs["doc_count"]), int(fs["sum_total_term_freq"])
+    avgdl = float(bm25.avgdl(sttf, n_field))
+    k1f, bf = float(np.float32(k1)), float(np.float32(b))
+    # reader.numDocs() (KNearestFuzzyClassifier passes the whole reader,
+    # NearestFuzzyQuery.java:140) — live docs across all fields
+    if idx.deletes is not None:
+        n_docs = idx.docmap.join(idx.deletes, "doc_id", "left_anti").count()
+    else:
+        n_docs = idx.docmap.count()
+    # the artificial-TermStates BM25 idf: every variant scores with df=1
+    idf1 = float(
+        np.float32(math.log(1.0 + (float(n_field) - 1.0 + 0.5) / (1.0 + 0.5)))
+    )
+
+    # distinct analyzed terms per input (processedTerms, :141-145)
+    qterms = (
+        tokenize_inputs(inputs_df, analyzer, id_col, text_col)
+        .select("input_id", F.col("term").alias("src"))
+        .distinct()
+        .withColumn("rp", F.least(F.lit(_FUZZY_PREFIX_LENGTH), F.length("src")))
+        .withColumn("p1", F.substring("src", 1, 1))
+    )
+
+    # candidate variants: broadcast the (small) input-term side into the
+    # (large) terms dictionary keyed on the first codepoint, prune with
+    # exact-prefix + length-window + JVM levenshtein (OSA ≤ 1 ⇒ lev ≤ 2),
+    # then the exact suffix-OSA cut in one Arrow batch
+    ts = idx.termstats.filter(F.col("field") == field).select(
+        F.col("term").alias("vterm"), F.col("doc_freq").alias("vdf")
+    )
+    cand = (
+        ts.withColumn("p1", F.substring("vterm", 1, 1))
+        .join(F.broadcast(qterms), "p1")
+        .filter(
+            F.length("vterm").between(F.length("src") - 1, F.length("src") + 1)
+        )
+        .filter(
+            F.expr("substring(vterm, 1, rp)") == F.expr("substring(src, 1, rp)")
+        )
+        .filter(
+            F.levenshtein(
+                F.expr("substring(vterm, rp + 1)"), F.expr("substring(src, rp + 1)")
+            )
+            <= 2 * _FUZZY_MAX_EDITS
+        )
+        .withColumn("eb", ed_boost("vterm", "src", "rp"))
+        .select("input_id", "src", "vterm", "vdf", "eb.ed", "eb.boost")
+        .filter(F.col("ed") <= _FUZZY_MAX_EDITS)
+    )
+
+    # per-source-term stats over ALL enumerated variants (:156-177):
+    # numVariants, Σ variant docFreqs, then the ≤ 50 variant cap
+    w_src = Window.partitionBy("input_id", "src")
+    srcdf = idx.termstats.filter(F.col("field") == field).select(
+        F.col("term").alias("src"), F.col("doc_freq").alias("src_df")
+    )
+    variants = (
+        cand.withColumn("nvar", F.count("*").over(w_src))
+        .withColumn("totvdf", F.sum("vdf").over(w_src))
+        .withColumn(
+            "vrank",
+            F.row_number().over(
+                w_src.orderBy(F.desc("boost"), F.asc("vterm"))
+            ),
+        )
+        .filter(F.col("vrank") <= _FUZZY_MAX_VARIANTS_PER_TERM)
+        .join(srcdf, "src", "left")
+        # df == 0 -> avgDf = totalVariantDocFreqs / numVariants (Java int
+        # division; both positive, so long-cast truncation == floor)
+        .withColumn(
+            "df",
+            F.coalesce(
+                F.col("src_df"),
+                (F.col("totvdf") / F.col("nvar")).cast("long"),
+            ),
+        )
+        # st.score = f32(f32(boost·boost) · f32(ln((N+1)/(df+1)) + 1.0))
+        .withColumn(
+            "idf_src",
+            (
+                ln64(
+                    F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")
+                )
+                + F.lit(1.0)
+            ).cast("float"),
+        )
+        .withColumn(
+            "b2", (F.col("boost").cast("double") * F.col("boost")).cast("float")
+        )
+        .withColumn(
+            "stsc", (F.col("b2").cast("double") * F.col("idf_src")).cast("float")
+        )
+    )
+    w_in = Window.partitionBy("input_id")
+    sel = (
+        variants.withColumn(
+            "grank",
+            F.row_number().over(w_in.orderBy(F.desc("stsc"), F.asc("vterm"))),
+        )
+        .filter(F.col("grank") <= _FUZZY_MAX_NUM_TERMS)
+        .withColumn(
+            "weight", (F.col("stsc").cast("double") * F.lit(idf1)).cast("float")
+        )
+        .select("input_id", "src", F.col("vterm").alias("term"), "weight")
+    )
+
+    # BM25 leaf scores (same float32 lockstep as knn_classify)
+    postings = idx.postings.filter(F.col("field") == field)
+    norms = idx.doclens.filter(F.col("field") == field).select(
+        "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
+    )
+    one = F.lit(1.0).cast("float")
+    inv = (
+        one
+        / (
+            F.lit(k1f).cast("float")
+            * (
+                (one - F.lit(bf).cast("float"))
+                + (
+                    (F.col("qlen") * F.lit(bf).cast("float"))
+                    / F.lit(avgdl).cast("float")
+                ).cast("float")
+            )
+        )
+    ).cast("float")
+    contrib = (
+        postings.join(F.broadcast(sel), "term")
+        .join(norms, "doc_id")
+        .withColumn("inv", inv)
+        .withColumn(
+            "sc",
+            F.col("weight")
+            - (
+                F.col("weight")
+                / (one + F.col("freq").cast("float") * F.col("inv"))
+            ).cast("float"),
+        )
+    )
+    # nested disjunction rounding (:242-259): variants of one source term
+    # -> f32, source-term groups -> f32, + the wildcard MUST's 1.0
+    gsum = (
+        contrib.groupBy("input_id", "doc_id", "src")
+        .agg(F.sum(F.col("sc").cast("double")).alias("gs"))
+        .withColumn("gsc", F.col("gs").cast("float"))
+    )
+    per_doc = (
+        gsum.groupBy("input_id", "doc_id")
+        .agg(F.sum(F.col("gsc").cast("double")).alias("ds"))
+        .withColumn(
+            "score",
+            (F.col("ds").cast("float").cast("double") + F.lit(1.0)).cast("float"),
+        )
+    )
+    if idx.deletes is not None:
+        per_doc = per_doc.join(idx.deletes, "doc_id", "left_anti")
+    topk = (
+        per_doc.withColumn(
+            "hit_rank",
+            F.row_number().over(
+                Window.partitionBy("input_id").orderBy(
+                    F.desc("score"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("hit_rank") <= k)
+        .withColumn("max_score", F.max("score").over(w_in))
+    )
+    return _class_vote(topk, classes_df, k, top_n)
 
 
 # ------------------------------------------------------------------ surface

@@ -14,6 +14,7 @@ from lucene_spark.index.builder import build_index
 from lucene_spark.search.classification import (
     assign_class,
     knn_classify,
+    knn_fuzzy_classify,
     naive_bayes_classify,
 )
 from lucene_spark import oracle_sql as osql
@@ -78,6 +79,51 @@ def test_knn_matches_oracle(spark, idx, classes, docs, ddb):
     want = _oracle_rows(ddb, osql.knn_classify_sql("source", 30, 10, 25, 1, 1, 3))
     assert got == want
     assert len(got) == 90
+
+
+def test_knn_fuzzy_matches_oracle(spark, idx, classes, docs, ddb):
+    inputs = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("input_id"), "text"
+    )
+    got = _rows(knn_fuzzy_classify(idx, classes, inputs, AN, k=10, top_n=3))
+    want = _oracle_rows(ddb, osql.knn_fuzzy_classify_sql("source", 30, 10, 3))
+    assert got == want
+    assert len(got) == 90
+
+
+def test_knn_fuzzy_matches_misspellings(spark):
+    """The fuzzy expansion is what distinguishes this classifier: a
+    misspelled input ("sparc", "executer") still reaches the right class
+    because each term fuzzifies against the dictionary (prefixLength 2,
+    maxEdits 1 — NearestFuzzyQuery.java:55-58), while plain KNN's MLT
+    selection finds no dictionary terms at all."""
+    corpus = [
+        "spark shuffle partition executor",
+        "spark join broadcast executor",
+        "cat dog pet animal",
+        "dog animal veterinarian pet",
+        "cat pet whiskers",
+    ]
+    labels = ["tech", "tech", "pets", "pets", "pets"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    idx = build_index(docs, text_col="text", doc_id_col="doc_id", analyzer=AN)
+    classes = spark.createDataFrame(
+        list(enumerate(labels)), "doc_id long, class string"
+    )
+    inputs = spark.createDataFrame(
+        [(0, "sparc executer"), (1, "dob pet")], "input_id long, text string"
+    )
+    rows = knn_fuzzy_classify(idx, classes, inputs, AN, k=3, top_n=1).collect()
+    by_input = {int(r["input_id"]): r["class"] for r in rows}
+    assert by_input == {0: "tech", 1: "pets"}
+    # plain KNN sees no dictionary terms for the all-misspelled input
+    assert (
+        knn_classify(idx, classes, inputs.filter(F.col("input_id") == 0), AN, k=3)
+        .count()
+        == 0
+    )
 
 
 def _nb_reference(corpus, labels, text):
