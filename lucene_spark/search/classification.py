@@ -594,14 +594,18 @@ def knn_fuzzy_classify(
     )
 
     # per-source-term stats over ALL enumerated variants (:156-177):
-    # numVariants, Σ variant docFreqs, then the ≤ 50 variant cap
+    # numVariants, Σ variant docFreqs, then the ≤ 50 variant cap.  The
+    # source term's own docFreq (reader.docFreq(startTerm)) needs no
+    # second terms-dict join: when the source term is in the dictionary
+    # it IS the ed=0 variant (it always matches itself), so a window max
+    # over the candidates recovers it on the same shuffle
     w_src = Window.partitionBy("input_id", "src")
-    srcdf = idx.termstats.filter(F.col("field") == field).select(
-        F.col("term").alias("src"), F.col("doc_freq").alias("src_df")
-    )
     variants = (
         cand.withColumn("nvar", F.count("*").over(w_src))
         .withColumn("totvdf", F.sum("vdf").over(w_src))
+        .withColumn(
+            "src_df", F.max(F.when(F.col("ed") == 0, F.col("vdf"))).over(w_src)
+        )
         .withColumn(
             "vrank",
             F.row_number().over(
@@ -609,7 +613,6 @@ def knn_fuzzy_classify(
             ),
         )
         .filter(F.col("vrank") <= _FUZZY_MAX_VARIANTS_PER_TERM)
-        .join(srcdf, "src", "left")
         # df == 0 -> avgDf = totalVariantDocFreqs / numVariants (Java int
         # division; both positive, so long-cast truncation == floor)
         .withColumn(
