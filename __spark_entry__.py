@@ -1123,7 +1123,8 @@ def _q_paging_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_scoring_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FunctionQuery + QueryRescorer + FeatureField in one gate frame."""
+    """FunctionQuery + QueryRescorer + FeatureField + CoveringQuery in one
+    gate frame."""
 
     def norm(df):
         return df.select(
@@ -1137,8 +1138,25 @@ def _q_scoring_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("function", norm(_q_function_score(spark, sf_dir))),
             ("rescore", norm(_q_rescore_topk(spark, sf_dir))),
             ("feature", norm(_q_feature_score_topk(spark, sf_dir))),
+            ("covering", norm(_q_covering_topk(spark, sf_dir))),
         ]
     )
+
+
+def _q_covering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CoveringQuery (sandbox): 4 term clauses, per-doc minimum matches
+    from the doc-value expression ``1 + n_chars % 3`` (the
+    LongValuesSource analog over the docmap's passthrough columns)."""
+    from lucene_spark.search.query import CoveringQuery, TermQuery
+
+    s = _searcher(spark, sf_dir)
+    q = CoveringQuery(
+        queries=tuple(
+            TermQuery(t, "text") for t in ("merge", "join", "data", "batch")
+        ),
+        min_match_expr="1 + n_chars % 3",
+    )
+    return _as_gate_schema(s.search(q, k=10))
 
 
 def _q_intervals_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1787,6 +1805,12 @@ def oracle_sql() -> dict[str, str]:
                     "feature",
                     osql.feature_score_topk_sql(
                         "merge", "d.n_chars / 1000.0", "saturation", 2.0, 0.5, 10
+                    ),
+                ),
+                (
+                    "covering",
+                    osql.covering_topk_sql(
+                        ["merge", "join", "data", "batch"], "1 + d.n_chars % 3", 10
                     ),
                 ),
             ]

@@ -1623,6 +1623,36 @@ combined AS (
 """
 
 
+def covering_topk_sql(terms: list[str], min_expr: str, k: int) -> str:
+    """CoveringQuery twin (``sandbox/search/CoveringQuery.java:40-90``):
+    a doc matches when >= max(1, <min_expr>(doc)) of the term clauses
+    match (NULL source -> no match); score = float32 of the double sum of
+    the MATCHING clauses' float32 scores (``CoveringScorer.java:208-216``
+    — same arithmetic as a SHOULD disjunction, per-doc threshold).
+    ``min_expr``: a SQL expression over ``documents`` columns (alias d)."""
+    names = [chr(97 + i) for i in range(len(terms))]
+    ctes = ", ".join(_term_cte(n, t).lstrip() for n, t in zip(names, terms))
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM sc_{n}" for n in names
+    )
+    return f"""
+WITH {BASE_CTES}, {ctes},
+unioned AS ({union}),
+agg AS (
+    SELECT doc_id, count(*)::BIGINT AS cnt,
+           CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM unioned GROUP BY doc_id
+),
+covered AS (
+    SELECT agg.doc_id, agg.score
+    FROM agg JOIN documents d ON d.doc_id = agg.doc_id
+    WHERE CAST({min_expr} AS BIGINT) IS NOT NULL
+      AND agg.cnt >= greatest(1, CAST({min_expr} AS BIGINT))
+)
+{_topk('covered', k)}
+"""
+
+
 def prefix_scoring_topk_sql(prefix: str, k: int) -> str:
     """SCORING_BOOLEAN_REWRITE for a prefix: disjunction of real term
     queries — each expanded term scores with its OWN stats (ScoringRewrite),

@@ -242,6 +242,41 @@ class DisjunctionMaxQuery(Query):
     tie_breaker: float = 0.0
 
 
+@dataclass(frozen=True)
+class CoveringQuery(Query):
+    """Per-document minimum-should-match disjunction
+    (``sandbox/search/CoveringQuery.java:40-90``): a doc matches when at
+    least ``max(1, minimumNumberMatch(doc))`` of the sub-queries match it;
+    docs where the source evaluates to NULL never match.  Score = float32
+    of the double sum of the MATCHING clauses' scores
+    (``CoveringScorer.java:208-216``) — identical arithmetic to a SHOULD
+    disjunction, only the acceptance threshold is per-doc.
+
+    ``min_match_expr`` is a Spark-SQL expression over the docmap's
+    per-doc columns — the ``LongValuesSource`` analog (``fromLongField``
+    is just a bare column name; arithmetic compositions are arbitrary
+    expressions, matching LongValuesSource's constant/field algebra).
+    """
+
+    queries: tuple[Query, ...]
+    min_match_expr: str
+
+    def rewrite(self) -> Query:
+        # MatchNoDocs children never match and never score; dropping them
+        # changes neither the count nor the sum (the reference keeps the
+        # clause but its scorer contributes nothing)
+        subs = tuple(
+            s
+            for s in (sub.rewrite() for sub in self.queries)
+            if not isinstance(s, MatchNoDocsQuery)
+        )
+        if not subs:
+            return MatchNoDocsQuery()
+        if subs != self.queries:
+            return CoveringQuery(subs, self.min_match_expr)
+        return self
+
+
 def rewrite_to_fixpoint(q: Query, max_iters: int = 16) -> Query:
     """IndexSearcher.java:866-875 rewrite loop."""
     for _ in range(max_iters):
@@ -273,7 +308,7 @@ def collect_terms(q: Query) -> set[tuple[str, str]]:
     elif isinstance(q, BooleanQuery):
         for c in q.clauses:
             out |= collect_terms(c.query)
-    elif isinstance(q, DisjunctionMaxQuery):
+    elif isinstance(q, (DisjunctionMaxQuery, CoveringQuery)):
         for sub in q.queries:
             out |= collect_terms(sub)
     return out

@@ -46,6 +46,7 @@ from lucene_spark.search.query import (
     BooleanQuery,
     BoostQuery,
     ConstantScoreQuery,
+    CoveringQuery,
     DisjunctionMaxQuery,
     FuzzyQuery,
     KnnFloatVectorQuery,
@@ -1214,6 +1215,11 @@ class IndexSearcher:
             return DisjunctionMaxQuery(
                 tuple(self._expand_multiterm(s) for s in q.queries), q.tie_breaker
             )
+        if isinstance(q, CoveringQuery):
+            return CoveringQuery(
+                tuple(self._expand_multiterm(s) for s in q.queries),
+                q.min_match_expr,
+            )
         return q
 
     # ------------------------------------------------------------------ planning
@@ -1257,6 +1263,8 @@ class IndexSearcher:
             return self._score_boolean(q, stats, boost)
         if isinstance(q, DisjunctionMaxQuery):
             return self._score_dismax(q, stats, boost)
+        if isinstance(q, CoveringQuery):
+            return self._score_covering(q, stats, boost)
         if isinstance(q, PhraseQuery):
             return self._score_phrase(q, stats, boost)
         if isinstance(q, KnnFloatVectorQuery):
@@ -1564,6 +1572,31 @@ class IndexSearcher:
         for n in nots:
             out = out.join(self._score(n, stats, 1.0).select("doc_id"), "doc_id", "left_anti")
         return out
+
+    def _score_covering(self, q: CoveringQuery, stats, boost: float) -> DataFrame:
+        """CoveringQuery (``sandbox/search/CoveringQuery.java:40-90``,
+        ``CoveringScorer.java:152-216``): per-doc minimum-number-match.
+        The disjunction scores exactly like a SHOULD union (float32 of the
+        double sum of matching clauses); acceptance joins the per-doc long
+        value — docs with NULL never match, values < 1 behave as 1.  The
+        doc-value join is doc_id-aligned (no corpus re-shuffle beyond the
+        one the disjunction aggregation already pays)."""
+        if len(q.queries) > MAX_CLAUSE_COUNT:
+            raise ValueError(f"CoveringQuery expands to > {MAX_CLAUSE_COUNT} clauses")
+        subs = [self._score(s, stats, boost) for s in q.queries]
+        union = reduce(lambda a, b: a.unionByName(b), subs)
+        agg = union.groupBy("doc_id").agg(
+            F.sum(F.col("score").cast("double")).alias("_csum"),
+            F.count("*").alias("_ccnt"),
+        )
+        mm = self.index.docmap.select(
+            "doc_id", F.expr(q.min_match_expr).cast("long").alias("_mm")
+        ).filter(F.col("_mm").isNotNull())
+        return (
+            agg.join(mm, "doc_id")
+            .filter(F.col("_ccnt") >= F.greatest(F.lit(1).cast("long"), F.col("_mm")))
+            .select("doc_id", F.col("_csum").cast("float").alias("score"))
+        )
 
     def _score_dismax(self, q: DisjunctionMaxQuery, stats, boost: float) -> DataFrame:
         subs = [self._score(s, stats, boost) for s in q.queries]
