@@ -1139,7 +1139,33 @@ def _q_scoring_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("rescore", norm(_q_rescore_topk(spark, sf_dir))),
             ("feature", norm(_q_feature_score_topk(spark, sf_dir))),
             ("covering", norm(_q_covering_topk(spark, sf_dir))),
+            ("combined_field", norm(_q_combined_field_topk(spark, sf_dir))),
         ]
+    )
+
+
+def _q_combined_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombinedFieldQuery (BM25F, sandbox): text + a derived 5-word title
+    field combined through one pseudo-field BM25 — the multi-field reader
+    is the union of two per-field index builds (``combine_fields``)."""
+    from lucene_spark.index.builder import build_index, combine_fields
+    from lucene_spark.search.features import combined_field_topk
+
+    docs = _docs(spark, sf_dir)
+    title = docs.select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ").alias("text"),
+    )
+    tidx = build_index(
+        title,
+        text_col="text",
+        doc_id_col="doc_id",
+        analyzer=GATE_ANALYZER,
+        field="title",
+    )
+    idx = combine_fields(_searcher(spark, sf_dir).index, tidx)
+    return combined_field_topk(
+        idx, ("merge", "data"), {"text": 1.0, "title": 2.0}, k=10
     )
 
 
@@ -1812,6 +1838,10 @@ def oracle_sql() -> dict[str, str]:
                     osql.covering_topk_sql(
                         ["merge", "join", "data", "batch"], "1 + d.n_chars % 3", 10
                     ),
+                ),
+                (
+                    "combined_field",
+                    osql.combined_field_topk_sql(["merge", "data"], 1.0, 2.0, 5, 10),
                 ),
             ]
         ),

@@ -581,3 +581,35 @@ def build_index(
         positions=positions,
         inverted=inverted,
     )
+
+
+def combine_fields(*tables: IndexTables) -> IndexTables:
+    """Union per-field index tables over the SAME document set into one
+    multi-field reader (Lucene documents carry many indexed fields in one
+    index; this engine builds each field with :func:`build_index` and
+    unions the field-keyed tables — every table already carries a
+    ``field`` column, so the union IS the multi-field index).
+
+    Flat scoring paths (term/Boolean/combined-field/facets) read the
+    union transparently.  ``blocks``/``positions`` are dropped: impact
+    blocks and positional layouts are per-field artifacts of the single
+    field they were built for — callers needing WAND or phrases on a
+    specific field query that field's own tables.  ``deletes`` are
+    doc-level and shared; the first non-None wins."""
+    first = tables[0]
+    deletes = next((t.deletes for t in tables if t.deletes is not None), None)
+    from functools import reduce as _reduce
+
+    def u(sel):
+        return _reduce(lambda a, b: a.unionByName(b), [sel(t) for t in tables])
+
+    return IndexTables(
+        docmap=first.docmap,
+        doclens=u(lambda t: t.doclens),
+        postings=u(lambda t: t.postings),
+        termstats=u(lambda t: t.termstats),
+        fieldstats=u(lambda t: t.fieldstats),
+        blocks=None,
+        positions=None,
+        deletes=deletes,
+    )

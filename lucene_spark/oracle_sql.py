@@ -1653,6 +1653,115 @@ covered AS (
 """
 
 
+def combined_field_topk_sql(
+    terms: list[str],
+    w_text: float,
+    w_title: float,
+    title_words: int,
+    k: int,
+) -> str:
+    """CombinedFieldQuery (BM25F) twin over the gate's two-field shape —
+    field ``text`` (the corpus text) and field ``title`` (its first
+    ``title_words`` space-separated words), weights ``w_text``/``w_title``
+    (``sandbox/search/CombinedFieldQuery.java:250-320``,
+    ``MultiNormsLeafSimScorer.java:127-156``).
+
+    Pseudo stats: docFreq = max df over (field, term) pairs, docCount =
+    per-field max, sumTotalTermFreq / totalTermFreq = Σ weight·(s)ttf
+    (Java's per-pair long+=double truncation is a no-op for the integral
+    gate weights — mirrored directly as BIGINT sums).  Per doc: combined
+    freq = float32 Σ weight·freq; combined norm = the weighted decoded
+    lengths rounded (floor(v+0.5)) and re-quantized through the
+    intToByte4∘byte4ToInt composition — which IS the norm CTE's CASE; one
+    BM25 evaluation with the pseudo idf/avgdl."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    wt, wl = f"CAST({w_text} AS FLOAT)", f"CAST({w_title} AS FLOAT)"
+    return f"""
+WITH {BASE_CTES},
+ttl AS (
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:{title_words}], ' ') AS ttext
+    FROM documents
+),
+ttoks AS (
+    SELECT doc_id, t.term AS term
+    FROM ttl, unnest(string_split(ttext, ' ')) AS t(term)
+    WHERE t.term <> '' AND t.term NOT IN ({_STOPS})
+),
+tdl AS (SELECT doc_id, count(*)::BIGINT AS len FROM ttoks GROUP BY doc_id),
+tfs AS (SELECT count(*)::BIGINT AS n, sum(len)::BIGINT AS sttf FROM tdl WHERE len > 0),
+tnorm AS (
+    SELECT doc_id, len,
+        CASE WHEN len < 32 THEN len
+             ELSE 24 + (((len - 24) >> (length(bin(len - 24)) - 4))
+                        << (length(bin(len - 24)) - 4))
+        END AS qlen
+    FROM tdl
+),
+pdf AS (
+    SELECT greatest(
+        (SELECT COALESCE(max(df), 0) FROM (
+            SELECT count(DISTINCT doc_id)::BIGINT AS df FROM toks
+            WHERE term IN ({tl}) GROUP BY term)),
+        (SELECT COALESCE(max(df), 0) FROM (
+            SELECT count(DISTINCT doc_id)::BIGINT AS df FROM ttoks
+            WHERE term IN ({tl}) GROUP BY term))
+    ) AS df
+),
+pstats AS (
+    SELECT pdf.df,
+           greatest(fs.n, tfs.n) AS dc,
+           CAST({w_text} * fs.sttf + {w_title} * tfs.sttf AS BIGINT) AS sttfp
+    FROM pdf, fs, tfs
+),
+w AS (
+    SELECT CAST(ln(1 + (dc - df + 0.5) / (df + 0.5)) AS FLOAT) AS idf,
+           CAST(sttfp / CAST(dc AS DOUBLE) AS FLOAT) AS avgdl
+    FROM pstats
+),
+wtf AS (
+    SELECT doc_id, {wt} * CAST(freq AS FLOAT) AS wf FROM (
+        SELECT doc_id, count(*)::INT AS freq FROM toks
+        WHERE term IN ({tl}) GROUP BY doc_id, term)
+    UNION ALL
+    SELECT doc_id, {wl} * CAST(freq AS FLOAT) AS wf FROM (
+        SELECT doc_id, count(*)::INT AS freq FROM ttoks
+        WHERE term IN ({tl}) GROUP BY doc_id, term)
+),
+cf AS (
+    SELECT doc_id, CAST(sum(CAST(wf AS DOUBLE)) AS FLOAT) AS cfreq
+    FROM wtf GROUP BY doc_id
+),
+wnorm AS (
+    SELECT doc_id, {wt} * CAST(qlen AS FLOAT) AS wn FROM norm
+    UNION ALL
+    SELECT doc_id, {wl} * CAST(qlen AS FLOAT) AS wn FROM tnorm
+),
+cn AS (
+    SELECT doc_id,
+           CAST(floor(CAST(CAST(sum(CAST(wn AS DOUBLE)) AS FLOAT)
+                           + CAST(0.5 AS FLOAT) AS FLOAT)) AS BIGINT) AS rnd
+    FROM wnorm GROUP BY doc_id
+),
+cq AS (
+    SELECT doc_id,
+        CASE WHEN rnd < 32 THEN rnd
+             ELSE 24 + (((rnd - 24) >> (length(bin(rnd - 24)) - 4))
+                        << (length(bin(rnd - 24)) - 4))
+        END AS qlenc
+    FROM cn
+),
+sc AS (
+    SELECT cf.doc_id,
+           CAST(w.idf - w.idf / ({F1} + cf.cfreq *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(cq.qlenc AS FLOAT) / w.avgdl)))) AS FLOAT) AS score
+    FROM cf JOIN cq USING (doc_id) CROSS JOIN w
+)
+{_topk('sc', k)}
+"""
+
+
 def prefix_scoring_topk_sql(prefix: str, k: int) -> str:
     """SCORING_BOOLEAN_REWRITE for a prefix: disjunction of real term
     queries — each expanded term scores with its OWN stats (ScoringRewrite),

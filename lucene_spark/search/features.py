@@ -460,3 +460,173 @@ def join_query(
         .distinct()
     )
     return to_df.join(F.broadcast(keys), to_df[to_col] == F.col("_jk"), "left_semi")
+
+
+def combined_field_topk(
+    idx: IndexTables,
+    terms,
+    field_weights: dict[str, float],
+    k: int = 10,
+    boost: float = 1.0,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """CombinedFieldQuery — BM25F (``sandbox/search/CombinedFieldQuery
+    .java:250-320``, ``MultiNormsLeafSimScorer.java:127-156``): score the
+    query terms as if all fields were one combined field.
+
+    The reference builds ONE pseudo term/collection statistic for the
+    whole query (``CombinedFieldWeight`` ctor): docFreq = max df over all
+    (field, term) pairs, totalTermFreq = Σ weight·ttf with Java's
+    ``long += double`` truncation per pair (fields in TreeMap order,
+    terms sorted), docCount/maxDoc/sumDocFreq = per-field max,
+    sumTotalTermFreq = Σ weight·sttf (same truncation).  Per doc:
+
+    * combined freq = Σ weight·freq over matching (field, term) postings
+      (``CombinedFieldScorer.freq()``, float accumulation in unspecified
+      disjunction order — we sum in double and cast, bit-equal whenever
+      each weight·freq is float32-exact and the total < 2²⁴, i.e. any
+      integral weights; documented envelope for irrational weights);
+    * combined norm = intToByte4(round(Σ weight·byte4ToInt(norm_byte)))
+      (``MultiFieldNormValues.advanceExact``, float sum — same exactness
+      envelope), decoded back through the length table;
+    * score = BM25(combined freq, combined norm) with the pseudo stats.
+
+    Fields absent from a doc contribute nothing to either sum; weights
+    must be ≥ 1 (``Builder.addField``).  Returns (doc_id, score, rank).
+    """
+    import math
+
+    if any(w < 1 for w in field_weights.values()):
+        raise ValueError("field weight must be >= 1 (CombinedFieldQuery.Builder)")
+    fields = sorted(field_weights)  # TreeMap iteration order
+    terms_sorted = sorted(set(terms))
+    if len(fields) * len(terms_sorted) > 1024:
+        raise ValueError("CombinedFieldQuery expands to > 1024 field-terms")
+
+    fs = {
+        r["field"]: (int(r["doc_count"]), int(r["sum_total_term_freq"]))
+        for r in idx.fieldstats.filter(F.col("field").isin(fields)).collect()
+    }
+    ts = {
+        (r["field"], r["term"]): (int(r["doc_freq"]), int(r["total_term_freq"]))
+        for r in idx.termstats.filter(
+            F.col("field").isin(fields) & F.col("term").isin(terms_sorted)
+        ).collect()
+    }
+    # pseudo term statistics: the (field × term) loop, long += double per
+    # pair (int() truncates toward zero, matching the Java narrowing)
+    doc_freq, ttf_p = 0, 0
+    for f in fields:
+        for t in terms_sorted:
+            st = ts.get((f, t))
+            if st and st[0] > 0:
+                doc_freq = max(doc_freq, st[0])
+                ttf_p = int(ttf_p + float(field_weights[f]) * st[1])
+    spark = idx.postings.sparkSession
+    if doc_freq == 0:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+    ttf_p = max(1, ttf_p)
+    # pseudo collection statistics: per-field max + weighted sttf sum
+    doc_count, sttf_p = 0, 0
+    for f in fields:
+        if f in fs:
+            doc_count = max(doc_count, fs[f][0])
+            sttf_p = int(sttf_p + float(field_weights[f]) * fs[f][1])
+    avgdl_p = float(np.float32(sttf_p / float(doc_count)))
+    idf = float(
+        np.float32(
+            math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+        )
+    )
+    wgt = float(np.float32(boost) * np.float32(idf))
+    k1f, bf = float(np.float32(k1)), float(np.float32(b))
+
+    wmap = F.create_map(
+        *[
+            c
+            for f in fields
+            for c in (F.lit(f), F.lit(float(np.float32(field_weights[f]))))
+        ]
+    )
+    from lucene_spark.analysis.smallfloat import LENGTH_TABLE
+    from lucene_spark.index.builder import norm_byte_sql
+
+    ltab = F.array(*[F.lit(int(v)) for v in LENGTH_TABLE])
+
+    # combined freq over the query pairs' postings (partition-pruned scan)
+    pf = idx.postings.filter(
+        F.col("field").isin(fields) & F.col("term").isin(terms_sorted)
+    )
+    cfreq = (
+        pf.groupBy("doc_id")
+        .agg(
+            F.sum(
+                (wmap[F.col("field")] * F.col("freq").cast("float")).cast("double")
+            ).alias("_f")
+        )
+        .select("doc_id", F.col("_f").cast("float").alias("cfreq"))
+    )
+    # combined norm: weighted decoded lengths, rounded, re-quantized
+    dl = idx.doclens.filter(F.col("field").isin(fields)).join(
+        cfreq.select("doc_id"), "doc_id", "left_semi"
+    )
+    nv = (
+        dl.withColumn(
+            "_qlen",
+            F.element_at(ltab, (F.col("norm_byte").cast("int") + 1)).cast("float"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum((wmap[F.col("field")] * F.col("_qlen")).cast("double")).alias("_nv"))
+        # Math.round(float) = (int) floor(v + 0.5f)
+        .withColumn(
+            "_rnd",
+            F.floor(
+                (F.col("_nv").cast("float") + F.lit(0.5).cast("float")).cast("float")
+            ).cast("long"),
+        )
+        .withColumn("_nb", norm_byte_sql("_rnd"))
+        .select(
+            "doc_id",
+            F.element_at(ltab, (F.col("_nb").cast("int") + 1))
+            .cast("float")
+            .alias("qlenc"),
+        )
+    )
+    one = F.lit(1.0).cast("float")
+    inv = (
+        one
+        / (
+            F.lit(k1f).cast("float")
+            * (
+                (one - F.lit(bf).cast("float"))
+                + (
+                    (F.col("qlenc") * F.lit(bf).cast("float"))
+                    / F.lit(avgdl_p).cast("float")
+                ).cast("float")
+            )
+        )
+    ).cast("float")
+    scored = (
+        cfreq.join(nv, "doc_id")
+        .withColumn("inv", inv)
+        .select(
+            "doc_id",
+            (
+                F.lit(wgt).cast("float")
+                - (
+                    F.lit(wgt).cast("float")
+                    / (one + F.col("cfreq") * F.col("inv"))
+                ).cast("float")
+            )
+            .cast("float")
+            .alias("score"),
+        )
+    )
+    if idx.deletes is not None:
+        scored = scored.join(idx.deletes, "doc_id", "left_anti")
+    from pyspark.sql import Window
+
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
+    return topk.withColumn("rank", w.cast("int"))
