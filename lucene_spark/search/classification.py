@@ -390,10 +390,12 @@ def knn_classify(
             ).cast("float"),
         )
     )
-    # + the MUST class-exists wildcard's constant score (knnSearch adds
-    # WildcardQuery(class, "*") as a scoring MUST, :174-176 — ConstantScore
-    # 1.0 summed by ReqOptSumScorer in double, cast float); constant across
-    # docs so ranking is unchanged, but the vote's score/maxScore
+    # the MUST class-exists wildcard (knnSearch adds WildcardQuery(class,
+    # "*") as a scoring MUST, :174-176): only LABELED docs are eligible
+    # hits (semi-join before top-k — on a partially-labeled corpus
+    # unlabeled docs must not occupy top-k slots), and its ConstantScore
+    # 1.0 is summed by the conjunction in double, cast float — constant
+    # across docs so ranking is unchanged, but the vote's score/maxScore
     # normalization sees (s+1)/(smax+1) exactly as the reference does
     per_doc = (
         contrib.groupBy("input_id", "doc_id")
@@ -402,6 +404,7 @@ def knn_classify(
             "score",
             (F.col("dsc").cast("float").cast("double") + F.lit(1.0)).cast("float"),
         )
+        .join(classes_df.select("doc_id").distinct(), "doc_id", "left_semi")
     )
     if idx.deletes is not None:
         per_doc = per_doc.join(idx.deletes, "doc_id", "left_anti")
@@ -640,10 +643,15 @@ def knn_fuzzy_classify(
         )
     )
     w_in = Window.partitionBy("input_id")
+    # (stsc, vterm) alone is not total: two source terms can fuzzify to
+    # the SAME variant with equal score — src as the final key keeps the
+    # 300-boundary deterministic and in lockstep with the oracle
     sel = (
         variants.withColumn(
             "grank",
-            F.row_number().over(w_in.orderBy(F.desc("stsc"), F.asc("vterm"))),
+            F.row_number().over(
+                w_in.orderBy(F.desc("stsc"), F.asc("vterm"), F.asc("src"))
+            ),
         )
         .filter(F.col("grank") <= _FUZZY_MAX_NUM_TERMS)
         .withColumn(
@@ -698,6 +706,8 @@ def knn_fuzzy_classify(
             "score",
             (F.col("ds").cast("float").cast("double") + F.lit(1.0)).cast("float"),
         )
+        # the class-exists wildcard MUST: only labeled docs are hits
+        .join(classes_df.select("doc_id").distinct(), "doc_id", "left_semi")
     )
     if idx.deletes is not None:
         per_doc = per_doc.join(idx.deletes, "doc_id", "left_anti")
@@ -728,11 +738,20 @@ def assign_class(
     **kwargs,
 ) -> tuple[str, float] | None:
     """The reference's single-text ``assignClass(String)`` surface: one
-    input row through the batch path, returning (class, score) or None."""
+    input row through the batch path, returning (class, score) or None.
+    ``method``: ``naive_bayes`` | ``knn`` | ``knn_fuzzy``."""
+    methods = {
+        "naive_bayes": naive_bayes_classify,
+        "knn": knn_classify,
+        "knn_fuzzy": knn_fuzzy_classify,
+    }
+    if method not in methods:
+        raise ValueError(f"unknown classification method {method!r}")
     spark = classes_df.sparkSession
     inputs = spark.createDataFrame([(0, text)], "input_id long, text string")
-    fn = naive_bayes_classify if method == "naive_bayes" else knn_classify
-    rows = fn(idx, classes_df, inputs, analyzer, top_n=1, **kwargs).collect()
+    rows = methods[method](
+        idx, classes_df, inputs, analyzer, top_n=1, **kwargs
+    ).collect()
     if not rows:
         return None
     return rows[0]["class"], float(rows[0]["score"])

@@ -477,10 +477,10 @@ def combined_field_topk(
 
     The reference builds ONE pseudo term/collection statistic for the
     whole query (``CombinedFieldWeight`` ctor): docFreq = max df over all
-    (field, term) pairs, totalTermFreq = Σ weight·ttf with Java's
-    ``long += double`` truncation per pair (fields in TreeMap order,
-    terms sorted), docCount/maxDoc/sumDocFreq = per-field max,
-    sumTotalTermFreq = Σ weight·sttf (same truncation).  Per doc:
+    (field, term) pairs, docCount/maxDoc/sumDocFreq = per-field max,
+    sumTotalTermFreq = Σ weight·sttf with Java's ``long += double``
+    truncation per field (the pseudo totalTermFreq the reference also
+    folds is read by no BM25 input, so it is skipped here).  Per doc:
 
     * combined freq = Σ weight·freq over matching (field, term) postings
       (``CombinedFieldScorer.freq()``, float accumulation in unspecified
@@ -514,19 +514,18 @@ def combined_field_topk(
             F.col("field").isin(fields) & F.col("term").isin(terms_sorted)
         ).collect()
     }
-    # pseudo term statistics: the (field × term) loop, long += double per
-    # pair (int() truncates toward zero, matching the Java narrowing)
-    doc_freq, ttf_p = 0, 0
+    # pseudo term statistics: docFreq = max over the (field × term) pairs
+    # (the reference also folds a weighted totalTermFreq for similarities
+    # that read it — BM25 never does, so it is not computed here)
+    doc_freq = 0
     for f in fields:
         for t in terms_sorted:
             st = ts.get((f, t))
             if st and st[0] > 0:
                 doc_freq = max(doc_freq, st[0])
-                ttf_p = int(ttf_p + float(field_weights[f]) * st[1])
     spark = idx.postings.sparkSession
     if doc_freq == 0:
-        return spark.createDataFrame([], "doc_id long, score double, rank int")
-    ttf_p = max(1, ttf_p)
+        return spark.createDataFrame([], "doc_id long, score float, rank int")
     # pseudo collection statistics: per-field max + weighted sttf sum
     doc_count, sttf_p = 0, 0
     for f in fields:

@@ -126,6 +126,36 @@ def test_knn_fuzzy_matches_misspellings(spark):
     )
 
 
+def test_knn_unlabeled_docs_are_not_hits(spark):
+    """The class-exists wildcard rides as a scoring MUST (knnSearch,
+    KNearestNeighborClassifier.java:174-176): on a partially-labeled
+    corpus, unlabeled docs can never occupy top-k slots — the k nearest
+    LABELED docs vote, and max_score comes from a labeled doc."""
+    corpus = [
+        (0, "spark executor shuffle"),  # labeled tech
+        (1, "spark executor"),  # unlabeled — the HIGHEST-scoring doc
+        (2, "spark executor broadcast"),  # unlabeled
+        (3, "dog cat pet"),  # labeled pets (no query-term overlap)
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    idx = build_index(docs, text_col="text", doc_id_col="doc_id", analyzer=AN)
+    classes = spark.createDataFrame(
+        [(0, "tech"), (3, "pets")], "doc_id long, class string"
+    )
+    inputs = spark.createDataFrame(
+        [(0, "spark executor")], "input_id long, text string"
+    )
+    # With the wildcard enforced the ONLY hit is labeled doc 0, so
+    # max_score is its own score and the vote is exactly
+    # (1 · (s/s))/k · k/1 = 1.0.  Were unlabeled docs admitted as hits,
+    # doc 1 (shortest, highest BM25) would hold max_score and the
+    # surviving vote would be s0/s1 < 1.
+    for fn in (knn_classify, knn_fuzzy_classify):
+        rows = fn(idx, classes, inputs, AN, k=2, top_n=2).collect()
+        assert [(r["class"], r["rank"]) for r in rows] == [("tech", 0)]
+        assert rows[0]["score"] == pytest.approx(1.0, abs=0.0)
+
+
 def _nb_reference(corpus, labels, text):
     """Line-for-line double transcription of SimpleNaiveBayesClassifier
     (:137-231, :279-319) over a token-list corpus."""
