@@ -310,6 +310,20 @@ def run_bench() -> dict:
         ).collect()
         q_times["q_classify_nb_batch128"] = round(time.perf_counter() - t1, 4)
 
+        # r5 final: fuzzy KNN classification (KNearestFuzzyClassifier) —
+        # the added cost over plain KNN is the per-input-term fuzzy
+        # expansion against the terms dictionary (broadcast candidate
+        # join + suffix-OSA Arrow batch), independent of corpus row count
+        from lucene_spark.search.classification import knn_fuzzy_classify
+
+        t1 = time.perf_counter()
+        knn_fuzzy_classify(
+            idx, classes_df, cls_inputs, StandardAnalyzer(), k=10, top_n=1
+        ).collect()
+        q_times["q_classify_knn_fuzzy_batch128"] = round(
+            time.perf_counter() - t1, 4
+        )
+
     # r5: disk-resident proximity — a positional segment build (positions +
     # offsets partitioned by (segment, tbucket)) and phrase/NEAR queries
     # answered entirely from the disk layout with bucket-pruned scans
