@@ -1627,6 +1627,7 @@ def _q_classification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs = docs with doc_id < 30, per input the top-3 classes —
     (qkind, input_id, class, score, rank)."""
     from lucene_spark.search.classification import (
+        bm25_nb_classify,
         knn_classify,
         knn_fuzzy_classify,
         naive_bayes_classify,
@@ -1641,11 +1642,42 @@ def _q_classification_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = naive_bayes_classify(s.index, classes, inputs, GATE_ANALYZER, top_n=3)
     kn = knn_classify(s.index, classes, inputs, GATE_ANALYZER, k=10, top_n=3)
     kf = knn_fuzzy_classify(s.index, classes, inputs, GATE_ANALYZER, k=10, top_n=3)
+    bn = bm25_nb_classify(
+        _class_indexed(spark, sf_dir), inputs, GATE_ANALYZER, top_n=3
+    )
     return (
         nb.select(F.lit("naive_bayes").alias("qkind"), "*")
         .unionByName(kn.select(F.lit("knn").alias("qkind"), "*"))
         .unionByName(kf.select(F.lit("knn_fuzzy").alias("qkind"), "*"))
+        .unionByName(bn.select(F.lit("bm25_nb").alias("qkind"), "*"))
     )
+
+
+_CLASSIDX_CACHE: dict = {}
+
+
+def _class_indexed(spark: SparkSession, sf_dir: str):
+    """Multi-field reader for BM25NBClassifier: the cached text index
+    unioned with ``documents.source`` indexed as single-token field
+    ``class`` (the reference enumerates classes from that field's terms
+    dictionary and scores probes against the same reader)."""
+    from lucene_spark.index.builder import build_index, combine_fields
+
+    if sf_dir not in _CLASSIDX_CACHE:
+        cls = _docs(spark, sf_dir).select(
+            "doc_id", F.col("source").alias("text")
+        )
+        cidx = build_index(
+            cls,
+            text_col="text",
+            doc_id_col="doc_id",
+            analyzer=GATE_ANALYZER,
+            field="class",
+        ).persist()
+        _CLASSIDX_CACHE[sf_dir] = combine_fields(
+            _searcher(spark, sf_dir).index, cidx
+        )
+    return _CLASSIDX_CACHE[sf_dir]
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,6 +2116,7 @@ def oracle_sql() -> dict[str, str]:
                 ("naive_bayes", osql.naive_bayes_classify_sql("source", 30, 3)),
                 ("knn", osql.knn_classify_sql("source", 30, 10, 25, 1, 1, 3)),
                 ("knn_fuzzy", osql.knn_fuzzy_classify_sql("source", 30, 10, 3)),
+                ("bm25_nb", osql.bm25_nb_classify_sql("source", 30, 3)),
             ]
         ),
         "text_stats": (

@@ -2765,6 +2765,132 @@ ORDER BY input_id, rank
 """
 
 
+def bm25_nb_classify_sql(
+    class_col: str = "source", input_max: int = 30, top_n: int = 3
+) -> str:
+    """BM25NBClassifier twin (``classification/BM25NBClassifier.java``):
+    Naive Bayes whose probabilities are BM25 scores — the class field is
+    ``documents.<class_col>`` indexed as its own single-token field.
+
+    Per class: log prior = ln(top-1 f32 score of the class term query);
+    P(w|c) = top-1 per-doc f32(class leaf + word leaf) over the class's
+    docs (docs without w contribute the class leaf alone → greatest with
+    the class max); log-likelihood and the softmax denominator are
+    DOUBLE left folds in a defined order (terms ASC; classes by raw
+    DESC, class ASC — the reference's sort), mirroring the engine's
+    sorted-array folds bit-for-bit."""
+    return f"""
+WITH {BASE_CTES},
+ctoks AS (SELECT doc_id, {class_col} AS term FROM documents),
+cdl AS (SELECT doc_id, count(*)::BIGINT AS len FROM ctoks GROUP BY doc_id),
+cfs AS (SELECT count(*)::BIGINT AS n, sum(len)::BIGINT AS sttf FROM cdl WHERE len > 0),
+cnorm AS (
+    SELECT doc_id, len,
+        CASE WHEN len < 32 THEN len
+             ELSE 24 + (((len - 24) >> (length(bin(len - 24)) - 4))
+                        << (length(bin(len - 24)) - 4))
+        END AS qlen
+    FROM cdl
+),
+cstat AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM ctoks GROUP BY term),
+cw AS (
+    SELECT cst.term,
+           CAST(ln(1 + (cfs.n - cst.df + 0.5) / (cst.df + 0.5)) AS FLOAT) AS idf,
+           CAST(cfs.sttf / CAST(cfs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM cstat cst, cfs
+),
+ctf AS (SELECT doc_id, term, count(*)::INT AS freq FROM ctoks GROUP BY 1, 2),
+csc AS (
+    SELECT tf.doc_id, tf.term AS class,
+           CAST(w.idf - w.idf / ({F1} + CAST(tf.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(n.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS csc
+    FROM ctf tf JOIN cnorm n USING (doc_id) JOIN cw w ON w.term = tf.term
+),
+scmax AS (SELECT class, max(csc) AS sc FROM csc GROUP BY class),
+itoks AS (
+    SELECT doc_id AS input_id, term, count(*)::BIGINT AS cnt
+    FROM toks WHERE doc_id < {input_max} GROUP BY 1, 2
+),
+qterms AS (SELECT DISTINCT term FROM itoks),
+tstats AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+),
+ww AS (
+    SELECT ts.term,
+           CAST(ln(1 + (fs.n - ts.df + 0.5) / (ts.df + 0.5)) AS FLOAT) AS idf,
+           CAST(fs.sttf / CAST(fs.n AS DOUBLE) AS FLOAT) AS avgdl
+    FROM tstats ts JOIN qterms q USING (term) CROSS JOIN fs
+),
+ttf AS (
+    SELECT doc_id, term, count(*)::INT AS freq FROM toks
+    WHERE term IN (SELECT term FROM qterms) GROUP BY 1, 2
+),
+wsc AS (
+    SELECT tf.doc_id, tf.term,
+           CAST(w.idf - w.idf / ({F1} + CAST(tf.freq AS FLOAT) *
+                ({F1} / ({K1_SQL} * (({F1} - {B_SQL}) +
+                     {B_SQL} * CAST(n.qlen AS FLOAT) / w.avgdl)))) AS FLOAT) AS wsc
+    FROM ttf tf JOIN norm n USING (doc_id) JOIN ww w ON w.term = tf.term
+),
+joint AS (
+    SELECT c.class, t.term,
+           max(CAST(CAST(c.csc AS DOUBLE) + CAST(t.wsc AS DOUBLE) AS FLOAT)) AS m
+    FROM wsc t JOIN csc c USING (doc_id)
+    GROUP BY 1, 2
+),
+grid AS (
+    SELECT s.class, q.term,
+           ln(CAST(CASE WHEN j.m IS NULL THEN s.sc
+                        ELSE greatest(j.m, s.sc) END AS DOUBLE)) AS lnp
+    FROM scmax s CROSS JOIN qterms q
+    LEFT JOIN joint j ON j.class = s.class AND j.term = q.term
+),
+ll AS (
+    SELECT i.input_id, g.class,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(i.cnt * g.lnp ORDER BY g.term ASC)),
+               (a, b) -> a + b) AS ll
+    FROM itoks i JOIN grid g USING (term)
+    GROUP BY 1, 2
+),
+inputs AS (SELECT doc_id AS input_id FROM documents WHERE doc_id < {input_max}),
+rawsc AS (
+    SELECT p.input_id, s.class,
+           ln(CAST(s.sc AS DOUBLE)) + COALESCE(l.ll, 0.0) AS raw
+    FROM inputs p CROSS JOIN scmax s
+    LEFT JOIN ll l ON l.input_id = p.input_id AND l.class = s.class
+),
+se AS (
+    SELECT input_id, class, raw,
+           max(raw) OVER (PARTITION BY input_id) AS smax,
+           exp(raw - max(raw) OVER (PARTITION BY input_id)) AS e
+    FROM rawsc
+),
+fold AS (
+    SELECT input_id,
+           list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(e ORDER BY raw DESC, class ASC)),
+               (a, b) -> a + b) AS sumexp
+    FROM se GROUP BY input_id
+),
+scored AS (
+    SELECT se.input_id, se.class,
+           exp(se.raw - (se.smax + ln(f.sumexp))) AS score
+    FROM se JOIN fold f USING (input_id)
+)
+SELECT CAST(input_id AS BIGINT) AS input_id, class,
+       CAST(score AS DOUBLE) AS score,
+       CAST(row_number() OVER (PARTITION BY input_id
+                               ORDER BY score DESC, class ASC) - 1 AS INT) AS rank
+FROM scored
+QUALIFY rank < {top_n}
+ORDER BY input_id, rank
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 

@@ -38,13 +38,13 @@ by the DuckDB oracles):
   term ASC) rather than the reference MLT's ClassicSimilarity idf², and
   the gate uses min_doc_freq=1 / min_term_freq=1 (reference defaults are
   5 / 2 — tuned for far larger corpora than the gate's).
-* ``BM25NBClassifier`` / ``BooleanPerceptronClassifier`` are not ported:
-  the first scores each word by the top-1 hit of a (class MUST + word
-  SHOULD) query — an experimental curiosity that needs a second indexed
-  class field; the perceptron is an iterative trainer out of this
-  engine's query scope.  :func:`knn_fuzzy_classify` ports
+* ``BooleanPerceptronClassifier`` is not ported: an iterative
+  sequential trainer (per-doc weight updates) outside this engine's
+  query scope.  :func:`knn_fuzzy_classify` ports
   ``KNearestFuzzyClassifier`` (NearestFuzzyQuery expansion + the same
-  class vote).
+  class vote); :func:`bm25_nb_classify` ports ``BM25NBClassifier`` over
+  a ``combine_fields`` multi-field reader (the indexed class field the
+  reference requires).
 
 Float discipline (the house rule every oracle-gated score follows):
 transcendentals go through scalar libm (``math.log`` / ``math.exp`` — the
@@ -724,6 +724,234 @@ def knn_fuzzy_classify(
         .withColumn("max_score", F.max("score").over(w_in))
     )
     return _class_vote(topk, classes_df, k, top_n)
+
+
+# ------------------------------------------------------------------ BM25 NB
+
+
+def bm25_nb_classify(
+    idx: IndexTables,
+    inputs_df: DataFrame,
+    analyzer,
+    class_field: str = "class",
+    top_n: int = 3,
+    field: str = "text",
+    id_col: str = "input_id",
+    text_col: str = "text",
+    k1: float = bm25.K1,
+    b: float = bm25.B,
+) -> DataFrame:
+    """BM25NBClassifier (``classification/BM25NBClassifier.java``) over a
+    batch of inputs: a Naive Bayes whose probabilities are BM25 scores.
+
+    ``idx`` is a MULTI-FIELD index (:func:`~lucene_spark.index.builder
+    .combine_fields`) carrying both the text field and an indexed class
+    field — the reference enumerates classes from the class field's terms
+    dictionary (:84-95) and runs every probe against the same reader.
+
+    Per class c (all double until the final score, as the reference):
+
+    * log prior   = ln(top-1 score of ``TermQuery(class:c)``)   (:196-204)
+    * P(w|c)      = top-1 float32 score of ``class:c MUST + text:w
+      SHOULD`` (:178-194) — per doc the conjunction adds the two float32
+      leaf scores in double and casts float; the top-1 maximizes that
+      per-doc float over the class's docs (docs without w score the
+      class leaf alone)
+    * log lik.    = Σ_w cnt(w) · ln P(w|c)                      (:170-176)
+    * softmax     = exp(raw − (smax + ln Σ exp(raw − smax)))    (:128-146)
+
+    Envelope (documented, mirrored exactly by the DuckDB twin): the
+    reference accumulates the likelihood per token occurrence in token
+    order and the softmax denominator in score-sorted class order — both
+    pure-double sums whose ULPs depend on association.  This engine (and
+    the oracle) fold multiplicity as cnt·ln P and run BOTH sums as
+    deterministic ordered running sums (terms by term ASC; classes by
+    raw DESC, class ASC — the reference's own sort order), so the two
+    engines agree bit-for-bit and match the reference up to double
+    summation association.
+    """
+    ln32, ln64, exp64 = _ln_f32(), _ln_f64(), _exp_f64()
+    qlen32 = _qlen_f32()
+    spark = inputs_df.sparkSession
+    k1f, bf = float(np.float32(k1)), float(np.float32(b))
+    one = F.lit(1.0).cast("float")
+
+    def bm25_leaf(postings_df, idf_col, avgdl_f32):
+        inv = (
+            one
+            / (
+                F.lit(k1f).cast("float")
+                * (
+                    (one - F.lit(bf).cast("float"))
+                    + (
+                        (F.col("qlen") * F.lit(bf).cast("float"))
+                        / F.lit(avgdl_f32).cast("float")
+                    ).cast("float")
+                )
+            )
+        ).cast("float")
+        return postings_df.withColumn("inv", inv).withColumn(
+            "lsc",
+            idf_col
+            - (idf_col / (one + F.col("freq").cast("float") * F.col("inv"))).cast(
+                "float"
+            ),
+        )
+
+    # ---- class-field side: per-doc class leaf scores, per-class max
+    fsc = idx.fieldstats.filter(F.col("field") == class_field).collect()[0]
+    nC, sttfC = int(fsc["doc_count"]), int(fsc["sum_total_term_freq"])
+    avgdlC = float(bm25.avgdl(sttfC, nC))
+    cls_stats = (
+        idx.termstats.filter(F.col("field") == class_field)
+        .select("term", "doc_freq")
+        .withColumn(
+            "cidf",
+            ln32(
+                F.lit(1.0)
+                + (F.lit(float(nC)) - F.col("doc_freq") + F.lit(0.5))
+                / (F.col("doc_freq") + F.lit(0.5))
+            ),
+        )
+        .select("term", "cidf")
+    )
+    cls_norms = idx.doclens.filter(F.col("field") == class_field).select(
+        "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
+    )
+    cls_doc_scores = bm25_leaf(
+        idx.postings.filter(F.col("field") == class_field)
+        .join(F.broadcast(cls_stats), "term")
+        .join(cls_norms, "doc_id"),
+        F.col("cidf"),
+        avgdlC,
+    ).select("doc_id", F.col("term").alias("class"), F.col("lsc").alias("csc"))
+    if idx.deletes is not None:
+        cls_doc_scores = cls_doc_scores.join(idx.deletes, "doc_id", "left_anti")
+    sc_max = cls_doc_scores.groupBy("class").agg(F.max("csc").alias("sc"))
+
+    # ---- text side: per-doc word leaf scores over the inputs' terms
+    fst = idx.fieldstats.filter(F.col("field") == field).collect()[0]
+    nT, sttfT = int(fst["doc_count"]), int(fst["sum_total_term_freq"])
+    avgdlT = float(bm25.avgdl(sttfT, nT))
+    toks = tokenize_inputs(inputs_df, analyzer, id_col, text_col)
+    qterms = toks.select("term").distinct()
+    w_stats = (
+        idx.termstats.filter(F.col("field") == field)
+        .join(F.broadcast(qterms), "term")
+        .withColumn(
+            "widf",
+            ln32(
+                F.lit(1.0)
+                + (F.lit(float(nT)) - F.col("doc_freq") + F.lit(0.5))
+                / (F.col("doc_freq") + F.lit(0.5))
+            ),
+        )
+        .select("term", "widf")
+    )
+    txt_norms = idx.doclens.filter(F.col("field") == field).select(
+        "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
+    )
+    word_doc_scores = bm25_leaf(
+        idx.postings.filter(F.col("field") == field)
+        .join(F.broadcast(w_stats), "term")
+        .join(txt_norms, "doc_id"),
+        F.col("widf"),
+        avgdlT,
+    ).select("doc_id", "term", F.col("lsc").alias("wsc"))
+    if idx.deletes is not None:
+        word_doc_scores = word_doc_scores.join(idx.deletes, "doc_id", "left_anti")
+
+    # per (class, word): max over the class's docs of the per-doc
+    # conjunction float32(csc + wsc); docs without w contribute csc alone,
+    # so the top-1 is greatest(joint max, class max)
+    joint = (
+        word_doc_scores.join(cls_doc_scores, "doc_id")
+        .withColumn(
+            "t",
+            (F.col("csc").cast("double") + F.col("wsc").cast("double")).cast("float"),
+        )
+        .groupBy("class", "term")
+        .agg(F.max("t").alias("m"))
+    )
+    grid = (
+        sc_max.crossJoin(F.broadcast(qterms))
+        .join(joint, ["class", "term"], "left")
+        .withColumn(
+            "p",
+            F.when(F.col("m").isNull(), F.col("sc")).otherwise(
+                F.greatest(F.col("m"), F.col("sc"))
+            ),
+        )
+        .withColumn("lnp", ln64(F.col("p").cast("double")))
+        .select("class", "term", "lnp")
+    )
+
+    # ordered likelihood sum (envelope: term ASC): a term-sorted
+    # left fold keeps the double additions in one defined association on
+    # both engines
+    ll = (
+        toks.join(grid, "term")
+        .withColumn("v", F.col("cnt").cast("double") * F.col("lnp"))
+        .groupBy("input_id", "class")
+        .agg(F.collect_list(F.struct(F.col("term"), F.col("v"))).alias("xs"))
+        .withColumn(
+            "ll",
+            F.aggregate(
+                F.array_sort("xs"), F.lit(0.0), lambda acc, x: acc + x["v"]
+            ),
+        )
+        .select("input_id", "class", "ll")
+    )
+
+    raw = (
+        inputs_df.select(F.col(id_col).alias("input_id"))
+        .crossJoin(F.broadcast(sc_max))
+        .join(ll, ["input_id", "class"], "left")
+        .withColumn(
+            "raw",
+            ln64(F.col("sc").cast("double")) + F.coalesce(F.col("ll"), F.lit(0.0)),
+        )
+    )
+
+    # normClassificationResults: double log-sum-exp; the denominator is a
+    # left fold in (raw DESC, class ASC) — the reference's sorted-class
+    # order — via an explicitly sorted array (window running sums leave
+    # the double association engine-defined; a fold does not)
+    w_in = Window.partitionBy("input_id")
+    base = raw.withColumn("smax", F.max("raw").over(w_in)).withColumn(
+        "e", exp64(F.col("raw") - F.col("smax"))
+    )
+    fold = (
+        base.groupBy("input_id")
+        .agg(
+            F.collect_list(
+                F.struct((-F.col("raw")).alias("nr"), F.col("class"), F.col("e"))
+            ).alias("xs")
+        )
+        .withColumn(
+            "sumexp",
+            F.aggregate(
+                F.array_sort("xs"), F.lit(0.0), lambda acc, x: acc + x["e"]
+            ),
+        )
+        .select("input_id", "sumexp")
+    )
+    scored = (
+        base.join(fold, "input_id")
+        .withColumn("loga", F.col("smax") + ln64(F.col("sumexp")))
+        .withColumn("score", exp64(F.col("raw") - F.col("loga")))
+    )
+    w_rank = Window.partitionBy("input_id").orderBy(F.desc("score"), F.asc("class"))
+    return (
+        scored.withColumn("rank", (F.row_number().over(w_rank) - 1).cast("int"))
+        .filter(F.col("rank") < top_n)
+        .select(
+            F.col("input_id").cast("long"),
+            F.col("class").cast("string"),
+            F.col("score").cast("double"),
+            "rank",
+        )
+    )
 
 
 # ------------------------------------------------------------------ surface

@@ -13,6 +13,7 @@ from lucene_spark.analysis.analyzer import ENGLISH_STOP_WORDS, StandardAnalyzer
 from lucene_spark.index.builder import build_index
 from lucene_spark.search.classification import (
     assign_class,
+    bm25_nb_classify,
     knn_classify,
     knn_fuzzy_classify,
     naive_bayes_classify,
@@ -124,6 +125,30 @@ def test_knn_fuzzy_matches_misspellings(spark):
         .count()
         == 0
     )
+
+
+def test_bm25_nb_matches_oracle(spark, idx, docs, ddb):
+    from lucene_spark.index.builder import build_index, combine_fields
+
+    cidx = build_index(
+        docs.select("doc_id", F.col("source").alias("text")),
+        text_col="text", doc_id_col="doc_id", analyzer=AN, field="class",
+    )
+    midx = combine_fields(idx, cidx)
+    inputs = docs.filter(F.col("doc_id") < 30).select(
+        F.col("doc_id").alias("input_id"), "text"
+    )
+    got = _rows(bm25_nb_classify(midx, inputs, AN, top_n=3))
+    want = _oracle_rows(ddb, osql.bm25_nb_classify_sql("source", 30, 3))
+    assert got == want
+    assert len(got) == 90
+    # softmax: per input the scores over ALL classes sum to ~1
+    full = bm25_nb_classify(midx, inputs, AN, top_n=10**9).collect()
+    by_input = {}
+    for r in full:
+        by_input.setdefault(int(r["input_id"]), 0.0)
+        by_input[int(r["input_id"])] += r["score"]
+    assert all(abs(s - 1.0) < 1e-9 for s in by_input.values())
 
 
 def test_knn_unlabeled_docs_are_not_hits(spark):
