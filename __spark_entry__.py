@@ -1658,9 +1658,11 @@ _CLASSIDX_CACHE: dict = {}
 
 def _class_indexed(spark: SparkSession, sf_dir: str):
     """Multi-field reader for BM25NBClassifier: the cached text index
-    unioned with ``documents.source`` indexed as single-token field
-    ``class`` (the reference enumerates classes from that field's terms
-    dictionary and scores probes against the same reader)."""
+    unioned with ``documents.source`` KEYWORD-indexed as field ``class``
+    — whole untokenized values, per the reference's "must not be heavely
+    analyzed" class-field contract (the oracle reads the raw column, so
+    a tokenizing analyzer would diverge on any non-trivial label)."""
+    from lucene_spark.analysis.analyzer import KeywordAnalyzer
     from lucene_spark.index.builder import build_index, combine_fields
 
     if sf_dir not in _CLASSIDX_CACHE:
@@ -1671,7 +1673,7 @@ def _class_indexed(spark: SparkSession, sf_dir: str):
             cls,
             text_col="text",
             doc_id_col="doc_id",
-            analyzer=GATE_ANALYZER,
+            analyzer=KeywordAnalyzer(),
             field="class",
         ).persist()
         _CLASSIDX_CACHE[sf_dir] = combine_fields(

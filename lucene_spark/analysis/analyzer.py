@@ -347,6 +347,21 @@ def tokenize(text: str, max_token_length: int = DEFAULT_MAX_TOKEN_LENGTH) -> lis
     return [t for t in toks if t and len(t) <= max_token_length]
 
 
+class KeywordAnalyzer:
+    """``analysis/core/KeywordAnalyzer.java``: the entire input as ONE
+    untokenized, uncased token (``KeywordTokenizer``); empty input yields
+    no tokens.  The analyzer for fields whose values are identifiers —
+    class labels, ids, enum-ish strings — where any tokenization would
+    corrupt the term (``BM25NBClassifier.java:74-75``: the class field
+    "must not be heavely analyzed")."""
+
+    def analyze(self, text: str) -> list[str]:
+        return [text] if text else []
+
+    def analyze_series(self, texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [t] if isinstance(t, str) and t else [])
+
+
 class StandardAnalyzer:
     """tokenize -> java_lower -> stop-filter, vectorized over Series.
 

@@ -117,6 +117,41 @@ def _qlen_f32():
     return udf
 
 
+# ------------------------------------------------------------------ BM25 leaf
+
+
+def _bm25_leaf(df, weight_col: str, out_col: str, k1f: float, bf: float, avgdl: float):
+    """The float32 BM25 leaf score shared by every classifier:
+    ``sc = w − f32(w / (1 + freq·inv))`` with the norm-inverse-cache
+    ``inv = f32(1/(k1·((1−b) + f32((qlen·b)/avgdl))))``.  ``df`` must
+    carry ``freq`` and the decoded ``qlen``; every cast point here is
+    load-bearing for oracle parity (Spark promotes float/float to
+    double; casting each quotient back to float is bit-identical to a
+    native float32 op since double carries ≥ 2p+2 bits)."""
+    one = F.lit(1.0).cast("float")
+    inv = (
+        one
+        / (
+            F.lit(k1f).cast("float")
+            * (
+                (one - F.lit(bf).cast("float"))
+                + (
+                    (F.col("qlen") * F.lit(bf).cast("float"))
+                    / F.lit(avgdl).cast("float")
+                ).cast("float")
+            )
+        )
+    ).cast("float")
+    return df.withColumn("_inv", inv).withColumn(
+        out_col,
+        F.col(weight_col)
+        - (
+            F.col(weight_col)
+            / (one + F.col("freq").cast("float") * F.col("_inv"))
+        ).cast("float"),
+    ).drop("_inv")
+
+
 # ------------------------------------------------------------------ tokenize
 
 
@@ -352,43 +387,20 @@ def knn_classify(
         .select("input_id", "term", "weight")
     )
 
-    # BM25 per (input, doc): float32 expression algebra, JVM-side
-    # (norm_inverse_cache mirrored: inv = 1/(k1·((1−b) + (len·b)/avgdl)))
+    # BM25 per (input, doc): the shared float32 leaf (JVM-side expression
+    # algebra in lockstep with numpy's stepwise-f32 ``bm25.bm25_score``
+    # and the DuckDB oracle's FLOAT expressions)
     postings = idx.postings.filter(F.col("field") == field)
     norms = idx.doclens.filter(F.col("field") == field).select(
         "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
     )
-    # Spark promotes float/float to double; casting each quotient back to
-    # float is bit-identical to a native float32 division (the widened
-    # format has ≥ 2p+2 bits, so the double rounding is innocuous) — this
-    # keeps every step below in lockstep with numpy's stepwise-f32
-    # ``bm25.bm25_score`` and the DuckDB oracle's FLOAT expressions.
-    one = F.lit(1.0).cast("float")
-    inv = (
-        one
-        / (
-            F.lit(k1f).cast("float")
-            * (
-                (one - F.lit(bf).cast("float"))
-                + (
-                    (F.col("qlen") * F.lit(bf).cast("float"))
-                    / F.lit(avgdl).cast("float")
-                ).cast("float")
-            )
-        )
-    ).cast("float")
-    contrib = (
-        postings.join(F.broadcast(sel), "term")
-        .join(norms, "doc_id")
-        .withColumn("inv", inv)
-        .withColumn(
-            "sc",
-            F.col("weight")
-            - (
-                F.col("weight")
-                / (one + F.col("freq").cast("float") * F.col("inv"))
-            ).cast("float"),
-        )
+    contrib = _bm25_leaf(
+        postings.join(F.broadcast(sel), "term").join(norms, "doc_id"),
+        "weight",
+        "sc",
+        k1f,
+        bf,
+        avgdl,
     )
     # the MUST class-exists wildcard (knnSearch adds WildcardQuery(class,
     # "*") as a scoring MUST, :174-176): only LABELED docs are eligible
@@ -660,37 +672,19 @@ def knn_fuzzy_classify(
         .select("input_id", "src", F.col("vterm").alias("term"), "weight")
     )
 
-    # BM25 leaf scores (same float32 lockstep as knn_classify)
+    # BM25 leaf scores (the shared float32 leaf, same lockstep as
+    # knn_classify)
     postings = idx.postings.filter(F.col("field") == field)
     norms = idx.doclens.filter(F.col("field") == field).select(
         "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
     )
-    one = F.lit(1.0).cast("float")
-    inv = (
-        one
-        / (
-            F.lit(k1f).cast("float")
-            * (
-                (one - F.lit(bf).cast("float"))
-                + (
-                    (F.col("qlen") * F.lit(bf).cast("float"))
-                    / F.lit(avgdl).cast("float")
-                ).cast("float")
-            )
-        )
-    ).cast("float")
-    contrib = (
-        postings.join(F.broadcast(sel), "term")
-        .join(norms, "doc_id")
-        .withColumn("inv", inv)
-        .withColumn(
-            "sc",
-            F.col("weight")
-            - (
-                F.col("weight")
-                / (one + F.col("freq").cast("float") * F.col("inv"))
-            ).cast("float"),
-        )
+    contrib = _bm25_leaf(
+        postings.join(F.broadcast(sel), "term").join(norms, "doc_id"),
+        "weight",
+        "sc",
+        k1f,
+        bf,
+        avgdl,
     )
     # nested disjunction rounding (:242-259): variants of one source term
     # -> f32, source-term groups -> f32, + the wildcard MUST's 1.0
@@ -747,25 +741,34 @@ def bm25_nb_classify(
     ``idx`` is a MULTI-FIELD index (:func:`~lucene_spark.index.builder
     .combine_fields`) carrying both the text field and an indexed class
     field — the reference enumerates classes from the class field's terms
-    dictionary (:84-95) and runs every probe against the same reader.
+    dictionary (:124-136) and runs every probe against the same reader.
+    Index the class field with
+    :class:`~lucene_spark.analysis.analyzer.KeywordAnalyzer`: the
+    reference requires the class field "must not be heavely analyzed"
+    (:74-75) — a tokenizing analyzer would split/lowercase labels into
+    different class terms than the stored values.
 
     Per class c (all double until the final score, as the reference):
 
-    * log prior   = ln(top-1 score of ``TermQuery(class:c)``)   (:196-204)
+    * log prior   = ln(top-1 score of ``TermQuery(class:c)``)   (:222-231)
     * P(w|c)      = top-1 float32 score of ``class:c MUST + text:w
-      SHOULD`` (:178-194) — per doc the conjunction adds the two float32
+      SHOULD`` (:205-220) — per doc the conjunction adds the two float32
       leaf scores in double and casts float; the top-1 maximizes that
       per-doc float over the class's docs (docs without w score the
       class leaf alone)
-    * log lik.    = Σ_w cnt(w) · ln P(w|c)                      (:170-176)
-    * softmax     = exp(raw − (smax + ln Σ exp(raw − smax)))    (:128-146)
+    * log lik.    = Σ_w cnt(w) · ln P(w|c)                      (:197-203)
+    * softmax     = exp(raw − (smax + ln Σ exp(raw − smax)))    (:147-173)
+
+    A class whose docs are ALL deleted still appears: its prior query has
+    no live hits → prior 0 (:230) and every P(w|c) = 1 → ln 0 (:219), so
+    it rides at raw = 0 exactly as the reference computes.
 
     Envelope (documented, mirrored exactly by the DuckDB twin): the
     reference accumulates the likelihood per token occurrence in token
     order and the softmax denominator in score-sorted class order — both
     pure-double sums whose ULPs depend on association.  This engine (and
     the oracle) fold multiplicity as cnt·ln P and run BOTH sums as
-    deterministic ordered running sums (terms by term ASC; classes by
+    deterministic ordered left folds (terms by term ASC; classes by
     raw DESC, class ASC — the reference's own sort order), so the two
     engines agree bit-for-bit and match the reference up to double
     summation association.
@@ -774,32 +777,16 @@ def bm25_nb_classify(
     qlen32 = _qlen_f32()
     spark = inputs_df.sparkSession
     k1f, bf = float(np.float32(k1)), float(np.float32(b))
-    one = F.lit(1.0).cast("float")
-
-    def bm25_leaf(postings_df, idf_col, avgdl_f32):
-        inv = (
-            one
-            / (
-                F.lit(k1f).cast("float")
-                * (
-                    (one - F.lit(bf).cast("float"))
-                    + (
-                        (F.col("qlen") * F.lit(bf).cast("float"))
-                        / F.lit(avgdl_f32).cast("float")
-                    ).cast("float")
-                )
-            )
-        ).cast("float")
-        return postings_df.withColumn("inv", inv).withColumn(
-            "lsc",
-            idf_col
-            - (idf_col / (one + F.col("freq").cast("float") * F.col("inv"))).cast(
-                "float"
-            ),
-        )
 
     # ---- class-field side: per-doc class leaf scores, per-class max
-    fsc = idx.fieldstats.filter(F.col("field") == class_field).collect()[0]
+    fsc_rows = idx.fieldstats.filter(F.col("field") == class_field).collect()
+    if not fsc_rows or int(fsc_rows[0]["doc_count"]) == 0:
+        # no indexed class field -> no classes -> empty result, the
+        # reference's empty assignedClasses list
+        return spark.createDataFrame(
+            [], "input_id long, class string, score double, rank int"
+        )
+    fsc = fsc_rows[0]
     nC, sttfC = int(fsc["doc_count"]), int(fsc["sum_total_term_freq"])
     avgdlC = float(bm25.avgdl(sttfC, nC))
     cls_stats = (
@@ -818,16 +805,29 @@ def bm25_nb_classify(
     cls_norms = idx.doclens.filter(F.col("field") == class_field).select(
         "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
     )
-    cls_doc_scores = bm25_leaf(
+    cls_doc_scores = _bm25_leaf(
         idx.postings.filter(F.col("field") == class_field)
         .join(F.broadcast(cls_stats), "term")
         .join(cls_norms, "doc_id"),
-        F.col("cidf"),
+        "cidf",
+        "csc",
+        k1f,
+        bf,
         avgdlC,
-    ).select("doc_id", F.col("term").alias("class"), F.col("lsc").alias("csc"))
+    ).select("doc_id", F.col("term").alias("class"), "csc")
     if idx.deletes is not None:
         cls_doc_scores = cls_doc_scores.join(idx.deletes, "doc_id", "left_anti")
-    sc_max = cls_doc_scores.groupBy("class").agg(F.max("csc").alias("sc"))
+    # classes enumerate from the terms DICTIONARY (:124-136) — a class
+    # whose docs are all deleted keeps a row with sc NULL (-> raw 0)
+    sc_max = (
+        idx.termstats.filter(F.col("field") == class_field)
+        .select(F.col("term").alias("class"))
+        .join(
+            cls_doc_scores.groupBy("class").agg(F.max("csc").alias("sc")),
+            "class",
+            "left",
+        )
+    )
 
     # ---- text side: per-doc word leaf scores over the inputs' terms
     fst = idx.fieldstats.filter(F.col("field") == field).collect()[0]
@@ -851,13 +851,16 @@ def bm25_nb_classify(
     txt_norms = idx.doclens.filter(F.col("field") == field).select(
         "doc_id", qlen32(F.col("norm_byte")).alias("qlen")
     )
-    word_doc_scores = bm25_leaf(
+    word_doc_scores = _bm25_leaf(
         idx.postings.filter(F.col("field") == field)
         .join(F.broadcast(w_stats), "term")
         .join(txt_norms, "doc_id"),
-        F.col("widf"),
+        "widf",
+        "wsc",
+        k1f,
+        bf,
         avgdlT,
-    ).select("doc_id", "term", F.col("lsc").alias("wsc"))
+    ).select("doc_id", "term", "wsc")
     if idx.deletes is not None:
         word_doc_scores = word_doc_scores.join(idx.deletes, "doc_id", "left_anti")
 
@@ -882,7 +885,13 @@ def bm25_nb_classify(
                 F.greatest(F.col("m"), F.col("sc"))
             ),
         )
-        .withColumn("lnp", ln64(F.col("p").cast("double")))
+        # sc NULL (all-deleted class): no live hits -> P = 1 -> ln 0
+        .withColumn(
+            "lnp",
+            F.when(F.col("sc").isNull(), F.lit(0.0)).otherwise(
+                ln64(F.col("p").cast("double"))
+            ),
+        )
         .select("class", "term", "lnp")
     )
 
@@ -907,37 +916,35 @@ def bm25_nb_classify(
         inputs_df.select(F.col(id_col).alias("input_id"))
         .crossJoin(F.broadcast(sc_max))
         .join(ll, ["input_id", "class"], "left")
+        # sc NULL (all-deleted class): prior query has no hits -> ln = 0
         .withColumn(
             "raw",
-            ln64(F.col("sc").cast("double")) + F.coalesce(F.col("ll"), F.lit(0.0)),
+            F.when(F.col("sc").isNull(), F.lit(0.0)).otherwise(
+                ln64(F.col("sc").cast("double"))
+            )
+            + F.coalesce(F.col("ll"), F.lit(0.0)),
         )
     )
 
     # normClassificationResults: double log-sum-exp; the denominator is a
     # left fold in (raw DESC, class ASC) — the reference's sorted-class
-    # order — via an explicitly sorted array (window running sums leave
-    # the double association engine-defined; a fold does not)
+    # order — via an ordered-window collect_list (window running SUMS
+    # leave the double association engine-defined; a fold of the ordered
+    # list does not), all on one lineage (no self-join recompute)
     w_in = Window.partitionBy("input_id")
-    base = raw.withColumn("smax", F.max("raw").over(w_in)).withColumn(
-        "e", exp64(F.col("raw") - F.col("smax"))
-    )
-    fold = (
-        base.groupBy("input_id")
-        .agg(
-            F.collect_list(
-                F.struct((-F.col("raw")).alias("nr"), F.col("class"), F.col("e"))
-            ).alias("xs")
-        )
-        .withColumn(
-            "sumexp",
-            F.aggregate(
-                F.array_sort("xs"), F.lit(0.0), lambda acc, x: acc + x["e"]
-            ),
-        )
-        .select("input_id", "sumexp")
+    w_full = (
+        Window.partitionBy("input_id")
+        .orderBy(F.desc("raw"), F.asc("class"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     scored = (
-        base.join(fold, "input_id")
+        raw.withColumn("smax", F.max("raw").over(w_in))
+        .withColumn("e", exp64(F.col("raw") - F.col("smax")))
+        .withColumn("es", F.collect_list("e").over(w_full))
+        .withColumn(
+            "sumexp",
+            F.aggregate(F.col("es"), F.lit(0.0), lambda acc, x: acc + x),
+        )
         .withColumn("loga", F.col("smax") + ln64(F.col("sumexp")))
         .withColumn("score", exp64(F.col("raw") - F.col("loga")))
     )

@@ -128,11 +128,15 @@ def test_knn_fuzzy_matches_misspellings(spark):
 
 
 def test_bm25_nb_matches_oracle(spark, idx, docs, ddb):
+    from lucene_spark.analysis.analyzer import KeywordAnalyzer
     from lucene_spark.index.builder import build_index, combine_fields
 
+    # the class field is KEYWORD-indexed (whole untokenized values) per
+    # the reference's class-field contract
     cidx = build_index(
         docs.select("doc_id", F.col("source").alias("text")),
-        text_col="text", doc_id_col="doc_id", analyzer=AN, field="class",
+        text_col="text", doc_id_col="doc_id",
+        analyzer=KeywordAnalyzer(), field="class",
     )
     midx = combine_fields(idx, cidx)
     inputs = docs.filter(F.col("doc_id") < 30).select(
@@ -149,6 +153,41 @@ def test_bm25_nb_matches_oracle(spark, idx, docs, ddb):
         by_input.setdefault(int(r["input_id"]), 0.0)
         by_input[int(r["input_id"])] += r["score"]
     assert all(abs(s - 1.0) < 1e-9 for s in by_input.values())
+
+
+def test_bm25_nb_deleted_class_and_missing_field(spark):
+    """A class whose docs are ALL deleted still enumerates from the terms
+    dictionary at raw = 0 (prior 0, every P = 1 — BM25NBClassifier
+    :219,:230); an index with no class field yields an empty result."""
+    from lucene_spark.analysis.analyzer import KeywordAnalyzer
+    from lucene_spark.index.builder import build_index, combine_fields, delete_by_ids
+
+    corpus = [(0, "spark executor", "tech"), (1, "dog pet", "pets")]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string, cls string")
+    ti = build_index(docs, text_col="text", doc_id_col="doc_id", analyzer=AN)
+    ci = build_index(
+        docs.select("doc_id", F.col("cls").alias("text")),
+        text_col="text", doc_id_col="doc_id",
+        analyzer=KeywordAnalyzer(), field="class",
+    )
+    midx = delete_by_ids(
+        combine_fields(ti, ci),
+        spark.createDataFrame([(1,)], "doc_id long"),  # kill all of "pets"
+    )
+    inputs = spark.createDataFrame([(0, "spark")], "input_id long, text string")
+    rows = {
+        r["class"]: r["score"]
+        for r in bm25_nb_classify(midx, inputs, AN, top_n=5).collect()
+    }
+    # pets survives at raw = 0 exactly as the reference computes — and on
+    # this tiny corpus that OUTRANKS tech, whose raw = ln(sc) + Σ ln P is
+    # negative (BM25 leaf scores < 1 ⇒ negative logs); the deleted class
+    # is not dropped, it rides the softmax at e^0
+    assert set(rows) == {"tech", "pets"}
+    assert rows["pets"] > rows["tech"] > 0.0
+    assert abs(sum(rows.values()) - 1.0) < 1e-12
+    # no class field at all -> empty typed frame, no crash
+    assert bm25_nb_classify(ti, inputs, AN).count() == 0
 
 
 def test_knn_unlabeled_docs_are_not_hits(spark):
