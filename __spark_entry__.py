@@ -1473,7 +1473,8 @@ def _q_payload_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spell suggestions + prefix autocomplete in one gate frame."""
+    """Spell suggestions + prefix autocomplete + the FreeText ngram-LM
+    next-word/completion suggester in one gate frame."""
     sp = _q_suggest(spark, sf_dir).select(
         F.lit("spell").alias("qkind"),
         F.col("term"),
@@ -1486,7 +1487,35 @@ def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
-    return sp.unionByName(co)
+    ft = _q_freetext(spark, sf_dir).select(
+        F.lit("freetext").alias("qkind"),
+        F.col("term"),
+        F.col("value").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return sp.unionByName(co).unionByName(ft)
+
+
+_FREETEXT_CACHE: dict = {}
+
+
+def _q_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FreeTextSuggester lookup "big data s" num=6 on a TRIGRAM model:
+    level-3 completions of "s…" given "big data", then backed-off
+    level-2 ("data s…", ×0.4) and level-1 (bare "s…", ×0.4²)
+    completions with seen-fragment dedup — values from the three levels
+    interleave in the final (value DESC, key ASC) sort.  The model uses
+    the reference's default UNSTOPPED StandardAnalyzer and is cached per
+    sf_dir (the model build is the corpus-sized stage; lookups are
+    interactive)."""
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.search.features import FreeTextSuggester
+
+    if sf_dir not in _FREETEXT_CACHE:
+        _FREETEXT_CACHE[sf_dir] = FreeTextSuggester(
+            _docs(spark, sf_dir), analyzer=StandardAnalyzer(), grams=3
+        )
+    return _FREETEXT_CACHE[sf_dir].lookup_df("big data s", num=6)
 
 
 def _q_percolator_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2000,6 +2029,9 @@ def oracle_sql() -> dict[str, str]:
             + ") UNION ALL SELECT 'complete' AS qkind, surface AS term,"
             " CAST(weight AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
             + osql.suggest_complete_sql("mer", 5)
+            + ") UNION ALL SELECT 'freetext' AS qkind, term,"
+            " CAST(value AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+            + osql.freetext_lookup_sql("big", "data", "s", 6)
             + ")"
         ),
         "shingle_top20": osql.shingle_top_sql(20),

@@ -2891,6 +2891,109 @@ ORDER BY input_id, rank
 """
 
 
+def freetext_lookup_sql(c1: str, c2: str, prefix: str, num: int) -> str:
+    """FreeTextSuggester twin (``suggest/.../analyzing/FreeTextSuggester
+    .java:545-712``) for the TRIGRAM model over the UNSTOPPED token
+    stream and the three-token query "<c1> <c2> <prefix>":
+
+    * level 3 completes the prefix given both context words (backoff
+      1.0, contextCount = the "<c1> <c2>" bigram's count);
+    * level 2 completes it given only "<c2>" (backoff 0.4, contextCount
+      = the c2 unigram's count), skipping fragments level 3 emitted;
+    * level 1 completes the bare prefix (backoff 0.4², contextCount =
+      total tokens), skipping everything already emitted.
+
+    Each level collects top num+|seen| by (count DESC, ngram ASC) and
+    emits ≤ num NEW fragments; value = (long)(2⁶³·backoff·count/
+    contextCount) — the left-associative double chain with Java's
+    truncating cast and Long.MAX_VALUE saturation; final order
+    (value DESC, key ASC); keys carry the 0x1e separator."""
+    maxd = "9223372036854775808.0"
+    # the reference ACCUMULATES backoff (backoff *= ALPHA per level) and
+    # then multiplies once — MAX·(0.4·0.4), not (MAX·0.4)·0.4
+    a04 = f"{maxd} * 0.4"
+    a016 = f"{maxd} * (0.4 * 0.4)"
+    return f"""
+WITH fwords AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ftp AS (
+    SELECT doc_id, ws[i] AS term, i AS pos
+    FROM fwords, unnest(generate_series(1, len(ws))) AS t(i)
+    WHERE ws[i] <> ''
+),
+uni AS (SELECT term, count(*)::BIGINT AS cnt FROM ftp GROUP BY term),
+tot AS (SELECT sum(cnt)::BIGINT AS t FROM uni),
+bi AS (
+    SELECT a.term AS t1, b.term AS t2, count(*)::BIGINT AS cnt
+    FROM ftp a JOIN ftp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY 1, 2
+),
+tri AS (
+    SELECT a.term AS t1, b.term AS t2, c.term AS t3, count(*)::BIGINT AS cnt
+    FROM ftp a
+    JOIN ftp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    JOIN ftp c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    GROUP BY 1, 2, 3
+),
+lvl3 AS (
+    SELECT t3 AS frag, '{c1}' || chr(30) || '{c2}' || chr(30) || t3 AS key,
+           {maxd} * 1.0 * CAST(cnt AS DOUBLE)
+               / CAST((SELECT cnt FROM bi WHERE t1 = '{c1}' AND t2 = '{c2}')
+                      AS DOUBLE) AS v
+    FROM (SELECT t3, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, t3 ASC) AS rn
+          FROM tri WHERE t1 = '{c1}' AND t2 = '{c2}' AND t3 LIKE '{prefix}%')
+    WHERE rn <= {num}
+),
+lvl2 AS (
+    SELECT t2 AS frag, '{c2}' || chr(30) || t2 AS key,
+           {a04} * CAST(cnt AS DOUBLE)
+               / CAST((SELECT cnt FROM uni WHERE term = '{c2}') AS DOUBLE) AS v
+    FROM (
+        SELECT t2, cnt,
+               row_number() OVER (ORDER BY cnt DESC, t2 ASC) AS rn2
+        FROM (SELECT t2, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, t2 ASC) AS rn
+              FROM bi WHERE t1 = '{c2}' AND t2 LIKE '{prefix}%')
+        WHERE rn <= {num} + (SELECT count(*) FROM lvl3)
+          AND t2 NOT IN (SELECT frag FROM lvl3)
+    )
+    WHERE rn2 <= {num}
+),
+lvl1 AS (
+    SELECT term AS frag, term AS key,
+           {a016} * CAST(cnt AS DOUBLE)
+               / CAST((SELECT t FROM tot) AS DOUBLE) AS v
+    FROM (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn2
+        FROM (SELECT term, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
+              FROM uni WHERE term LIKE '{prefix}%')
+        WHERE rn <= {num} + (SELECT count(*) FROM lvl3)
+                          + (SELECT count(*) FROM lvl2)
+          AND term NOT IN (SELECT frag FROM lvl3)
+          AND term NOT IN (SELECT frag FROM lvl2)
+    )
+    WHERE rn2 <= {num}
+),
+unioned AS (
+    SELECT key, v FROM lvl3
+    UNION ALL SELECT key, v FROM lvl2
+    UNION ALL SELECT key, v FROM lvl1
+),
+valued AS (
+    SELECT key AS term,
+           CASE WHEN trunc(v) >= {maxd}
+                THEN 9223372036854775807
+                ELSE CAST(trunc(v) AS BIGINT) END AS value
+    FROM unioned
+)
+SELECT term, value FROM valued
+ORDER BY value DESC, term ASC
+LIMIT {num}
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 

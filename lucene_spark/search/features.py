@@ -629,3 +629,150 @@ def combined_field_topk(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))) - 1
     return topk.withColumn("rank", w.cast("int"))
+
+
+class FreeTextSuggester:
+    """N-gram language-model suggester with stupid backoff
+    (``suggest/.../analyzing/FreeTextSuggester.java:120-720``): "what word
+    comes next" / "complete this word given context".
+
+    **Model** (:274-327): shingles of orders 1..``grams`` over the
+    analyzed corpus stream, joined by the 0x1e separator; each ngram's
+    weight is its corpus occurrence count, ``tot_tokens`` = Σ unigram
+    counts (:319-320).  The build is one distributed shingle-explode +
+    groupBy — corpus-sized, the part that must scale; lookups are
+    interactive queries over the (dictionary-sized, partition-prunable)
+    model table.
+
+    **Lookup** (:545-712): per gram order high→low, the query's trailing
+    (order)-gram prefix selects same-order completions (the FST search
+    blocks separator arcs, so completions never cross into another token,
+    :625-631); each NEW last-token fragment scores
+    ``(long)(2⁶³ · backoff · count / contextCount)`` (:691-698) with
+    backoff ×0.4 per level (:703) and contextCount = the context ngram's
+    count (unigram level: tot_tokens, :578); results sort (value DESC,
+    key ASC) and truncate (:706-717).  A trailing-space query shifts
+    every context up one order to predict the NEXT word (:591-601).
+
+    Envelope (documented): requires a hole-free analyzer (the reference's
+    default StandardAnalyzer has no stop set; position-increment holes
+    from stop filtering are not modelled); ``(long)`` saturation at
+    Long.MAX_VALUE is mirrored with a ``min``; FST top-N ties resolve by
+    ngram bytes ASC, reproduced as (count DESC, ngram ASC).
+    """
+
+    SEPARATOR = "\x1e"
+    ALPHA = 0.4
+    _MAX_LONG_D = float(2**63)  # (double) Long.MAX_VALUE rounds to 2^63
+
+    def __init__(self, docs_df: DataFrame, analyzer=None, grams: int = 2,
+                 text_col: str = "text"):
+        from lucene_spark.analysis.analyzer import StandardAnalyzer
+
+        self.analyzer = analyzer or StandardAnalyzer()
+        self.grams = int(grams)
+        if self.grams < 1:
+            raise ValueError("grams must be >= 1")
+        an, g, sep = self.analyzer, self.grams, self.SEPARATOR
+
+        @F.pandas_udf("array<string>")
+        def shingles(texts: pd.Series) -> pd.Series:
+            out = []
+            for t in texts:
+                toks = an.analyze(t) if isinstance(t, str) else []
+                if any(sep in tok for tok in toks):
+                    raise ValueError("tokens must not contain the separator byte")
+                row = []
+                for order in range(1, g + 1):
+                    for i in range(len(toks) - order + 1):
+                        row.append(sep.join(toks[i : i + order]))
+                out.append(row)
+            return pd.Series(out)
+
+        self.model = (
+            docs_df.select(F.explode(shingles(F.col(text_col))).alias("ngram"))
+            .groupBy("ngram")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .withColumn("order", F.size(F.split(F.col("ngram"), sep)).cast("int"))
+        ).persist()
+        self.tot_tokens = int(
+            self.model.filter(F.col("order") == 1)
+            .agg(F.sum("cnt"))
+            .collect()[0][0]
+            or 0
+        )
+
+    def close(self) -> None:
+        self.model.unpersist()
+
+    def _context_count(self, context: str) -> int:
+        rows = self.model.filter(F.col("ngram") == context).collect()
+        return int(rows[0]["cnt"]) if rows else 0
+
+    def lookup(self, key: str, num: int = 5) -> list[tuple[str, int]]:
+        """Top ``num`` (ngram key, value) suggestions, the reference's
+        ``LookupResult`` list (keys contain the 0x1e separator)."""
+        sep, g = self.SEPARATOR, self.grams
+        qtoks = self.analyzer.analyze(key)
+        if not qtoks:
+            raise ValueError("no tokens produced by analyzer")
+        ended = key != key.rstrip()
+        last: list[str | None] = [None] * g
+        for order in range(1, g + 1):
+            if len(qtoks) >= order:
+                last[order - 1] = sep.join(qtoks[-order:])
+        if ended:
+            for i in range(g - 1, 0, -1):
+                if last[i - 1] is not None:
+                    last[i] = last[i - 1] + sep
+            last[0] = ""
+
+        seen: set[str] = set()
+        results: list[tuple[str, int]] = []
+        backoff = 1.0
+        for gram in range(g - 1, -1, -1):
+            token = last[gram]
+            if token is None or (token == "" and len(key) > 0):
+                continue
+            cand = (
+                self.model.filter(
+                    (F.col("order") == gram + 1)
+                    & F.col("ngram").startswith(token)
+                )
+                .orderBy(F.desc("cnt"), F.asc("ngram"))
+                .limit(num + len(seen))
+                .collect()
+            )
+            if cand:
+                if sep in token:
+                    context = token[: token.rindex(sep)]
+                    context_count = self._context_count(context)
+                else:
+                    context_count = self.tot_tokens
+                emitted = 0
+                for r in cand:
+                    if emitted >= num:
+                        break
+                    ngram = r["ngram"]
+                    fragment = ngram.rsplit(sep, 1)[-1]
+                    if fragment in seen:
+                        continue
+                    seen.add(fragment)
+                    emitted += 1
+                    # (long)(MAX · backoff · count / contextCount), left-
+                    # associative double chain, truncating long cast with
+                    # Java's saturation at Long.MAX_VALUE
+                    v = self._MAX_LONG_D * backoff * float(int(r["cnt"])) / float(
+                        context_count
+                    )
+                    results.append((ngram, min(int(v), 2**63 - 1)))
+            backoff *= self.ALPHA
+        results.sort(key=lambda kv: (-kv[1], kv[0]))
+        return results[:num]
+
+    def lookup_df(self, key: str, num: int = 5) -> DataFrame:
+        """``lookup`` as a (term, value) DataFrame for gate frames."""
+        spark = self.model.sparkSession
+        return spark.createDataFrame(
+            self.lookup(key, num) or [], "term string, value long"
+        )

@@ -1,0 +1,65 @@
+"""FreeTextSuggester — ngram-LM suggestions with stupid backoff
+(``suggest/.../analyzing/FreeTextSuggester.java``)."""
+
+import pytest
+
+from lucene_spark.analysis.analyzer import StandardAnalyzer
+from lucene_spark.search.features import FreeTextSuggester
+
+SEP = FreeTextSuggester.SEPARATOR
+MAXD = float(2**63)
+
+CORPUS = [
+    "merge sort is stable",
+    "merge join beats hash join here",
+    "merge sort again and again",
+    "quick sort is unstable",
+]
+
+
+@pytest.fixture(scope="module")
+def sug(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+    s = FreeTextSuggester(docs, analyzer=StandardAnalyzer(), grams=2)
+    yield s
+    s.close()
+
+
+def test_model_counts_and_tot(sug):
+    m = {r["ngram"]: r["cnt"] for r in sug.model.collect()}
+    assert m["merge"] == 3 and m[f"merge{SEP}sort"] == 2 and m[f"merge{SEP}join"] == 1
+    # tot tokens = sum of unigram occurrences
+    assert sug.tot_tokens == sum(len(t.split()) for t in CORPUS)
+
+
+def test_next_word_prediction(sug):
+    # trailing space -> predict the word after "merge": sort (2) > join (1)
+    out = sug.lookup("merge ", num=5)
+    keys = [k for k, _ in out]
+    assert keys[0] == f"merge{SEP}sort" and keys[1] == f"merge{SEP}join"
+    # value = (long)(2^63 * 1.0 * count / count("merge"))
+    assert out[0][1] == int(MAXD * 1.0 * 2.0 / 3.0)
+
+
+def test_backoff_and_seen_dedup(sug):
+    # "quick s": bigram level has quick<sep>sort (backoff 1.0); the
+    # unigram level's "sort" and "stable" — sort is SEEN, stable emits at
+    # backoff 0.4 over tot_tokens
+    out = dict(sug.lookup("quick s", num=5))
+    assert f"quick{SEP}sort" in out
+    assert "stable" in out and "sort" not in out
+    assert out["stable"] == int(MAXD * 0.4 * 1.0 / sug.tot_tokens)
+
+
+def test_word_completion_unigram(sug):
+    # single partial token: unigram completions ranked by count
+    out = sug.lookup("s", num=5)
+    frags = [k for k, _ in out]
+    assert frags[0] == "sort"  # count 3 beats stable/is/...
+
+
+def test_empty_key_raises(sug):
+    with pytest.raises(ValueError):
+        sug.lookup("", num=5)
