@@ -1493,7 +1493,32 @@ def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
-    return sp.unionByName(co).unionByName(ft)
+    ix = _q_infix(spark, sf_dir).select(
+        F.lit("infix").alias("qkind"),
+        F.col("surface").alias("term"),
+        F.col("weight").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return sp.unionByName(co).unionByName(ft).unionByName(ix)
+
+
+def _q_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AnalyzingInfixSuggester: entries = each doc's first-4-words title
+    (weight = n_chars), query "data s" — token "data" anywhere AND a
+    token starting with "s" anywhere, ranked by weight."""
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.search.features import AnalyzingInfixSuggester
+
+    docs = _docs(spark, sf_dir)
+    entries = docs.select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ").alias(
+            "surface"
+        ),
+        F.col("n_chars").alias("weight"),
+    )
+    return AnalyzingInfixSuggester(entries, analyzer=StandardAnalyzer()).lookup(
+        "data s", num=7
+    )
 
 
 _FREETEXT_CACHE: dict = {}
@@ -2032,6 +2057,9 @@ def oracle_sql() -> dict[str, str]:
             + ") UNION ALL SELECT 'freetext' AS qkind, term,"
             " CAST(value AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
             + osql.freetext_lookup_sql("big", "data", "s", 6)
+            + ") UNION ALL SELECT 'infix' AS qkind, term,"
+            " CAST(value AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+            + osql.infix_lookup_sql("data", "s", 7)
             + ")"
         ),
         "shingle_top20": osql.shingle_top_sql(20),

@@ -2994,6 +2994,40 @@ LIMIT {num}
 """
 
 
+def infix_lookup_sql(
+    exact: str, prefix: str, num: int, title_words: int = 4
+) -> str:
+    """AnalyzingInfixSuggester twin (``suggest/.../analyzing/
+    AnalyzingInfixSuggester.java:620-720``) over entries = the first
+    ``title_words`` words of each doc, weight = n_chars: the two-token
+    query "<exact> <prefix>" matches entries containing token ``exact``
+    AND a token starting with ``prefix`` ANYWHERE (allTermsRequired),
+    ranked (weight DESC, surface ASC)."""
+    return f"""
+WITH ttl AS (
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:{title_words}], ' ')
+               AS surface,
+           n_chars AS weight
+    FROM documents
+),
+tok AS (
+    SELECT DISTINCT ttl.doc_id, t.term
+    FROM ttl, unnest(string_split(surface, ' ')) AS t(term)
+    WHERE t.term <> ''
+),
+m AS (
+    SELECT surface, weight FROM ttl
+    WHERE EXISTS (SELECT 1 FROM tok
+                  WHERE tok.doc_id = ttl.doc_id AND term = '{exact}')
+      AND EXISTS (SELECT 1 FROM tok
+                  WHERE tok.doc_id = ttl.doc_id AND term LIKE '{prefix}%')
+)
+SELECT surface AS term, CAST(weight AS BIGINT) AS value
+FROM m ORDER BY weight DESC, surface ASC LIMIT {num}
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 

@@ -776,3 +776,71 @@ class FreeTextSuggester:
         return spark.createDataFrame(
             self.lookup(key, num) or [], "term string, value long"
         )
+
+
+class AnalyzingInfixSuggester:
+    """Infix ("search-box") suggester (``suggest/.../analyzing/
+    AnalyzingInfixSuggester.java:620-720``): suggestions match query
+    tokens ANYWHERE in the analyzed entry text, not only at the start.
+
+    Lookup builds the reference's Boolean shape: every query token but
+    the last is an exact TermQuery, the last is a PrefixQuery unless the
+    key ends past the token (trailing whitespace ⇒ exact, :670-683);
+    ``all_terms_required`` picks MUST vs SHOULD occur (:639-644).
+    Results sort by the index sort (weight DESC, :166); the reference
+    breaks weight ties by docID (insertion order) — here surface ASC,
+    the deterministic analog (documented envelope).
+
+    The entries table is dictionary-sized; lookups are a token semi-join
+    per clause over its exploded (token, surface) projection — at scale
+    both sides partition-prune by token.
+    """
+
+    def __init__(self, entries: DataFrame, analyzer=None,
+                 surface_col: str = "surface", weight_col: str = "weight"):
+        from lucene_spark.analysis.analyzer import StandardAnalyzer
+        from lucene_spark.index.builder import make_analyze_udf
+
+        self.analyzer = analyzer or StandardAnalyzer()
+        analyze = make_analyze_udf(self.analyzer)
+        self.entries = entries.select(
+            F.col(surface_col).alias("surface"),
+            F.col(weight_col).cast("long").alias("weight"),
+            analyze(F.col(surface_col)).alias("toks"),
+        )
+        self.tokens = self.entries.select(
+            "surface", F.explode("toks").alias("token")
+        ).distinct()
+
+    def lookup(self, key: str, num: int = 5,
+               all_terms_required: bool = True) -> DataFrame:
+        """(surface, weight) suggestions, best first."""
+        qtoks = self.analyzer.analyze(key)
+        if not qtoks:
+            return self.entries.sparkSession.createDataFrame(
+                [], "surface string, weight long"
+            )
+        # the last token is a prefix iff the key ends AT the token
+        # (:671-673: maxEndOffset == end offset); trailing space -> exact
+        last_is_prefix = key == key.rstrip()
+        exact, last = qtoks[:-1], qtoks[-1]
+        if not last_is_prefix:
+            exact, last = qtoks, None
+
+        clauses = [self.tokens.filter(F.col("token") == t) for t in set(exact)]
+        if last is not None:
+            clauses.append(self.tokens.filter(F.col("token").startswith(last)))
+        base = self.entries.select("surface", "weight")
+        if all_terms_required:
+            for c in clauses:
+                base = base.join(c.select("surface").distinct(), "surface", "left_semi")
+            matched = base
+        else:
+            from functools import reduce as _reduce
+
+            any_hit = _reduce(
+                lambda a, b: a.unionByName(b),
+                [c.select("surface") for c in clauses],
+            ).distinct()
+            matched = base.join(any_hit, "surface", "left_semi")
+        return matched.orderBy(F.desc("weight"), F.asc("surface")).limit(num)

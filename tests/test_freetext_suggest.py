@@ -63,3 +63,34 @@ def test_word_completion_unigram(sug):
 def test_empty_key_raises(sug):
     with pytest.raises(ValueError):
         sug.lookup("", num=5)
+
+
+# ------------------------------------------------------------------ infix
+
+
+def test_infix_suggester(spark):
+    from lucene_spark.search.features import AnalyzingInfixSuggester
+
+    entries = spark.createDataFrame(
+        [
+            ("merge sort basics", 10),
+            ("big data merge", 30),
+            ("quick sort", 20),
+            ("merge two sorted runs", 25),
+        ],
+        "surface string, weight long",
+    )
+    s = AnalyzingInfixSuggester(entries, analyzer=StandardAnalyzer())
+    # infix: "merge" matches mid-entry; prefix "so" completes sort/sorted
+    got = [(r["surface"], r["weight"]) for r in s.lookup("merge so").collect()]
+    assert got == [("merge two sorted runs", 25), ("merge sort basics", 10)]
+    # trailing space makes the last token EXACT: "so" matches nothing
+    assert s.lookup("merge so ").count() == 0
+    # allTermsRequired=False: any clause may match, weight order
+    got = [r["surface"] for r in s.lookup("merge so", all_terms_required=False).collect()]
+    assert got == [
+        "big data merge",
+        "merge two sorted runs",
+        "quick sort",
+        "merge sort basics",
+    ]
