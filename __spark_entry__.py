@@ -1499,7 +1499,34 @@ def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
-    return sp.unionByName(co).unionByName(ft).unionByName(ix)
+    bl = _q_blended_infix(spark, sf_dir).select(
+        F.lit("blended").alias("qkind"),
+        F.col("surface").alias("term"),
+        F.col("weight").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
+    )
+    return (
+        sp.unionByName(co).unionByName(ft).unionByName(ix).unionByName(bl)
+    )
+
+
+def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlendedInfixSuggester (linear blender): the infix entries re-scored
+    by the first matched token's position — early matches keep their
+    weight, late matches are discounted (negative past position 10)."""
+    from lucene_spark.analysis.analyzer import StandardAnalyzer
+    from lucene_spark.search.features import BlendedInfixSuggester
+
+    docs = _docs(spark, sf_dir)
+    entries = docs.select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ").alias(
+            "surface"
+        ),
+        F.col("n_chars").alias("weight"),
+    )
+    return BlendedInfixSuggester(
+        entries, analyzer=StandardAnalyzer(), blender_type="linear"
+    ).lookup("data s", num=5)
 
 
 def _q_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2060,6 +2087,9 @@ def oracle_sql() -> dict[str, str]:
             + ") UNION ALL SELECT 'infix' AS qkind, term,"
             " CAST(value AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
             + osql.infix_lookup_sql("data", "s", 7)
+            + ") UNION ALL SELECT 'blended' AS qkind, term,"
+            " CAST(value AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+            + osql.blended_infix_lookup_sql("data", "s", "data s", 5)
             + ")"
         ),
         "shingle_top20": osql.shingle_top_sql(20),

@@ -3028,6 +3028,72 @@ FROM m ORDER BY weight DESC, surface ASC LIMIT {num}
 """
 
 
+def blended_infix_lookup_sql(
+    exact: str, prefix: str, key_raw: str, num: int,
+    num_factor: int = 10, title_words: int = 4,
+) -> str:
+    """BlendedInfixSuggester twin (``suggest/.../analyzing/
+    BlendedInfixSuggester.java:196-281,309-379``, linear blender) over
+    the same first-``title_words``-words entries: top num·num_factor
+    infix candidates by raw weight, re-scored by the first matched
+    token's position — coefficient 1 when the surface starts with the
+    raw key, else 1 − 0.10·minpos; weight 0→1 then |w|<10 scaled ×10;
+    score = trunc(w·coef); DISTINCT (surface, score) kept top-num by
+    (score DESC, surface DESC) — the reference's descending TreeSet."""
+    return f"""
+WITH ttl AS (
+    SELECT doc_id,
+           array_to_string(string_split(text, ' ')[1:{title_words}], ' ')
+               AS surface,
+           n_chars AS weight
+    FROM documents
+),
+tokp AS (
+    SELECT s.doc_id, s.ws2[i] AS term, i - 1 AS pos
+    FROM (SELECT doc_id, string_split(surface, ' ') AS ws2 FROM ttl) s,
+         unnest(generate_series(1, len(s.ws2))) AS t(i)
+    WHERE s.ws2[i] <> ''
+),
+tokfirst AS (SELECT doc_id, term, min(pos) AS pos FROM tokp GROUP BY 1, 2),
+m AS (
+    SELECT doc_id, surface, weight FROM ttl
+    WHERE EXISTS (SELECT 1 FROM tokfirst tf
+                  WHERE tf.doc_id = ttl.doc_id AND tf.term = '{exact}')
+      AND EXISTS (SELECT 1 FROM tokfirst tf
+                  WHERE tf.doc_id = ttl.doc_id AND tf.term LIKE '{prefix}%')
+),
+pool AS (
+    SELECT * FROM (
+        SELECT doc_id, surface, weight,
+               row_number() OVER (ORDER BY weight DESC, surface ASC) AS rn
+        FROM m
+    ) WHERE rn <= {num * num_factor}
+),
+mp AS (
+    SELECT doc_id, min(pos) AS minpos FROM tokfirst
+    WHERE term = '{exact}' OR term LIKE '{prefix}%'
+    GROUP BY doc_id
+),
+adj AS (
+    SELECT surface, minpos,
+           CASE WHEN w1 > -10 AND w1 < 10
+                THEN CAST(trunc(w1 * 10.0) AS BIGINT) ELSE w1 END AS w2
+    FROM (SELECT p.surface, mp.minpos,
+                 CASE WHEN p.weight = 0 THEN 1 ELSE p.weight END AS w1
+          FROM pool p JOIN mp USING (doc_id))
+),
+scored AS (
+    SELECT surface,
+           CAST(trunc(CAST(w2 AS DOUBLE) *
+                (CASE WHEN surface LIKE '{key_raw}%' THEN 1.0
+                      ELSE 1.0 - 0.10 * minpos END)) AS BIGINT) AS score
+    FROM adj
+)
+SELECT DISTINCT surface AS term, score AS value
+FROM scored ORDER BY value DESC, term DESC LIMIT {num}
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 

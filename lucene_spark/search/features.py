@@ -844,3 +844,96 @@ class AnalyzingInfixSuggester:
             ).distinct()
             matched = base.join(any_hit, "surface", "left_semi")
         return matched.orderBy(F.desc("weight"), F.asc("surface")).limit(num)
+
+
+class BlendedInfixSuggester(AnalyzingInfixSuggester):
+    """Position-blended infix suggester (``suggest/.../analyzing/
+    BlendedInfixSuggester.java:196-281,309-379``): infix matching, but
+    the weight is discounted by WHERE the first matched token sits.
+
+    Lookup fetches the top ``num × num_factor`` candidates by raw weight
+    (:198-199), then re-scores each: coefficient = 1 when the surface
+    literally starts with the raw key, else from the minimum first
+    position p of any matched token — ``linear`` 1 − 0.10·p (negative
+    past p=10, kept), ``reciprocal`` 1/(p+1), ``exponential_reciprocal``
+    1/(p+1)^exponent (:356-377); weight 0 becomes 1 and |weight| < 10 is
+    scaled ×10 first (:265-270); score = (long)(weight · coefficient)
+    (:271).  The bounded result set keeps the top ``num`` by the
+    reference's (value, key) tree order — emitted (score DESC, surface
+    DESC) (:224-281, descendingSet).  Ties in the candidate pool resolve
+    surface ASC (the reference uses insertion order; documented
+    envelope).  Re-scoring runs driver-side over the ≤ num×num_factor
+    collected pool — bounded by construction; the candidate search and
+    the position lookup stay distributed."""
+
+    LINEAR_COEF = 0.10
+    DEFAULT_NUM_FACTOR = 10
+
+    def __init__(self, entries: DataFrame, analyzer=None,
+                 surface_col: str = "surface", weight_col: str = "weight",
+                 blender_type: str = "linear", num_factor: int = 10,
+                 exponent: float = 2.0):
+        super().__init__(entries, analyzer, surface_col, weight_col)
+        if blender_type not in ("linear", "reciprocal", "exponential_reciprocal"):
+            raise ValueError(f"unknown blender type {blender_type!r}")
+        self.blender_type = blender_type
+        self.num_factor = int(num_factor)
+        self.exponent = float(exponent)
+        # first position of each token within its entry (term vectors'
+        # nextPosition: a term's first position is its minimum)
+        self.token_pos = (
+            self.entries.select(
+                "surface", F.posexplode("toks").alias("pos", "token")
+            )
+            .groupBy("surface", "token")
+            .agg(F.min("pos").alias("pos"))
+        )
+
+    def _coefficient(self, position: int) -> float:
+        if self.blender_type == "linear":
+            return 1.0 - self.LINEAR_COEF * position
+        if self.blender_type == "reciprocal":
+            return 1.0 / (position + 1)
+        return 1.0 / float(position + 1.0) ** self.exponent
+
+    def lookup(self, key: str, num: int = 5,
+               all_terms_required: bool = True) -> DataFrame:
+        spark = self.entries.sparkSession
+        qtoks = self.analyzer.analyze(key)
+        if not qtoks:
+            return spark.createDataFrame([], "surface string, weight long")
+        pool = super().lookup(key, num * self.num_factor, all_terms_required)
+        last_is_prefix = key == key.rstrip()
+        exact = set(qtoks[:-1]) if last_is_prefix else set(qtoks)
+        prefix = qtoks[-1] if last_is_prefix else None
+        cond = F.col("token").isin(list(exact)) if exact else F.lit(False)
+        if prefix is not None:
+            cond = cond | F.col("token").startswith(prefix)
+        pos = (
+            self.token_pos.filter(cond)
+            .groupBy("surface")
+            .agg(F.min("pos").alias("minpos"))
+        )
+        rows = pool.join(pos, "surface", "left").collect()
+        out = []
+        for r in rows:
+            w = int(r["weight"])
+            if r["surface"].startswith(key):
+                coef = 1.0
+            else:
+                p = int(r["minpos"]) if r["minpos"] is not None else 2**31 - 1
+                coef = self._coefficient(p)
+            if w == 0:
+                w = 1
+            if -10 < w < 10:
+                w = int(w * (1.0 / self.LINEAR_COEF))
+            out.append((r["surface"], int(w * coef)))
+        # the reference's bounded TreeSet keeps the top num by (value,
+        # key), DEDUPING identical (value, key) results (comparator 0 ⇒
+        # not added), and emits the descending view -> (score DESC,
+        # surface DESC)
+        out = list(set(out))
+        out.sort(key=lambda kv: (kv[1], kv[0]), reverse=True)
+        return spark.createDataFrame(
+            out[:num] or [], "surface string, weight long"
+        )

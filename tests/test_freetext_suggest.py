@@ -65,6 +65,38 @@ def test_empty_key_raises(sug):
         sug.lookup("", num=5)
 
 
+def test_blended_infix_position_discount(spark):
+    from lucene_spark.search.features import BlendedInfixSuggester
+
+    entries = spark.createDataFrame(
+        [
+            ("merge early entry", 100),   # merge at position 0
+            ("the big merge", 100),       # merge at position 2
+            ("one two three four five six seven eight nine ten eleven merge", 100),
+        ],
+        "surface string, weight long",
+    )
+    s = BlendedInfixSuggester(
+        entries, analyzer=StandardAnalyzer(), blender_type="linear"
+    )
+    got = {r["surface"]: r["weight"] for r in s.lookup("merge", num=5).collect()}
+    # "merge early entry" starts with the raw key -> coefficient 1
+    assert got["merge early entry"] == 100
+    # position 2 -> 1 - 0.2 = 0.8
+    assert got["the big merge"] == 80
+    # position 11 -> 1 - 1.1 = -0.1 -> negative score, truncated toward 0
+    assert (
+        got["one two three four five six seven eight nine ten eleven merge"]
+        == -10
+    )
+    # reciprocal blender: 1/(pos+1)
+    s2 = BlendedInfixSuggester(
+        entries, analyzer=StandardAnalyzer(), blender_type="reciprocal"
+    )
+    got2 = {r["surface"]: r["weight"] for r in s2.lookup("merge", num=5).collect()}
+    assert got2["the big merge"] == int(100 * (1.0 / 3.0))
+
+
 # ------------------------------------------------------------------ infix
 
 
