@@ -1505,9 +1505,29 @@ def _q_suggest_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").cast("long").alias("v1"),
         F.lit(0).cast("long").alias("v2"),
     )
-    return (
-        sp.unionByName(co).unionByName(ft).unionByName(ix).unionByName(bl)
+    fz = _q_fuzzy_complete(spark, sf_dir).select(
+        F.lit("fuzzy_complete").alias("qkind"),
+        F.col("surface").alias("term"),
+        F.col("weight").cast("long").alias("v1"),
+        F.lit(0).cast("long").alias("v2"),
     )
+    return (
+        sp.unionByName(co)
+        .unionByName(ft)
+        .unionByName(ix)
+        .unionByName(bl)
+        .unionByName(fz)
+    )
+
+
+def _q_fuzzy_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FuzzySuggester over the index vocabulary: the transposed typo
+    "mrege" still completes to merge-family terms (first byte exact,
+    OSA ≤ 1 on some prefix), ranked by docFreq."""
+    from lucene_spark.search.features import FuzzySuggester
+
+    s = _searcher(spark, sf_dir)
+    return FuzzySuggester.from_index_terms(s.index).lookup("mrege", k=5)
 
 
 def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2090,6 +2110,9 @@ def oracle_sql() -> dict[str, str]:
             + ") UNION ALL SELECT 'blended' AS qkind, term,"
             " CAST(value AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
             + osql.blended_infix_lookup_sql("data", "s", "data s", 5)
+            + ") UNION ALL SELECT 'fuzzy_complete' AS qkind, term,"
+            " CAST(value AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM ("
+            + osql.fuzzy_complete_sql("mrege", 5)
             + ")"
         ),
         "shingle_top20": osql.shingle_top_sql(20),

@@ -3094,6 +3094,37 @@ FROM scored ORDER BY value DESC, term DESC LIMIT {num}
 """
 
 
+def fuzzy_complete_sql(key: str, k: int) -> str:
+    """FuzzySuggester twin (``suggest/.../analyzing/FuzzySuggester.java:
+    50-91``) over index-term entries (weight = docFreq): completions
+    whose key has a prefix within OSA distance 1 of the typed key — the
+    first byte exact (NON_FUZZY_PREFIX 1), prefix lengths |key|±1, OSA ≡
+    Damerau-Levenshtein at distance ≤ 1 — ranked (weight DESC, term
+    ASC).  Requires len(key) ≥ MIN_FUZZY_LENGTH (the caller's contract;
+    shorter keys take the exact-prefix path)."""
+    assert len(key) >= 3
+    qsuf = key[1:]
+    qlen = len(key)
+    ors = " OR ".join(
+        f"damerau_levenshtein(substr(term, 2, {m - 1}), '{qsuf}') <= 1"
+        for m in range(qlen - 1, qlen + 2)
+    )
+    return f"""
+WITH {BASE_CTES},
+ts AS (
+    SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY term
+),
+cand AS (
+    SELECT term, df FROM ts
+    WHERE substr(term, 1, 1) = '{key[0]}'
+      AND length(term) >= {qlen - 1}
+      AND ({ors})
+)
+SELECT term, CAST(df AS BIGINT) AS value
+FROM cand ORDER BY df DESC, term ASC LIMIT {k}
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 

@@ -937,3 +937,57 @@ class BlendedInfixSuggester(AnalyzingInfixSuggester):
         return spark.createDataFrame(
             out[:num] or [], "surface string, weight long"
         )
+
+
+class FuzzySuggester(AnalyzingSuggester):
+    """Typo-tolerant completion (``suggest/.../analyzing/FuzzySuggester
+    .java:50-91,124``): like :class:`AnalyzingSuggester` but the typed
+    prefix may sit within OSA edit distance ``MAX_EDITS`` of a stored
+    key's prefix — with the reference's guardrails: the first
+    ``NON_FUZZY_PREFIX`` byte is never edited (the automaton prepends it
+    exactly), and keys shorter than ``MIN_FUZZY_LENGTH`` get no edits at
+    all.  Completions rank (weight DESC, surface ASC) exactly as the
+    exact suggester (the fuzzy automaton only widens the MATCH set,
+    TopNSearcher ranking is unchanged)."""
+
+    MAX_EDITS = 1
+    NON_FUZZY_PREFIX = 1
+    MIN_FUZZY_LENGTH = 3
+
+    def lookup(self, prefix: str, k: int = 5) -> DataFrame:
+        key = " ".join(self.analyzer.analyze(prefix))
+        if len(key) < self.MIN_FUZZY_LENGTH:
+            return super().lookup(prefix, k)
+        from lucene_spark.search.searcher import _osa_distance
+
+        nfp, me = self.NON_FUZZY_PREFIX, self.MAX_EDITS
+        qsuf = key[nfp:]
+        qlen = len(key)
+
+        @F.pandas_udf("boolean")
+        def fuzzy_prefix(keys: pd.Series) -> pd.Series:
+            out = []
+            for s in keys:
+                ok = False
+                if s[:nfp] == key[:nfp]:
+                    hi = min(len(s), qlen + me)
+                    for m in range(max(nfp, qlen - me), hi + 1):
+                        if _osa_distance(s[nfp:m], qsuf) <= me:
+                            ok = True
+                            break
+                out.append(ok)
+            return pd.Series(out)
+
+        # cheap JVM prune before the Arrow batch: exact first byte +
+        # length floor (an entry shorter than qlen - maxEdits cannot
+        # contain a qualifying prefix)
+        pruned = self.entries.filter(
+            F.col("key").startswith(key[:nfp])
+            & (F.length("key") >= qlen - me)
+        )
+        return (
+            pruned.filter(fuzzy_prefix(F.col("key")))
+            .select("surface", "weight")
+            .orderBy(F.desc("weight"), F.asc("surface"))
+            .limit(k)
+        )

@@ -65,6 +65,26 @@ def test_empty_key_raises(sug):
         sug.lookup("", num=5)
 
 
+def test_fuzzy_suggester(spark):
+    from lucene_spark.search.features import FuzzySuggester
+
+    entries = spark.createDataFrame(
+        [("merge", 50), ("merged", 20), ("verge", 30), ("marge", 10), ("me", 5)],
+        "surface string, weight long",
+    )
+    s = FuzzySuggester(entries, analyzer=StandardAnalyzer())
+    # transposed typo: "mrege" ~ merge/merged (OSA 1 prefix), weight order;
+    # "verge" is excluded — the first byte is never edited
+    got = [r["surface"] for r in s.lookup("mrege").collect()]
+    assert got == ["merge", "merged"]
+    # "marge" needs one substitution: also within distance 1 of "merge"
+    got = [r["surface"] for r in s.lookup("merge").collect()]
+    assert got == ["merge", "merged", "marge"]
+    # below MIN_FUZZY_LENGTH: exact prefix only
+    got = [r["surface"] for r in s.lookup("me").collect()]
+    assert set(got) == {"merge", "merged", "me"}
+
+
 def test_blended_infix_position_discount(spark):
     from lucene_spark.search.features import BlendedInfixSuggester
 
