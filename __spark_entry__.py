@@ -956,15 +956,30 @@ def _suite_sql(parts) -> str:
 
 
 def _q_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AND / OR / AND-NOT / 3-way-OR Boolean shapes in one gate."""
+    """AND / OR / AND-NOT / 3-way-OR Boolean shapes + the lenient
+    SimpleQueryParser composite in one gate."""
     return _union_suite(
         [
             ("and", _q_and_topk(spark, sf_dir)),
             ("or", _q_or_topk(spark, sf_dir)),
             ("and_not", _q_and_not_topk(spark, sf_dir)),
             ("or3", _q_wand_or3_topk(spark, sf_dir)),
+            ("simple_parse", _q_simple_parse_topk(spark, sf_dir)),
         ]
     )
+
+
+def _q_simple_parse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimpleQueryParser: ``data + (merge | join) -batch`` — explicit
+    AND, a precedence group, and a NOT (which the lenient grammar wraps
+    as MUST_NOT + MatchAll), left-precedence tree building."""
+    from lucene_spark.search.parser_simple import SimpleQueryParser
+
+    s = _searcher(spark, sf_dir)
+    q = SimpleQueryParser(GATE_ANALYZER, "text").parse(
+        "data + (merge | join) -batch"
+    )
+    return _as_gate_schema(s.search(q, k=10))
 
 
 def _q_sloppy_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1869,6 +1884,7 @@ def oracle_sql() -> dict[str, str]:
                 ("or", osql.or_topk_sql("spark", "vector", 15)),
                 ("and_not", osql.and_not_topk_sql("merge", "window", 10)),
                 ("or3", osql.multi_or_topk_sql(["data", "row", "scan"], 12)),
+                ("simple_parse", osql.simple_parse_topk_sql(10)),
             ]
         ),
         "bm25_phrase_topk": osql.phrase_topk_sql(["table", "value"], 10),

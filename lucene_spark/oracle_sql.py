@@ -3125,6 +3125,48 @@ FROM cand ORDER BY df DESC, term ASC LIMIT {k}
 """
 
 
+def simple_parse_topk_sql(k: int) -> str:
+    """Oracle for the SimpleQueryParser gate string
+    ``data + (merge | join) -batch`` — the tree the lenient grammar
+    builds (derived from ``SimpleQueryParser.java:345-390`` semantics,
+    independently of the engine's parser):
+
+        SHOULD( MUST(data, SHOULD(merge, join)),
+                (MUST_NOT batch, SHOULD MatchAll) )
+
+    i.e. docs matching data∧(merge∨join) score their conjunction sum,
+    every batch-free doc adds the MatchAll constant 1.0, and the outer
+    disjunction sums in double per doc, each Boolean level float32-cast."""
+    return f"""
+WITH {BASE_CTES}, {_term_cte('d', 'data')}, {_term_cte('m', 'merge')},
+{_term_cte('j', 'join')},
+tf_b AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'batch'),
+orq AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM (SELECT doc_id, score FROM sc_m
+          UNION ALL SELECT doc_id, score FROM sc_j)
+    GROUP BY doc_id
+),
+and1 AS (
+    SELECT d.doc_id,
+           CAST(CAST(d.score AS DOUBLE) + CAST(o.score AS DOUBLE) AS FLOAT)
+               AS score
+    FROM sc_d d JOIN orq o USING (doc_id)
+),
+neg AS (
+    SELECT doc_id, CAST(1.0 AS FLOAT) AS score FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM tf_b)
+),
+combined AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM (SELECT doc_id, score FROM and1
+          UNION ALL SELECT doc_id, score FROM neg)
+    GROUP BY doc_id
+)
+{_topk('combined', k)}
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 
