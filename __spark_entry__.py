@@ -949,6 +949,15 @@ def _union_suite(parts) -> DataFrame:
     return out
 
 
+def _expression_oracle_sql() -> str:
+    """The expression gate's oracle: the SAME compiled portable SQL the
+    engine runs, evaluated by DuckDB via the stock FunctionQuery oracle."""
+    from lucene_spark import oracle_sql as osql
+    from lucene_spark.search.expressions import compile_expression
+
+    return osql.function_score_sql(compile_expression(_EXPR_GATE), 10)
+
+
 def _suite_sql(parts) -> str:
     return " UNION ALL ".join(
         f"SELECT '{name}' AS qkind, * FROM ({sql})" for name, sql in parts
@@ -1155,8 +1164,27 @@ def _q_scoring_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("feature", norm(_q_feature_score_topk(spark, sf_dir))),
             ("covering", norm(_q_covering_topk(spark, sf_dir))),
             ("combined_field", norm(_q_combined_field_topk(spark, sf_dir))),
+            ("expression", norm(_q_expression_score(spark, sf_dir))),
         ]
     )
+
+
+# the expressions-module gate formula: reference JS syntax with IEEE-exact
+# pieces only (sqrt is correctly rounded; the rest is integer-exact), so
+# Spark and DuckDB agree bit-for-bit on the compiled SQL
+_EXPR_GATE = (
+    "sqrt(n_chars % 97) * 2 + (doc_id % 7 > 3 ? min(doc_id % 5, 2) : 1)"
+    " + abs(doc_id % 3 - 1)"
+)
+
+
+def _q_expression_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expressions module (`expressions/js/JavascriptCompiler.java`):
+    the reference's JS-like scoring syntax compiled to a Catalyst
+    expression — arithmetic, a ternary, min/abs/sqrt over doc values."""
+    from lucene_spark.search.expressions import expression_score
+
+    return expression_score(_docs(spark, sf_dir), _EXPR_GATE, k=10)
 
 
 _CF_CACHE: dict = {}
@@ -2003,6 +2031,7 @@ def oracle_sql() -> dict[str, str]:
                     "combined_field",
                     osql.combined_field_topk_sql(["merge", "data"], 1.0, 2.0, 5, 10),
                 ),
+                ("expression", _expression_oracle_sql()),
             ]
         ),
         "spans_suite": _suite_sql(
