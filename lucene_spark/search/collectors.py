@@ -320,3 +320,42 @@ def rescore(
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
+
+
+def doc_values_stats(docs: DataFrame, col: str) -> DataFrame:
+    """DocValuesStats / DocValuesStatsCollector
+    (``misc/search/DocValuesStats.java:76-140``): one-pass numeric
+    doc-values statistics over a doc set (pass a query's hits joined to
+    doc values to mirror the collector wiring).
+
+    Returns one row: count, missing (docs with NULL), sum, min, max,
+    mean, variance (population, ``variance/count``, :104-107), stdev.
+
+    Envelope (documented): the reference accumulates Welford-style in
+    docID order — a sequential recurrence a distributed engine cannot
+    replay; this computes the algebraically identical closed form
+    ``var = (Σx² − (Σx)²/n)/n`` with Σ over exact integer sums (one
+    aggregation, order-free, deterministic), matching Welford to double
+    rounding.  Undefined stats on an empty doc set return NULLs."""
+    agg = docs.agg(
+        F.count(F.col(col)).alias("count"),
+        (F.count(F.lit(1)) - F.count(F.col(col))).alias("missing"),
+        F.sum(F.col(col)).alias("sum"),
+        F.min(F.col(col)).alias("min"),
+        F.max(F.col(col)).alias("max"),
+        F.sum(F.col(col) * F.col(col)).alias("_sum2"),
+    )
+    n = F.col("count").cast("double")
+    sx = F.col("sum").cast("double")
+    sx2 = F.col("_sum2").cast("double")
+    var = (sx2 - sx * sx / n) / n
+    return agg.select(
+        F.col("count").cast("long"),
+        F.col("missing").cast("long"),
+        "sum",
+        "min",
+        "max",
+        F.when(F.col("count") > 0, sx / n).alias("mean"),
+        F.when(F.col("count") > 0, var).alias("variance"),
+        F.when(F.col("count") > 0, F.sqrt(var)).alias("stdev"),
+    )

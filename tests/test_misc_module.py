@@ -142,3 +142,37 @@ def test_high_freq_terms_matches_oracle(spark, idx, ddb):
         for r in ddb.execute(osql.high_freq_terms_sql(25, by="df")).fetchall()
     ]
     assert got_df == want_df
+
+
+def test_doc_values_stats(spark):
+    """DocValuesStats (misc/search/DocValuesStats.java): closed-form
+    population stats equal a direct transcription of the reference's
+    Welford accumulation to double rounding."""
+    from lucene_spark.search.collectors import doc_values_stats
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, None, 5]
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "doc_id long, x long"
+    )
+    row = doc_values_stats(docs, "x").collect()[0]
+    # reference Welford transcription (docID order)
+    count = missing = 0
+    mean = variance = 0.0
+    mn, mx, total = float("inf"), float("-inf"), 0
+    for v in vals:
+        if v is None:
+            missing += 1
+            continue
+        count += 1
+        mn, mx, total = min(mn, v), max(mx, v), total + v
+        old = mean
+        mean += (v - mean) / count
+        variance += (v - mean) * (v - old)
+    assert (row["count"], row["missing"], row["sum"]) == (count, missing, total)
+    assert (row["min"], row["max"]) == (mn, mx)
+    assert row["mean"] == pytest.approx(mean, rel=1e-12)
+    assert row["variance"] == pytest.approx(variance / count, rel=1e-12)
+    assert row["stdev"] == pytest.approx((variance / count) ** 0.5, rel=1e-12)
+    # empty doc set: undefined stats are NULL
+    empty = doc_values_stats(docs.filter("doc_id < 0"), "x").collect()[0]
+    assert empty["count"] == 0 and empty["mean"] is None
