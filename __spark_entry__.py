@@ -1580,16 +1580,23 @@ def _q_blended_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.analysis.analyzer import StandardAnalyzer
     from lucene_spark.search.features import BlendedInfixSuggester
 
-    docs = _docs(spark, sf_dir)
-    entries = docs.select(
+    return BlendedInfixSuggester(
+        _suggest_entries(spark, sf_dir),
+        analyzer=StandardAnalyzer(),
+        blender_type="linear",
+    ).lookup("data s", num=5)
+
+
+def _suggest_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared infix/blended suggester entries: each doc's first-4-words
+    title, weight = n_chars (title_words must stay in lockstep with the
+    oracles' default)."""
+    return _docs(spark, sf_dir).select(
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ").alias(
             "surface"
         ),
         F.col("n_chars").alias("weight"),
     )
-    return BlendedInfixSuggester(
-        entries, analyzer=StandardAnalyzer(), blender_type="linear"
-    ).lookup("data s", num=5)
 
 
 def _q_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1599,16 +1606,9 @@ def _q_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lucene_spark.analysis.analyzer import StandardAnalyzer
     from lucene_spark.search.features import AnalyzingInfixSuggester
 
-    docs = _docs(spark, sf_dir)
-    entries = docs.select(
-        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 4), " ").alias(
-            "surface"
-        ),
-        F.col("n_chars").alias("weight"),
-    )
-    return AnalyzingInfixSuggester(entries, analyzer=StandardAnalyzer()).lookup(
-        "data s", num=7
-    )
+    return AnalyzingInfixSuggester(
+        _suggest_entries(spark, sf_dir), analyzer=StandardAnalyzer()
+    ).lookup("data s", num=7)
 
 
 _FREETEXT_CACHE: dict = {}

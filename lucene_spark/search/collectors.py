@@ -333,29 +333,31 @@ def doc_values_stats(docs: DataFrame, col: str) -> DataFrame:
 
     Envelope (documented): the reference accumulates Welford-style in
     docID order — a sequential recurrence a distributed engine cannot
-    replay; this computes the algebraically identical closed form
-    ``var = (Σx² − (Σx)²/n)/n`` with Σ over exact integer sums (one
-    aggregation, order-free, deterministic), matching Welford to double
-    rounding.  Undefined stats on an empty doc set return NULLs."""
+    replay; mean/variance delegate to the engine's pairwise-mergeable
+    moment aggregation (``avg``/``var_pop`` — Chan's parallel update,
+    the distributed generalization of the same recurrence, numerically
+    stable for any magnitude; NOT the sum-of-squares closed form, which
+    overflows on large values and cancels catastrophically).  Values
+    agree with the reference to double rounding; partition merge order
+    sets the final ULP.  Undefined stats on an empty doc set return
+    NULLs."""
+    c = F.col(col).cast("double")
     agg = docs.agg(
         F.count(F.col(col)).alias("count"),
         (F.count(F.lit(1)) - F.count(F.col(col))).alias("missing"),
         F.sum(F.col(col)).alias("sum"),
         F.min(F.col(col)).alias("min"),
         F.max(F.col(col)).alias("max"),
-        F.sum(F.col(col) * F.col(col)).alias("_sum2"),
+        F.avg(c).alias("_mean"),
+        F.var_pop(c).alias("_var"),
     )
-    n = F.col("count").cast("double")
-    sx = F.col("sum").cast("double")
-    sx2 = F.col("_sum2").cast("double")
-    var = (sx2 - sx * sx / n) / n
     return agg.select(
         F.col("count").cast("long"),
         F.col("missing").cast("long"),
         "sum",
         "min",
         "max",
-        F.when(F.col("count") > 0, sx / n).alias("mean"),
-        F.when(F.col("count") > 0, var).alias("variance"),
-        F.when(F.col("count") > 0, F.sqrt(var)).alias("stdev"),
+        F.when(F.col("count") > 0, F.col("_mean")).alias("mean"),
+        F.when(F.col("count") > 0, F.col("_var")).alias("variance"),
+        F.when(F.col("count") > 0, F.sqrt(F.col("_var"))).alias("stdev"),
     )

@@ -17,6 +17,12 @@ Semantics follow the reference's all-double model:
   (shiftleft/shiftrightunsigned, ``^`` as xor); DuckDB reads ``^`` as
   power and lacks the shift functions, so expressions using the bitwise
   family are engine-side only (not oracle-portable, documented);
+* IEEE special values: division by zero restores Java's ±Infinity/NaN
+  (SQL would NULL it), sqrt/ln/log10/logn guard their out-of-domain
+  inputs to NaN/−Infinity (DuckDB would raise).  Residual envelope:
+  negative zero loses its sign through SQL comparisons, and NaN
+  compared with anything follows SQL ordering (NaN sorts greatest)
+  rather than Java's always-false comparisons;
 * the default function table (``JavascriptCompiler.properties``): abs,
   ceil/floor, exp/ln/log10/logn, pow/sqrt, min/max, the trig/hyperbolic
   family.  ``haversin*`` is geo and out of scope (raises).
@@ -29,6 +35,22 @@ boolor > conditional.
 from __future__ import annotations
 
 import re
+
+_INF = "CAST('Infinity' AS DOUBLE)"
+_NINF = "CAST('-Infinity' AS DOUBLE)"
+_NAN = "CAST('NaN' AS DOUBLE)"
+
+# Java's out-of-domain results, which SQL either NULLs or raises on:
+# sqrt(<0) = NaN; ln/log10(0) = -Inf, (<0) = NaN (DuckDB would error)
+_SQRT = f"(CASE WHEN ({{0}}) < 0 THEN {_NAN} ELSE sqrt({{0}}) END)"
+_LN = (
+    f"(CASE WHEN ({{0}}) > 0 THEN ln({{0}}) "
+    f"WHEN ({{0}}) = 0 THEN {_NINF} ELSE {_NAN} END)"
+)
+_LOG10 = (
+    f"(CASE WHEN ({{0}}) > 0 THEN log10({{0}}) "
+    f"WHEN ({{0}}) = 0 THEN {_NINF} ELSE {_NAN} END)"
+)
 
 # name -> (sql template, arity); {0}/{1} are operand slots
 _FUNCTIONS: dict[str, tuple[str, int]] = {
@@ -45,16 +67,16 @@ _FUNCTIONS: dict[str, tuple[str, int]] = {
     "cosh": ("cosh({0})", 1),
     "exp": ("exp({0})", 1),
     "floor": ("floor({0})", 1),
-    "ln": ("ln({0})", 1),
-    "log10": ("log10({0})", 1),
+    "ln": (_LN, 1),
+    "log10": (_LOG10, 1),
     # MathUtil.log(base, x) = ln(x)/ln(base)
-    "logn": ("(ln({1}) / ln({0}))", 2),
+    "logn": (f"({_LN.replace('{0}', '{1}')} / {_LN})", 2),
     "max": ("greatest({0}, {1})", 2),
     "min": ("least({0}, {1})", 2),
     "pow": ("power({0}, {1})", 2),
     "sin": ("sin({0})", 1),
     "sinh": ("sinh({0})", 1),
-    "sqrt": ("sqrt({0})", 1),
+    "sqrt": (_SQRT, 1),
     "tan": ("tan({0})", 1),
     "tanh": ("tanh({0})", 1),
 }
@@ -75,9 +97,12 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
     while i < len(text):
         m = _TOKEN_RE.match(text, i)
         if not m:
-            if text[i:].strip() == "":
+            j = i
+            while j < len(text) and text[j].isspace():
+                j += 1
+            if j >= len(text):
                 break
-            raise ExpressionError(f"unexpected character at {i}: {text[i]!r}")
+            raise ExpressionError(f"unexpected character at {j}: {text[j]!r}")
         i = m.end()
         for kind in ("num", "var", "op"):
             v = m.group(kind)
@@ -173,7 +198,17 @@ class _Parser:
         return f"CAST({sql} AS BIGINT)"
 
     def _binary(self, op: str, a: str, b: str) -> str:
-        if op in ("+", "-", "*", "/"):
+        if op == "/":
+            # Java doubles: x/0 = ±Infinity (0/0 = NaN); SQL NULLs it —
+            # restore the IEEE results (negative-zero sign is lost, the
+            # one documented residual)
+            return (
+                f"(CASE WHEN ({b}) = 0 THEN "
+                f"(CASE WHEN ({a}) > 0 THEN {_INF} "
+                f"WHEN ({a}) < 0 THEN {_NINF} ELSE {_NAN} END) "
+                f"ELSE ({a} / {b}) END)"
+            )
+        if op in ("+", "-", "*"):
             return f"({a} {op} {b})"
         if op == "%":
             # Java's fmod on doubles: SQL's % matches for the finite cases

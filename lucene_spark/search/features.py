@@ -631,6 +631,23 @@ def combined_field_topk(
     return topk.withColumn("rank", w.cast("int"))
 
 
+def _key_ended(key: str, last_token: str) -> bool:
+    """The suggesters' shared "did the last token end?" test — the
+    reference compares the stream's final end offset with the last
+    token's end offset (``FreeTextSuggester.java:591-593``,
+    ``AnalyzingInfixSuggester.java:671-673``): ANY trailing consumed
+    characters (whitespace, punctuation, a dropped trailing stopword)
+    mean the last token is complete and should be treated exactly /
+    shifted to next-word context, not completed as a prefix.  Our
+    analyzer API returns tokens without offsets, so the test is whether
+    the case-folded key still ends with the last token's text — exact
+    for any normalization that keeps token text a suffix of its source
+    span (documented envelope for exotic filters)."""
+    from lucene_spark.analysis.analyzer import java_lower
+
+    return not java_lower(key).endswith(last_token)
+
+
 class FreeTextSuggester:
     """N-gram language-model suggester with stupid backoff
     (``suggest/.../analyzing/FreeTextSuggester.java:120-720``): "what word
@@ -705,10 +722,6 @@ class FreeTextSuggester:
     def close(self) -> None:
         self.model.unpersist()
 
-    def _context_count(self, context: str) -> int:
-        rows = self.model.filter(F.col("ngram") == context).collect()
-        return int(rows[0]["cnt"]) if rows else 0
-
     def lookup(self, key: str, num: int = 5) -> list[tuple[str, int]]:
         """Top ``num`` (ngram key, value) suggestions, the reference's
         ``LookupResult`` list (keys contain the 0x1e separator)."""
@@ -716,7 +729,7 @@ class FreeTextSuggester:
         qtoks = self.analyzer.analyze(key)
         if not qtoks:
             raise ValueError("no tokens produced by analyzer")
-        ended = key != key.rstrip()
+        ended = _key_ended(key, qtoks[-1])
         last: list[str | None] = [None] * g
         for order in range(1, g + 1):
             if len(qtoks) >= order:
@@ -734,19 +747,35 @@ class FreeTextSuggester:
             token = last[gram]
             if token is None or (token == "" and len(key) > 0):
                 continue
-            cand = (
+            cand_q = (
                 self.model.filter(
                     (F.col("order") == gram + 1)
                     & F.col("ngram").startswith(token)
                 )
                 .orderBy(F.desc("cnt"), F.asc("ngram"))
                 .limit(num + len(seen))
-                .collect()
+                .select("ngram", "cnt")
+            )
+            # the context row rides the same job (its order is `gram`,
+            # never in the candidate set) — one collect per level
+            context = token[: token.rindex(sep)] if sep in token else None
+            if context is not None:
+                cand_q = cand_q.unionByName(
+                    self.model.filter(F.col("ngram") == context).select(
+                        "ngram", "cnt"
+                    )
+                )
+            rows = cand_q.collect()
+            cand = sorted(
+                (r for r in rows if r["ngram"] != context),
+                key=lambda r: (-int(r["cnt"]), r["ngram"]),
             )
             if cand:
-                if sep in token:
-                    context = token[: token.rindex(sep)]
-                    context_count = self._context_count(context)
+                if context is not None:
+                    context_count = next(
+                        (int(r["cnt"]) for r in rows if r["ngram"] == context),
+                        0,
+                    )
                 else:
                     context_count = self.tot_tokens
                 emitted = 0
@@ -821,8 +850,9 @@ class AnalyzingInfixSuggester:
                 [], "surface string, weight long"
             )
         # the last token is a prefix iff the key ends AT the token
-        # (:671-673: maxEndOffset == end offset); trailing space -> exact
-        last_is_prefix = key == key.rstrip()
+        # (:671-673: maxEndOffset == end offset); ANY trailing consumed
+        # text (whitespace, punctuation, a dropped stopword) -> exact
+        last_is_prefix = not _key_ended(key, qtoks[-1])
         exact, last = qtoks[:-1], qtoks[-1]
         if not last_is_prefix:
             exact, last = qtoks, None
@@ -903,7 +933,7 @@ class BlendedInfixSuggester(AnalyzingInfixSuggester):
         if not qtoks:
             return spark.createDataFrame([], "surface string, weight long")
         pool = super().lookup(key, num * self.num_factor, all_terms_required)
-        last_is_prefix = key == key.rstrip()
+        last_is_prefix = not _key_ended(key, qtoks[-1])
         exact = set(qtoks[:-1]) if last_is_prefix else set(qtoks)
         prefix = qtoks[-1] if last_is_prefix else None
         cond = F.col("token").isin(list(exact)) if exact else F.lit(False)

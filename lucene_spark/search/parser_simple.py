@@ -27,7 +27,7 @@ dataclass rewrite default (the classic parser's convention).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dfield
+from dataclasses import dataclass
 
 from lucene_spark.search.query import (
     BooleanClause,
@@ -67,7 +67,6 @@ class _State:
     current_op: Occur | None = None
     previous_op: Occur | None = None
     not_count: int = 0
-    buffer: list = dfield(default_factory=list)
 
 
 class SimpleQueryParser:
@@ -323,12 +322,20 @@ class SimpleQueryParser:
 
         return self._fields(make)
 
+    @staticmethod
+    def _normalize(text: str) -> str:
+        """``Analyzer.normalize`` (the reference's prefix/fuzzy path,
+        :470-476): case-fold the WHOLE text without tokenizing — a
+        tokenizing pass would silently truncate multi-token inputs like
+        ``wi-fi`` to their first token."""
+        from lucene_spark.analysis.analyzer import java_lower
+
+        return java_lower(text)
+
     def _new_prefix(self, text: str) -> Query | None:
-        norm = self.analyzer.analyze(text)
-        token = norm[0] if norm else text.lower()
+        token = self._normalize(text)
         return self._fields(lambda f: PrefixQuery(token, f))
 
     def _new_fuzzy(self, text: str, fuzziness: int) -> Query | None:
-        norm = self.analyzer.analyze(text)
-        token = norm[0] if norm else text.lower()
+        token = self._normalize(text)
         return self._fields(lambda f: FuzzyQuery(token, fuzziness, f))

@@ -56,6 +56,18 @@ def test_variables_and_bindings():
     )
 
 
+def test_ieee_special_values():
+    """Java's all-double model survives SQL: x/0 = ±Infinity (0/0 NaN),
+    sqrt/ln of out-of-domain inputs = NaN / -Infinity instead of SQL
+    NULLs or errors."""
+    assert _eval("1 / 0") == float("inf")
+    assert _eval("(0 - 1) / 0") == float("-inf")
+    assert math.isnan(_eval("0 / 0"))
+    assert math.isnan(_eval("sqrt(0 - 4)"))
+    assert _eval("ln(0)") == float("-inf")
+    assert math.isnan(_eval("ln(0 - 1)"))
+
+
 def test_errors():
     with pytest.raises(ExpressionError):
         compile_expression("sqrt(1, 2)")  # arity

@@ -65,6 +65,13 @@ def test_empty_key_raises(sug):
         sug.lookup("", num=5)
 
 
+def test_trailing_punctuation_ends_token(sug):
+    """The offset rule (FreeTextSuggester.java:591-593): ANY trailing
+    consumed text — not just whitespace — ends the last token, so
+    'merge,' predicts the NEXT word exactly like 'merge '."""
+    assert sug.lookup("merge,", num=5) == sug.lookup("merge ", num=5)
+
+
 def test_fuzzy_suggester(spark):
     from lucene_spark.search.features import FuzzySuggester
 

@@ -114,6 +114,14 @@ def test_flags_disable_features():
     )
 
 
+def test_prefix_fuzzy_normalize_not_tokenize():
+    """newPrefixQuery/newFuzzyQuery use Analyzer.normalize — case-fold
+    WITHOUT tokenizing (a tokenizing pass would truncate 'Wi-Fi' to its
+    first token)."""
+    assert P.parse("Wi-Fi*") == PrefixQuery("wi-fi", "text")
+    assert P.parse("Wi-Fi~1") == FuzzyQuery("wi-fi", 1, "text")
+
+
 def test_escape_operator():
     # escaped star is literal, so the token analyzes as a plain term
     assert P.parse(r"mer\*") == T("mer")
