@@ -974,8 +974,23 @@ def _q_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("and_not", _q_and_not_topk(spark, sf_dir)),
             ("or3", _q_wand_or3_topk(spark, sf_dir)),
             ("simple_parse", _q_simple_parse_topk(spark, sf_dir)),
+            ("common_terms", _q_common_terms_topk(spark, sf_dir)),
         ]
     )
+
+
+def _q_common_terms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CommonTermsQuery: merge/data are HIGH frequency (df fraction
+    ~0.78 > the 0.5 cutoff) and dup is LOW (~0.05) — recall gates on the
+    rare term, the common terms only boost.  The oracle receives the
+    same split derived independently from the corpus frequencies."""
+    from lucene_spark.search.features import common_terms_query
+
+    s = _searcher(spark, sf_dir)
+    q = common_terms_query(
+        s.index, ["merge", "data", "dup"], max_term_frequency=0.5
+    )
+    return _as_gate_schema(s.search(q, k=10))
 
 
 def _q_simple_parse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1913,6 +1928,10 @@ def oracle_sql() -> dict[str, str]:
                 ("and_not", osql.and_not_topk_sql("merge", "window", 10)),
                 ("or3", osql.multi_or_topk_sql(["data", "row", "scan"], 12)),
                 ("simple_parse", osql.simple_parse_topk_sql(10)),
+                (
+                    "common_terms",
+                    osql.common_terms_topk_sql(["dup"], ["merge", "data"], 10),
+                ),
             ]
         ),
         "bm25_phrase_topk": osql.phrase_topk_sql(["table", "value"], 10),

@@ -3167,6 +3167,45 @@ combined AS (
 """
 
 
+def common_terms_topk_sql(
+    low_terms: list[str], high_terms: list[str], k: int
+) -> str:
+    """CommonTermsQuery twin (``queries/CommonTermsQuery.java:95-171``)
+    for the SHOULD/SHOULD default shape with the gate's pre-derived
+    frequency split: low-freq group (MUST clause) = SHOULD sum of the
+    rare terms; high-freq group (SHOULD clause) = SHOULD sum of the
+    common terms — per doc the outer conjunction adds the two group
+    floats in double, cast float (docs without any high-freq match keep
+    the low group alone; docs without a low-freq match don't match)."""
+    lows = [(f"l{i}", t) for i, t in enumerate(low_terms)]
+    highs = [(f"h{i}", t) for i, t in enumerate(high_terms)]
+    ctes = ", ".join(_term_cte(n, t).lstrip() for n, t in lows + highs)
+    lowu = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM sc_{n}" for n, _ in lows
+    )
+    highu = " UNION ALL ".join(
+        f"SELECT doc_id, score FROM sc_{n}" for n, _ in highs
+    )
+    return f"""
+WITH {BASE_CTES}, {ctes},
+lowg AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM ({lowu}) GROUP BY doc_id
+),
+highg AS (
+    SELECT doc_id, CAST(sum(CAST(score AS DOUBLE)) AS FLOAT) AS score
+    FROM ({highu}) GROUP BY doc_id
+),
+combined AS (
+    SELECT l.doc_id,
+           CAST(CAST(l.score AS DOUBLE)
+                + COALESCE(CAST(h.score AS DOUBLE), 0.0) AS FLOAT) AS score
+    FROM lowg l LEFT JOIN highg h USING (doc_id)
+)
+{_topk('combined', k)}
+"""
+
+
 # --------------------------------------------------------------- misc module
 
 

@@ -1021,3 +1021,107 @@ class FuzzySuggester(AnalyzingSuggester):
             .orderBy(F.desc("weight"), F.asc("surface"))
             .limit(k)
         )
+
+
+def common_terms_query(
+    idx: IndexTables,
+    terms,
+    field: str = "text",
+    high_freq_occur: Occur = Occur.SHOULD,
+    low_freq_occur: Occur = Occur.SHOULD,
+    max_term_frequency: float = 0.01,
+    low_freq_boost: float = 1.0,
+    high_freq_boost: float = 1.0,
+    low_freq_min_should_match: float = 0.0,
+    high_freq_min_should_match: float = 0.0,
+):
+    """CommonTermsQuery (``queries/CommonTermsQuery.java:95-171``): split
+    the query terms into LOW- and HIGH-frequency groups by document
+    frequency and compose them so common ("stopword-ish") terms boost
+    scores without gating recall — low-freq group as a MUST clause,
+    high-freq group as a SHOULD clause (each an inner Boolean with its
+    own occur/minimumShouldMatch, boost-wrapped).
+
+    Classification (:100-107): a term is HIGH-frequency when
+    ``maxTermFrequency ≥ 1 and df > maxTermFrequency`` (absolute) OR
+    ``df > (int) ceil(maxTermFrequency · (float) maxDoc)`` (relative —
+    the float32 product mirrored); terms absent from the dictionary are
+    low-frequency.  Fractional minimumShouldMatch resolves as
+    ``round(f · numOptional)`` (:85-90).  With no low-frequency terms
+    the high group upgrades to a conjunction (:142-150).  This performs
+    the reference's search-time ``rewrite(IndexSearcher)`` eagerly — it
+    needs the terms dictionary, a bounded |terms| lookup."""
+    import math as _math
+
+    from lucene_spark.search.query import (
+        MatchNoDocsQuery,
+        BoostQuery,
+    )
+
+    if high_freq_occur == Occur.MUST_NOT or low_freq_occur == Occur.MUST_NOT:
+        raise ValueError("occur should be MUST or SHOULD but was MUST_NOT")
+    terms = list(terms)
+    if not terms:
+        return MatchNoDocsQuery()
+    if len(terms) == 1:
+        return TermQuery(terms[0], field)
+    max_doc = idx.docmap.count()
+    dfs = {
+        r["term"]: int(r["doc_freq"])
+        for r in idx.termstats.filter(
+            (F.col("field") == field) & F.col("term").isin(terms)
+        ).collect()
+    }
+    rel_cutoff = int(
+        _math.ceil(float(np.float32(max_term_frequency) * np.float32(max_doc)))
+    )
+    low, high = [], []
+    for t in terms:
+        df = dfs.get(t)
+        if df is None:
+            low.append(t)
+        elif (max_term_frequency >= 1.0 and df > max_term_frequency) or (
+            df > rel_cutoff
+        ):
+            high.append(t)
+        else:
+            low.append(t)
+
+    def msm(frac: float, n: int) -> int:
+        if frac >= 1.0 or frac == 0.0:
+            return int(frac)
+        return int(_math.floor(np.float32(frac) * np.float32(n) + np.float32(0.5)))
+
+    low_msm = msm(low_freq_min_should_match, len(low)) if (
+        low_freq_occur == Occur.SHOULD and low
+    ) else 0
+    high_msm = msm(high_freq_min_should_match, len(high)) if (
+        high_freq_occur == Occur.SHOULD and high
+    ) else 0
+    if not low and high_msm == 0 and high_freq_occur != Occur.MUST:
+        high_freq_occur = Occur.MUST
+    clauses = []
+    if low:
+        low_q = BooleanQuery(
+            tuple(
+                BooleanClause(low_freq_occur, TermQuery(t, field)) for t in low
+            ),
+            low_msm,
+        )
+        clauses.append(
+            BooleanClause(Occur.MUST, BoostQuery(low_q, float(low_freq_boost)))
+        )
+    if high:
+        high_q = BooleanQuery(
+            tuple(
+                BooleanClause(high_freq_occur, TermQuery(t, field))
+                for t in high
+            ),
+            high_msm,
+        )
+        clauses.append(
+            BooleanClause(
+                Occur.SHOULD, BoostQuery(high_q, float(high_freq_boost))
+            )
+        )
+    return BooleanQuery(tuple(clauses))
