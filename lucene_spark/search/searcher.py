@@ -935,7 +935,13 @@ class IndexSearcher:
     def _term_group(q: Query) -> tuple | None:
         """Flatten a clause into an OR-group of TermQuerys (the shape
         BooleanScorerSupplier's WAND handles): a bare term, or a pure
-        SHOULD-of-terms sub-Boolean (msm <= 1 ≡ plain disjunction)."""
+        SHOULD-of-terms sub-Boolean (msm <= 1 ≡ plain disjunction).
+        Neutral ``BoostQuery(_, 1.0)`` wrappers are transparent — weight
+        = f32(1·idf) = idf, so unwrapping cannot change a score; this is
+        what keeps CommonTermsQuery's always-boost-wrapped groups (and
+        SimpleQueryParser trees) on the kernel path."""
+        while isinstance(q, BoostQuery) and q.boost == 1.0:
+            q = q.query
         if isinstance(q, TermQuery):
             return (q,)
         if (
