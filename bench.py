@@ -456,10 +456,16 @@ def run_bench() -> dict:
                 emb_all_pairs=n_vecs * (n_vecs - 1) // 2,
             )
 
-    lat = sorted(q_times.values())
+    # query-latency percentiles exclude the batch-classification keys:
+    # those are 128-input THROUGHPUT operators (one distributed plan per
+    # batch), not per-query latencies — folding a 128-doc batch into p99
+    # misreads a new heavier operator as a latency regression
+    lat = sorted(
+        v for k, v in q_times.items() if not k.startswith("q_classify_")
+    )
     p50 = statistics.median(lat)
     p99 = lat[min(len(lat) - 1, int(0.99 * len(lat)))]
-    total = build_sec + sum(lat)
+    total = build_sec + sum(q_times.values())
 
     result = {
         "metric": "index-build turns/sec + BM25 query latency",

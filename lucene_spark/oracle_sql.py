@@ -3177,6 +3177,11 @@ def common_terms_topk_sql(
     common terms — per doc the outer conjunction adds the two group
     floats in double, cast float (docs without any high-freq match keep
     the low group alone; docs without a low-freq match don't match)."""
+    if not low_terms or not high_terms:
+        raise ValueError(
+            "common_terms_topk_sql needs both groups non-empty (a "
+            "single-sided split degenerates to a plain Boolean oracle)"
+        )
     lows = [(f"l{i}", t) for i, t in enumerate(low_terms)]
     highs = [(f"h{i}", t) for i, t in enumerate(high_terms)]
     ctes = ", ".join(_term_cte(n, t).lstrip() for n, t in lows + highs)

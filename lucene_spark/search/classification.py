@@ -578,24 +578,37 @@ def knn_fuzzy_classify(
         .select("input_id", F.col("term").alias("src"))
         .distinct()
         .withColumn("rp", F.least(F.lit(_FUZZY_PREFIX_LENGTH), F.length("src")))
-        .withColumn("p1", F.substring("src", 1, 1))
     )
 
     # candidate variants: broadcast the (small) input-term side into the
-    # (large) terms dictionary keyed on the first codepoint, prune with
-    # exact-prefix + length-window + JVM levenshtein (OSA ≤ 1 ⇒ lev ≤ 2),
-    # then the exact suffix-OSA cut in one Arrow batch
+    # (large) terms dictionary keyed on the FULL non-fuzzy prefix — the
+    # automaton's exact first min(2, len) codepoints, so the join itself
+    # enforces the prefix constraint (a first-char key measured ~30×
+    # more joined rows on many-term inputs at the 84k-turn bench
+    # corpus); the rare single-char terms join on their 1-char key.
+    # Length-window + JVM levenshtein (OSA ≤ 1 ⇒ lev ≤ 2) prune before
+    # the exact suffix-OSA cut in one Arrow batch.
     ts = idx.termstats.filter(F.col("field") == field).select(
         F.col("term").alias("vterm"), F.col("doc_freq").alias("vdf")
     )
-    cand = (
-        ts.withColumn("p1", F.substring("vterm", 1, 1))
-        .join(F.broadcast(qterms), "p1")
-        .filter(
-            F.length("vterm").between(F.length("src") - 1, F.length("src") + 1)
+    q2 = qterms.filter(F.col("rp") == _FUZZY_PREFIX_LENGTH).withColumn(
+        "jk", F.substring("src", 1, _FUZZY_PREFIX_LENGTH)
+    )
+    q1 = qterms.filter(F.col("rp") < _FUZZY_PREFIX_LENGTH).withColumn(
+        "jk", F.substring("src", 1, 1)
+    )
+    cand0 = ts.withColumn(
+        "jk", F.substring("vterm", 1, _FUZZY_PREFIX_LENGTH)
+    ).join(F.broadcast(q2), "jk")
+    if q1.limit(1).count() > 0:
+        cand0 = cand0.unionByName(
+            ts.withColumn("jk", F.substring("vterm", 1, 1)).join(
+                F.broadcast(q1), "jk"
+            )
         )
-        .filter(
-            F.expr("substring(vterm, 1, rp)") == F.expr("substring(src, 1, rp)")
+    cand = (
+        cand0.filter(
+            F.length("vterm").between(F.length("src") - 1, F.length("src") + 1)
         )
         .filter(
             F.levenshtein(

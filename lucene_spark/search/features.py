@@ -1080,9 +1080,13 @@ def common_terms_query(
         df = dfs.get(t)
         if df is None:
             low.append(t)
-        elif (max_term_frequency >= 1.0 and df > max_term_frequency) or (
-            df > rel_cutoff
-        ):
+        elif (
+            max_term_frequency >= 1.0
+            # Java compares docFreq > maxTermFrequency as float32 (the
+            # int promotes), so a df beyond float precision must round
+            # the same way
+            and np.float32(df) > np.float32(max_term_frequency)
+        ) or (df > rel_cutoff):
             high.append(t)
         else:
             low.append(t)
@@ -1090,7 +1094,11 @@ def common_terms_query(
     def msm(frac: float, n: int) -> int:
         if frac >= 1.0 or frac == 0.0:
             return int(frac)
-        return int(_math.floor(np.float32(frac) * np.float32(n) + np.float32(0.5)))
+        # Math.round(float), modern JDK semantics: the exact closest int
+        # of the float32 PRODUCT, ties toward +inf — widen the product to
+        # double BEFORE adding 0.5 (a float32 add would round
+        # 0.49999997f + 0.5f up to 1.0f, the pre-JDK-7 bug)
+        return int(_math.floor(float(np.float32(frac) * np.float32(n)) + 0.5))
 
     low_msm = msm(low_freq_min_should_match, len(low)) if (
         low_freq_occur == Occur.SHOULD and low

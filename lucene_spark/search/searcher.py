@@ -936,12 +936,10 @@ class IndexSearcher:
         """Flatten a clause into an OR-group of TermQuerys (the shape
         BooleanScorerSupplier's WAND handles): a bare term, or a pure
         SHOULD-of-terms sub-Boolean (msm <= 1 ≡ plain disjunction).
-        Neutral ``BoostQuery(_, 1.0)`` wrappers are transparent — weight
-        = f32(1·idf) = idf, so unwrapping cannot change a score; this is
-        what keeps CommonTermsQuery's always-boost-wrapped groups (and
-        SimpleQueryParser trees) on the kernel path."""
-        while isinstance(q, BoostQuery) and q.boost == 1.0:
-            q = q.query
+        Neutral ``BoostQuery(_, 1.0)`` wrappers never reach here:
+        ``BoostQuery.rewrite`` strips them and ``search()`` rewrites to
+        fixpoint before planning — which is what keeps CommonTermsQuery's
+        always-boost-wrapped groups on the kernel path."""
         if isinstance(q, TermQuery):
             return (q,)
         if (
