@@ -192,6 +192,28 @@ def block_join_parents(
     )
 
 
+def block_join_children(
+    parent_hits: DataFrame, docmeta: DataFrame, parent_col: str
+) -> DataFrame:
+    """The reverse block join (``join/ToChildBlockJoinQuery.java``):
+    every CHILD of a matching parent becomes a hit carrying its parent's
+    score — the reference's scorer returns ``parentScore`` for each
+    child it advances through in the block.  ``parent_hits``: (parent,
+    score), e.g. :func:`block_join_parents` output or any parent-side
+    query keyed by the parent value; composes round-trip with the
+    to-parent direction."""
+    return (
+        docmeta.select("doc_id", parent_col)
+        .join(
+            parent_hits.select(
+                F.col("parent").alias(parent_col), F.col("score")
+            ),
+            parent_col,
+        )
+        .select("doc_id", F.col("score").cast("float").alias("score"))
+    )
+
+
 def sort_topk(
     scored: DataFrame,
     docmeta: DataFrame,

@@ -88,3 +88,29 @@ def test_rescore(spark, scored):
     got = [(r.doc_id, r.score) for r in rescore(scored, second).collect()]
     assert got[0] == (3, 11.0)  # boosted by second pass
     assert {d for d, _ in got} == {0, 1, 2, 3, 4}  # first-pass set preserved
+
+
+def test_block_join_children_round_trip(spark):
+    """ToChildBlockJoinQuery: children of matching parents inherit the
+    parent's score; composes round-trip with the to-parent direction."""
+    from lucene_spark.search.collectors import (
+        block_join_children,
+        block_join_parents,
+    )
+    from pyspark.sql import functions as F
+
+    meta = spark.createDataFrame(
+        [(0, "p1"), (1, "p1"), (2, "p2"), (3, "p2"), (4, "p3")],
+        "doc_id long, conv string",
+    )
+    child_hits = spark.createDataFrame(
+        [(0, 2.0), (1, 3.0), (2, 1.5)], "doc_id long, score float"
+    )
+    parents = block_join_parents(child_hits, meta, "conv", score_mode="max")
+    rows = {r["parent"]: r["score"] for r in parents.collect()}
+    assert rows == {"p1": 3.0, "p2": 1.5}
+    kids = block_join_children(parents, meta, "conv").collect()
+    got = {int(r["doc_id"]): r["score"] for r in kids}
+    # every child of p1/p2 inherits its parent's rolled-up score; p3's
+    # child is absent (parent did not match)
+    assert got == {0: 3.0, 1: 3.0, 2: 1.5, 3: 1.5}
